@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** All implemented operators, one QueryDef each (SURVEY.md §2). */
+  def allQueries: Seq[QueryDef] =
+    operators.Relational.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    allQueries.head.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Headline subset used by Bench (representative, heaviest paths). */
+  def benchQueries: Seq[String] = {
+    val preferred = Seq(
+      "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+      "q07_window_topn_per_group", "q12_events_hourly", "q16_order_count_distribution")
+    val have = queries.keySet
+    val picked = preferred.filter(have)
+    if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)
+  }
 }

@@ -1,0 +1,384 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The relational layer. The reference implements no relational
+  * operators (SURVEY §2.5) — in our Spark-first build the entire layer
+  * is declarative DataFrame code optimized by Catalyst (predicate
+  * pushdown, column pruning, join selection, AQE). Queries follow
+  * TPC-H shapes over the driver TESTDATA star schema.
+  *
+  * Scale notes (100 TB thinking):
+  *  - dimension tables (region/nation/supplier/customer-at-small-SF)
+  *    are broadcast explicitly so fact-table joins never shuffle the
+  *    big side;
+  *  - aggregations are partial (map-side combine) by construction of
+  *    groupBy.agg;
+  *  - per-row DECIMAL(18,4) casts keep sums order-independent, which
+  *    is also what makes results stable under any partitioning.
+  */
+object Relational {
+
+  /** Exact per-row decimal cast: makes double sums order-independent.
+    * TESTDATA money/rate columns carry exactly 2 decimal digits (verified
+    * vs sf0.01), so these casts are unambiguous — no cross-engine
+    * rounding-tie divergence. Products are computed decimal×decimal
+    * (exact), never double-then-cast (tie-prone at the cast).
+    */
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def mon(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  /** Exact sum of a 2-decimal double column, re-exposed as double. */
+  private def xsum(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+  /** Exact sum of an already-decimal expression, re-exposed as double. */
+  private def dsum(c: Column): Column = sum(c).cast(DoubleType)
+  /** price*(1-discount), exact decimal. */
+  private def revenue: Column =
+    mon(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  // DuckDB-side equivalents of the helpers above.
+  private def oxsum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  private val orev =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+  private def odsum(e: String): String = s"CAST(SUM($e) AS DOUBLE)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q01_pricing_summary",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            xsum(col("l_quantity")).as("sum_qty"),
+            xsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(revenue).as("sum_disc_price"),
+            dsum(revenue * (lit(1) + rate(col("l_tax")))).as("sum_charge"),
+            (xsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (xsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            (xsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${oxsum("l_quantity")} AS sum_qty,
+         |  ${oxsum("l_extendedprice")} AS sum_base_price,
+         |  ${odsum(orev)} AS sum_disc_price,
+         |  ${odsum(s"$orev * (1 + CAST(l_tax AS DECIMAL(4,2)))")} AS sum_charge,
+         |  ${oxsum("l_quantity")} / COUNT(*) AS avg_qty,
+         |  ${oxsum("l_extendedprice")} / COUNT(*) AS avg_price,
+         |  ${oxsum("l_discount")} / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q02_filter_project",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_size").between(10, 20) && col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+        .orderBy(col("p_partkey")),
+      """SELECT p_partkey, p_name, p_brand, p_size
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'PROMO'
+        |ORDER BY p_partkey""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q03_shipping_priority",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(dsum(revenue).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      s"""SELECT l_orderkey,
+         |  ${odsum(orev)} AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q04_order_priority_semi",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q05_local_supplier_volume",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                  col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        val l = Tables.lineitem(s, d)
+        val su = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+                               col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(revenue).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      s"""SELECT n_name,
+         |  ${odsum(orev)} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q06_revenue_scan",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+                col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(dsum(mon(col("l_extendedprice")) * rate(col("l_discount"))).as("revenue"),
+             count(lit(1)).as("cnt")),
+      s"""SELECT ${odsum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))")} AS revenue, COUNT(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q07_window_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+          .orderBy(col("o_orderpriority"), col("rnk"))
+      },
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q08_running_total",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 100)
+          .withColumn("running_spend",
+            sum(dec4(col("o_totalprice"))).over(w).cast(DoubleType))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q09_set_ops",
+      (s, d) => {
+        val building = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("key"))
+        val open = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("key"))
+        val negative = Tables.customer(s, d)
+          .filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("key"))
+        building.intersect(open).except(negative).orderBy(col("key"))
+      },
+      """SELECT key FROM (
+        |  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+        |) t
+        |EXCEPT
+        |SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0
+        |ORDER BY key""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q10_anti_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q11_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), xsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${oxsum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q12_events_hourly",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec6(col("value"))).cast(DoubleType).as("total_value"))
+        .orderBy(col("hour"), col("event_type")),
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q13_events_json_extract",
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      """SELECT event_type,
+        |  SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS k_sum,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q14_top_supplier",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+          .groupBy(col("l_suppkey"))
+          .agg(dsum(revenue).as("total"))
+        val top = rev.agg(max(col("total")).as("mx"))
+        Tables.supplier(s, d)
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(top), col("total") === col("mx"))
+          .select(col("s_suppkey"), col("s_name"), col("total"))
+          .orderBy(col("s_suppkey"))
+      },
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${odsum(orev)} AS total
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total = (SELECT MAX(total) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q15_nation_balance_having",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+               (xsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+          .filter(col("n_cust") > 5)
+          .orderBy(col("n_name"))
+      },
+      s"""SELECT n_name, COUNT(*) AS n_cust,
+         |  ${oxsum("c_acctbal")} / COUNT(*) AS avg_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |HAVING COUNT(*) > 5
+         |ORDER BY n_name""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q16_order_count_distribution",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q17_distinct_counts",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+             countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag")),
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  )
+}

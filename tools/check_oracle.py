@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <name>.parquet under verifyOutDir (Spark results written by
+graft.Verify), runs the matching SQL from oracle_sql.json in DuckDB with
+views registered over the sfDir parquet tables, and compares: column
+names (sorted), row count, and exact values (doubles bitwise after
+round-trip through float64).
+"""
+import sys, json, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    return sorted(colnames), out
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            tbl = pq.read_table(f"{out_dir}/{name}")
+            spark_cols = tbl.column_names
+            spark_rows = [tuple(d[c] for c in spark_cols) for d in tbl.to_pylist()]
+            duck = con.execute(sql)
+            duck_cols = [d[0] for d in duck.description]
+            duck_rows = duck.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        sc, sr = canon(spark_rows, spark_cols)
+        dc, dr = canon(duck_rows, duck_cols)
+        if sc != dc:
+            print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+            n_fail += 1
+        elif len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            n_fail += 1
+        elif sr != dr:
+            bad = next(i for i in range(len(sr)) if sr[i] != dr[i])
+            print(f"FAIL {name}: first diff row {bad}:\n  spark={sr[bad]}\n  duck ={dr[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
