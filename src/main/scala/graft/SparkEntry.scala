@@ -8,7 +8,12 @@ object SparkEntry {
 
   /** All implemented operators, one QueryDef each (SURVEY.md §2). */
   def allQueries: Seq[QueryDef] =
-    operators.Relational.all
+    operators.Relational.all ++
+      operators.EventsOps.all ++
+      operators.TextOps.all ++
+      operators.DedupOps.all ++
+      operators.SimilarityOps.all ++
+      operators.MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -31,8 +31,9 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
+    // integer div: ns values exceed 2^53, double division drifts by 1 µs
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import OpUtils._
+
+/** Deduplication operators over the `documents` table — the training-data
+  * pipeline mandate (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup). Each has a DuckDB oracle computing the
+  * identical deterministic value.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a hash-partitioned groupBy on md5(text) — one shuffle
+  *    of (hash, id), never of full text bodies at the window stage;
+  *  - MinHash/LSH: signatures are computed map-side per document (no
+  *    shuffle), the band join shuffles only (band_key, id) pairs, and the
+  *    candidate verification joins back by id — the canonical
+  *    shingle→minhash→band→bucket-join plan;
+  *  - SimHash is embarrassingly parallel per row;
+  *  - embedding near-dup uses label blocking (an IVF-style coarse
+  *    partition) so the pair join is per-bucket, not all-pairs.
+  */
+object DedupOps {
+
+  /** Dedup demo corpus: documents plus perturbed near-duplicates (last
+    * word dropped, doc_id offset by 1,000,000) — gives the pipeline known
+    * near-dup pairs to find; word-3-gram Jaccard(orig, perturbed) ≈ 0.97.
+    */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), trim(col("text")).as("t"))
+      .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(trim(col("text")), " +[^ ]+$", "").as("t")))
+  }
+
+  private val oCorpus =
+    """corpus AS (
+      |  SELECT doc_id, trim(text) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         regexp_replace(trim(text), ' +[^ ]+$', '') AS t
+      |  FROM documents)""".stripMargin
+
+  /** corpus + 16-hash MinHash signature per doc. */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).withColumn("sig", minhashSig(grams3(words(col("t"))), 16))
+
+  private val oSignatures =
+    s"""$oCorpus,
+       |sigs AS (
+       |  SELECT doc_id, t,
+       |         ${oMinhashSig(oGrams3(oWords("t")), 16)} AS sig
+       |  FROM corpus)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -- exact dedup: hash-groupBy on normalized text ------------------
+    QueryDef.sql("d01_exact_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), md5(trim(col("text"))).as("h"))
+        docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("h")).as("n_unique"),
+               (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
+          .orderBy(col("lang"))
+      },
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(trim(text))) AS n_unique,
+        |  COUNT(*) - COUNT(DISTINCT md5(trim(text))) AS n_dups
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin),
+
+    // -- MinHash signatures (map-side, no shuffle) ---------------------
+    QueryDef.sql("d02_minhash_signature",
+      (s, d) => signatures(s, d)
+        .select(col("doc_id"), col("sig"))
+        .filter(col("doc_id") < 20 || (col("doc_id") >= 1000000L && col("doc_id") < 1000020L))
+        .orderBy(col("doc_id")),
+      s"""WITH $oSignatures
+         |SELECT doc_id, sig FROM sigs
+         |WHERE doc_id < 20 OR (doc_id >= 1000000 AND doc_id < 1000020)
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- LSH band join: 4 bands x 4 rows over the 16-hash signature ----
+    QueryDef.sql("d03_minhash_lsh_pairs",
+      (s, d) => {
+        val sigs = signatures(s, d)
+        val bands = sigs.select(col("doc_id"), col("t"),
+            explode(transform(sequence(lit(0), lit(3)), b =>
+              md5(concat(b.cast("string"), lit("|"),
+                concat_ws("|", slice(col("sig"), b * 4 + 1, lit(4))))))).as("band"))
+        val cand = bands.as("a").join(bands.as("b"), col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+                  col("a.t").as("ta"), col("b.t").as("tb"))
+          .distinct()
+        cand
+          .withColumn("ga", array_distinct(grams3(words(col("ta")))))
+          .withColumn("gb", array_distinct(grams3(words(col("tb")))))
+          .withColumn("jaccard",
+            size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              size(array_union(col("ga"), col("gb"))))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      s"""WITH $oSignatures,
+         |bands AS (
+         |  SELECT doc_id, t, unnest(list_transform(range(0, 4),
+         |    b -> md5(b || '|' || array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.t AS ta, b.t AS tb
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_intersect(list_distinct(${oGrams3(oWords("ta"))}),
+         |                            list_distinct(${oGrams3(oWords("tb"))}))) AS DOUBLE) /
+         |    len(list_distinct(${oGrams3(oWords("ta"))} || ${oGrams3(oWords("tb"))})) AS jaccard
+         |  FROM cand)
+         |SELECT a_id, b_id, jaccard FROM jac
+         |WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // -- exact n-gram Jaccard on the known near-dup pairs --------------
+    QueryDef.sql("d04_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val orig = docs.select(col("doc_id"), trim(col("text")).as("t"))
+        val pert = docs.select(col("doc_id"),
+          regexp_replace(trim(col("text")), " +[^ ]+$", "").as("p"))
+        orig.join(pert, "doc_id")
+          .withColumn("ga", array_distinct(grams3(words(col("t")))))
+          .withColumn("gb", array_distinct(grams3(words(col("p")))))
+          .select(col("doc_id"),
+            (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              size(array_union(col("ga"), col("gb")))).as("jaccard"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_distinct(${oGrams3(oWords("trim(text)"))}) AS ga,
+         |    list_distinct(${oGrams3(oWords("regexp_replace(trim(text), ' +[^ ]+$$', '')"))}) AS gb
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(list_distinct(ga || gb)) AS jaccard
+         |FROM g
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- 16-bit SimHash over word hashes -------------------------------
+    QueryDef.sql("d05_simhash",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("hs", transform(words(col("text")), w => md5Val(w, 4)))
+          // SQL expr: shiftright/shiftleft with a lambda-var bit count has
+          // no Column-API overload.
+          .withColumn("simhash", expr(
+            """aggregate(
+              |  transform(sequence(0, 15), j ->
+              |    IF(aggregate(hs, 0,
+              |         (acc, x) -> acc + IF((shiftright(x, j) & 1) = 1, 1, -1)) > 0,
+              |       shiftleft(1, j), 0)),
+              |  0, (a, b) -> a + b)""".stripMargin))
+          .select(col("doc_id"), col("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(${oWords("text")}, w -> ${oMd5Val("w", 4)}) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  list_reduce([0] || list_transform(range(0, 16), j ->
+         |    CASE WHEN list_reduce([0] || list_transform(hs, x ->
+         |           CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+         |         THEN (1 << j) ELSE 0 END), (a, b) -> a + b) AS simhash
+         |FROM h
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- embedding-cosine near-dup with label blocking -----------------
+    QueryDef.sql("d06_embedding_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            cosine(col("a.v"), col("b.v")).as("cos"))
+          .filter(col("cos") >= 0.30)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${oCosine("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, cos FROM p
+         |WHERE cos >= 0.30
+         |ORDER BY a_id, b_id""".stripMargin)
+  )
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table. The batch queries
+  * here are the oracle-checked twins of the Structured Streaming
+  * pipelines in [[graft.streaming.EventStreams]] — same windowing /
+  * sessionization semantics, verifiable against DuckDB.
+  *
+  * Timestamps: events.ts is ns in parquet; both engines reduce to
+  * epoch-microseconds with floor division, so boundary comparisons are
+  * identical (Spark: Tables.events truncation + unix_micros; DuckDB:
+  * epoch_ns // 1000).
+  */
+object EventsOps {
+
+  private val gapUs = 30L * 60 * 1000000 // 30-minute session gap
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -- tumbling-window aggregation (streaming twin: windowed agg) ----
+    QueryDef.sql("q18_tumbling_windows",
+      (s, d) => Tables.events(s, d)
+        // integer div, not floor(double/) — avoids FP boundary drift
+        .withColumn("win_start",
+          timestamp_micros(expr("unix_micros(ts) div 300000000 * 300000000")))
+        .groupBy(col("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n") > 1)
+        .orderBy(col("win_start"), col("event_type")),
+      """SELECT make_timestamp((epoch_ns(ts) // 1000) // 300000000 * 300000000) AS win_start,
+        |  event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) > 1
+        |ORDER BY 1, 2""".stripMargin),
+
+    // -- sessionization: 30-min-gap sessions per user ------------------
+    QueryDef.sql("q19_sessionization",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("new_sess",
+            when(col("us") - lag(col("us"), 1).over(wOrd) > gapUs, 1)
+              .when(lag(col("us"), 1).over(wOrd).isNull, 1)
+              .otherwise(0))
+          .withColumn("sess_idx", sum(col("new_sess"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_idx"))
+          .agg(count(lit(1)).as("n_events"),
+               min(col("us")).as("start_us"),
+               (max(col("us")) - min(col("us"))).as("dur_us"))
+          .orderBy(col("user_id"), col("sess_idx"))
+      },
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN us - lag(us) OVER w > $gapUs THEN 1
+         |         WHEN lag(us) OVER w IS NULL THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |g AS (
+         |  SELECT user_id, us,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+         |  FROM f)
+         |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+         |  MIN(us) AS start_us, MAX(us) - MIN(us) AS dur_us
+         |FROM g
+         |GROUP BY user_id, sess_idx
+         |ORDER BY user_id, sess_idx""".stripMargin),
+
+    // -- per-user event-type pivot (conditional aggregation) -----------
+    QueryDef.sql("q20_event_type_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+          count(lit(1)).as("n_total"))
+        .filter(col("n_total") >= 20)
+        .orderBy(col("user_id")),
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  COUNT(*) AS n_total
+        |FROM events
+        |GROUP BY user_id
+        |HAVING COUNT(*) >= 20
+        |ORDER BY user_id""".stripMargin)
+  )
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import OpUtils._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - s01: brute-force cosine top-k — the exactness baseline. At scale
+  *    this is a broadcast of the (small) query set against a partitioned
+  *    corpus: corpus-side map + per-query top-k (no corpus shuffle).
+  *  - s02: random-hyperplane LSH bucketing — the 100 TB path. Bucket
+  *    signatures are computed map-side; the join touches only matching
+  *    buckets, so work scales with bucket occupancy, not corpus size.
+  *
+  * Hyperplanes are derived deterministically from md5 so the DuckDB
+  * oracle computes identical buckets (w[p][j] = +1 iff first hex digit of
+  * md5(p||'_'||j) >= 8).
+  */
+object SimilarityOps {
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  private val oVecs = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+  /** 8-bit LSH bucket from sign of 8 hyperplane projections. */
+  private val bucketExpr =
+    """aggregate(
+      |  transform(sequence(0, 7), p ->
+      |    IF(aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+      |         (acc, j) -> acc + IF(instr('0123456789abcdef',
+      |             substring(md5(concat(p, '_', j)), 1, 1)) - 1 >= 8,
+      |           element_at(v, j), -element_at(v, j))) > 0,
+      |       shiftleft(1, p), 0)),
+      |  0, (a, b) -> a + b)""".stripMargin
+
+  private val oBucketExpr =
+    """list_reduce([0] || list_transform(range(0, 8), p ->
+      |    CASE WHEN list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, 65),
+      |           j -> CASE WHEN instr('0123456789abcdef',
+      |                  (md5(p || '_' || j))[1:1]) - 1 >= 8
+      |                THEN v[j] ELSE -v[j] END), (a, b) -> a + b) > 0
+      |         THEN (1 << p) ELSE 0 END), (a, b) -> a + b)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -- brute-force cosine top-5 for the first 10 query vectors -------
+    QueryDef.sql("s01_knn_bruteforce",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        q.join(e.filter(col("vec_id") >= 10).select(col("vec_id").as("n_id"), col("v")))
+          .withColumn("cos", cosine(col("qv"), col("v")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      s"""WITH e AS ($oVecs),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |c AS (
+         |  SELECT q.q_id, e.vec_id AS n_id, ${oCosine("q.qv", "e.v")} AS cos
+         |  FROM q CROSS JOIN e WHERE e.vec_id >= 10),
+         |r AS (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM c)
+         |SELECT q_id, n_id, cos, rnk FROM r
+         |WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // -- LSH-bucketed ANN: same-bucket candidates, exact re-rank -------
+    QueryDef.sql("s02_ann_lsh",
+      (s, d) => {
+        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        val cand = q.join(e.filter(col("vec_id") >= 50), Seq("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        cand
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, v, $oBucketExpr AS bucket FROM ($oVecs)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 50),
+         |c AS (
+         |  SELECT q.q_id, e.vec_id AS n_id, ${oCosine("q.qv", "e.v")} AS cos
+         |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id >= 50),
+         |r AS (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM c)
+         |SELECT q_id, n_id, cos, rnk FROM r
+         |WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // -- centroid per label (the IVF coarse-quantizer build step) ------
+    QueryDef.sql("s03_label_centroids",
+      (s, d) => {
+        // Double sums folded in vec_id order — deterministic FP sequence
+        // in both engines (groupBy sum order would not be).
+        def ordSum(dim: Int) = sumFold(transform(
+          sort_array(collect_list(struct(col("vec_id").as("i"),
+            element_at(col("v"), dim).as("x")))),
+          s => s.getField("x")))
+        vecs(s, d)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            ordSum(1).as("sum_d1"),
+            ordSum(64).as("sum_d64"))
+          .orderBy(col("label"))
+      },
+      s"""SELECT label, COUNT(*) AS n,
+         |  ${oSumFold("list(v[1] ORDER BY vec_id)")} AS sum_d1,
+         |  ${oSumFold("list(v[64] ORDER BY vec_id)")} AS sum_d64
+         |FROM ($oVecs)
+         |GROUP BY label
+         |ORDER BY label""".stripMargin)
+  )
+}

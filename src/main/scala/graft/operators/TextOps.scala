@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import OpUtils._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting, and
+  * per-language top-word mining. All embarrassingly parallel per row
+  * (no shuffle except the final small aggregations) — the shape that
+  * scales linearly to 100 TB.
+  */
+object TextOps {
+
+  /** Stopword profiles for the language-ID heuristic (public stopword
+    * lists, truncated). Scores are hit counts of profile words. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "y", "los", "de"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "了", "是"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -- corpus token statistics per language --------------------------
+    QueryDef.sql("t01_token_stats",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_tokens", size(words(col("text"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("total_tokens"),
+             (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+             sum(length(col("text"))).as("total_chars"),
+             countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang")),
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  SUM(len(${oWords("text")})) AS total_tokens,
+         |  CAST(SUM(len(${oWords("text")})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+         |  SUM(length(text)) AS total_chars,
+         |  COUNT(DISTINCT source) AS n_sources
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin),
+
+    // -- per-document quality score ------------------------------------
+    // score = 0.5*min(tokens/100,1) + 0.3*stopword_ratio + 0.2*min(avg_len/8,1)
+    // fixed double op order mirrored by the oracle.
+    QueryDef.sql("t02_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("ws", words(col("text")))
+        .withColumn("n", size(col("ws")))
+        .withColumn("stop_hits",
+          size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
+        .withColumn("sum_len",
+          aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+        .select(col("doc_id"),
+          col("n").as("n_tokens"),
+          (col("stop_hits").cast("double") / col("n")).as("stop_ratio"),
+          (col("sum_len").cast("double") / col("n")).as("avg_word_len"),
+          (least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
+            (col("stop_hits").cast("double") / col("n")) * 0.3 +
+            least((col("sum_len").cast("double") / col("n")) / 8.0, lit(1.0)) * 0.2
+            ).as("quality"))
+        .orderBy(col("doc_id")),
+      s"""WITH q AS (
+         |  SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ws) AS n,
+         |    len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits,
+         |    list_reduce([0] || list_transform(ws, w -> length(w)), (a, b) -> a + b) AS sum_len
+         |  FROM q)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST(stop_hits AS DOUBLE) / n AS stop_ratio,
+         |  CAST(sum_len AS DOUBLE) / n AS avg_word_len,
+         |  least(CAST(n AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |    (CAST(stop_hits AS DOUBLE) / n) * 0.3 +
+         |    least((CAST(sum_len AS DOUBLE) / n) / 8.0, 1.0) * 0.2 AS quality
+         |FROM m
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- language-ID heuristic (stopword-profile n-gram scoring) -------
+    QueryDef.sql("t03_language_id",
+      (s, d) => {
+        val ws = words(col("text"))
+        val scores = profiles.map { case (lang, prof) =>
+          lang -> size(filter(ws, w => w.isin(prof: _*)))
+        }
+        val best = scores.tail.foldLeft(
+          struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+          case (acc, (lang, sc)) =>
+            // strictly-greater keeps the alphabetically-first lang on ties
+            when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
+              .otherwise(acc)
+        }
+        Tables.documents(s, d)
+          .withColumn("pred", best.getField("l"))
+          .withColumn("score", best.getField("s"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"), sum(col("score")).as("total_hits"))
+          .orderBy(col("lang"), col("pred"))
+      }, {
+        val oScores = profiles.map { case (lang, prof) =>
+          val set = prof.map(w => s"'$w'").mkString(", ")
+          lang -> s"len(list_filter(${oWords("text")}, w -> w IN ($set)))"
+        }
+        val pred = oScores.tail.foldLeft(
+          s"{'s': ${oScores.head._2}, 'l': '${oScores.head._1}'}") {
+          case (acc, (lang, sc)) =>
+            s"CASE WHEN $sc > ($acc).s THEN {'s': $sc, 'l': '$lang'} ELSE $acc END"
+        }
+        s"""WITH p AS (
+           |  SELECT lang, ($pred).l AS pred, ($pred).s AS score FROM documents)
+           |SELECT lang, pred, COUNT(*) AS n, SUM(score) AS total_hits
+           |FROM p
+           |GROUP BY lang, pred
+           |ORDER BY lang, pred""".stripMargin
+      }),
+
+    // -- document fingerprinting: polynomial rolling hash --------------
+    // fp_full: poly hash of all chars; fp_min8: winnowing-style minimum
+    // over all 8-char rolling windows.
+    QueryDef.sql("t04_fingerprint",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("t", trim(col("text")))
+          .withColumn("fp_full", expr(
+            "aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))), " +
+              "CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000000007)"))
+          .withColumn("fp_min8", expr(
+            "array_min(transform(sequence(1, length(t) - 7), i -> " +
+              "aggregate(transform(sequence(0, 7), k -> ascii(substring(t, i + k, 1))), " +
+              "CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000000007)))"))
+          .select(col("doc_id"), col("fp_full"), col("fp_min8"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (SELECT doc_id, trim(text) AS t FROM documents)
+        |SELECT doc_id,
+        |  list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(t) + 1),
+        |    i -> ascii(t[i:i])), (a, x) -> (a * 31 + x) % 1000000007) AS fp_full,
+        |  list_min(list_transform(range(1, length(t) - 6), i ->
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 8),
+        |      k -> ascii(t[i+k:i+k])), (a, x) -> (a * 31 + x) % 1000000007))) AS fp_min8
+        |FROM t
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- top words per language (explode + count + window top-k) -------
+    QueryDef.sql("t05_top_words",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("word"))
+        Tables.documents(s, d)
+          .select(col("lang"), explode(words(col("text"))).as("word"))
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("lang"), col("word"), col("n"), col("rnk"))
+          .orderBy(col("lang"), col("rnk"))
+      },
+      s"""WITH w AS (
+         |  SELECT lang, unnest(${oWords("text")}) AS word FROM documents),
+         |c AS (
+         |  SELECT lang, word, COUNT(*) AS n FROM w GROUP BY lang, word),
+         |r AS (
+         |  SELECT lang, word, n,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
+         |  FROM c)
+         |SELECT lang, word, n, rnk FROM r
+         |WHERE rnk <= 5
+         |ORDER BY lang, rnk""".stripMargin)
+  )
+}
