@@ -1,0 +1,393 @@
+package graft.arrow
+
+import java.io.{InputStream, OutputStream}
+import java.nio.channels.Channels
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.compression.CommonsCompressionFactory
+import org.apache.arrow.memory.{BufferAllocator, RootAllocator}
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.arrow.vector.compression.CompressionUtil
+import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+import org.apache.arrow.vector.ipc.{ArrowFileWriter, ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema => ASchema}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.types._
+
+/** Arrow IPC ⇄ Spark bridge: streaming writer from InternalRow iterators
+  * and streaming reader to external Rows, covering the reference's type
+  * lattice (SURVEY §1.3) with LZ4/ZSTD IPC body compression and
+  * single-dictionary-per-stream encoding (the reference's wire shapes:
+  * http/get_compressed/python/server/server.py:50-52,390-393).
+  *
+  * Batch-at-a-time in constant memory both directions — the reference's
+  * own pipelining discipline (SURVEY §4 row 1).
+  */
+object ArrowBridge {
+
+  /** Shared root allocator; children are created per stream. */
+  private val root = new RootAllocator(Long.MaxValue)
+  private val childId = new AtomicLong()
+
+  def newAllocator(tag: String): BufferAllocator =
+    root.newChildAllocator(s"graft-$tag-${childId.incrementAndGet()}", 0, Long.MaxValue)
+
+  final case class WriteOptions(
+      batchSize: Int = 4096,
+      /** IPC buffer codec: None | Some("lz4") | Some("zstd"). */
+      codec: Option[String] = None,
+      /** Write the IPC *file* format instead of the stream format. */
+      fileFormat: Boolean = false,
+      /** Columns to dictionary-encode, with their ordered value sets
+        * (one dictionary per stream, as the reference does). */
+      dictColumns: Map[String, Array[String]] = Map.empty)
+
+  private def codecType(name: String): CompressionUtil.CodecType = name match {
+    case "lz4"  => CompressionUtil.CodecType.LZ4_FRAME
+    case "zstd" => CompressionUtil.CodecType.ZSTD
+    case other  => throw new IllegalArgumentException(s"unknown IPC codec $other")
+  }
+
+  // =================== write: InternalRow -> IPC ===================
+
+  /** Driver-side InternalRow iterator over a DataFrame, partition at a
+    * time. The `.copy()` is load-bearing: whole-stage codegen reuses one
+    * UnsafeRow buffer, and local-mode collection skips the serialization
+    * that would otherwise snapshot it. */
+  def internalRows(df: org.apache.spark.sql.DataFrame): Iterator[InternalRow] =
+    df.queryExecution.toRdd.map(_.copy()).toLocalIterator
+
+  /** Writes `rows` as an Arrow IPC stream; returns (rows, batches). */
+  def write(schema: StructType, rows: Iterator[InternalRow], out: OutputStream,
+            opts: WriteOptions = WriteOptions()): (Long, Long) = {
+    val alloc = newAllocator("write")
+    try {
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      val dictIndex: Map[String, java.util.HashMap[String, Integer]] =
+        opts.dictColumns.toSeq.zipWithIndex.map { case ((name, values), i) =>
+          val dictVec = new VarCharVector(s"$name-dict", alloc)
+          dictVec.allocateNew(values.length)
+          values.zipWithIndex.foreach { case (v, j) => dictVec.setSafe(j, v.getBytes(UTF_8)) }
+          dictVec.setValueCount(values.length)
+          provider.put(new Dictionary(dictVec,
+            new DictionaryEncoding(i.toLong, false, new ArrowType.Int(32, true))))
+          val lookup = new java.util.HashMap[String, Integer]()
+          values.zipWithIndex.foreach { case (v, j) => lookup.put(v, j) }
+          name -> lookup
+        }.toMap
+
+      val fields: Seq[Field] = schema.fields.toSeq.map { f =>
+        if (opts.dictColumns.contains(f.name)) {
+          val id = opts.dictColumns.keysIterator.toSeq.indexOf(f.name).toLong
+          new Field(f.name,
+            new FieldType(f.nullable, new ArrowType.Int(32, true),
+              new DictionaryEncoding(id, false, new ArrowType.Int(32, true)), null),
+            List.empty[Field].asJava)
+        } else ArrowSchemas.toArrowField(f)
+      }
+      val vroot = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
+      try {
+        val setters: Array[(SpecializedGetters, Int, Int) => Unit] =
+          schema.fields.zipWithIndex.map { case (f, i) =>
+            val vec = vroot.getVector(i)
+            if (opts.dictColumns.contains(f.name)) {
+              val lookup = dictIndex(f.name)
+              val iv = vec.asInstanceOf[IntVector]
+              (g: SpecializedGetters, src: Int, dst: Int) =>
+                if (g.isNullAt(src)) iv.setNull(dst)
+                else iv.setSafe(dst, lookup.get(g.getUTF8String(src).toString).intValue())
+            } else mkSetter(vec, f.dataType, origTag(f))
+          }
+
+        val chan = Channels.newChannel(out)
+        val writer =
+          if (opts.fileFormat) {
+            opts.codec match {
+              case Some(c) => new ArrowFileWriter(vroot, provider,
+                Channels.newChannel(out), new java.util.HashMap[String, String](),
+                org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+                CommonsCompressionFactory.INSTANCE, codecType(c))
+              case None => new ArrowFileWriter(vroot, provider, Channels.newChannel(out))
+            }
+          } else opts.codec match {
+            case Some(c) => new ArrowStreamWriter(vroot, provider, chan,
+              org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+              CommonsCompressionFactory.INSTANCE, codecType(c))
+            case None => new ArrowStreamWriter(vroot, provider, chan)
+          }
+        try {
+          writer.start()
+          var nRows = 0L
+          var nBatches = 0L
+          var n = 0
+          while (rows.hasNext) {
+            val r = rows.next()
+            var i = 0
+            while (i < setters.length) { setters(i)(r, i, n); i += 1 }
+            n += 1
+            if (n == opts.batchSize) {
+              vroot.setRowCount(n); writer.writeBatch()
+              nRows += n; nBatches += 1; n = 0
+              vroot.allocateNew()
+            }
+          }
+          if (n > 0) {
+            vroot.setRowCount(n); writer.writeBatch()
+            nRows += n; nBatches += 1
+          }
+          writer.end()
+          (nRows, nBatches)
+        } finally writer.close()
+      } finally {
+        vroot.close()
+        provider.getDictionaryIds.asScala.foreach(id => provider.lookup(id).getVector.close())
+      }
+    } finally alloc.close()
+  }
+
+  private def origTag(f: StructField): Option[String] =
+    if (f.metadata.contains(ArrowSchemas.OrigTypeKey))
+      Some(f.metadata.getString(ArrowSchemas.OrigTypeKey))
+    else None
+
+  /** Setter writing value `src`-th field of a SpecializedGetters into
+    * vector position `dst`. Children of lists/structs recurse. */
+  private def mkSetter(vec: FieldVector, dt: DataType, orig: Option[String])
+      : (SpecializedGetters, Int, Int) => Unit = {
+    def nn(f: (SpecializedGetters, Int, Int) => Unit): (SpecializedGetters, Int, Int) => Unit =
+      (g, src, dst) => if (g.isNullAt(src)) setNull(vec, dst) else f(g, src, dst)
+    (orig, dt) match {
+      case (Some("uint8"), ShortType) =>
+        val v = vec.asInstanceOf[UInt1Vector]; nn((g, s, d) => v.setSafe(d, g.getShort(s) & 0xff))
+      case (Some("uint16"), IntegerType) =>
+        val v = vec.asInstanceOf[UInt2Vector]; nn((g, s, d) => v.setSafe(d, g.getInt(s).toChar))
+      case (Some("uint32"), LongType) =>
+        val v = vec.asInstanceOf[UInt4Vector]; nn((g, s, d) => v.setSafe(d, g.getLong(s).toInt))
+      case (Some("uint64"), t: DecimalType) =>
+        val v = vec.asInstanceOf[UInt8Vector]
+        nn((g, s, d) => v.setSafe(d, g.getDecimal(s, t.precision, t.scale)
+          .toJavaBigDecimal.toBigInteger.longValue()))
+      case (Some("date64"), DateType) =>
+        val v = vec.asInstanceOf[DateMilliVector]
+        nn((g, s, d) => v.setSafe(d, g.getInt(s).toLong * 86400000L))
+      case (Some("timestamp_ns"), TimestampType) =>
+        val v = vec.asInstanceOf[TimeStampNanoTZVector]
+        nn((g, s, d) => v.setSafe(d, Math.multiplyExact(g.getLong(s), 1000L)))
+      case (_, ByteType) =>
+        val v = vec.asInstanceOf[TinyIntVector]; nn((g, s, d) => v.setSafe(d, g.getByte(s)))
+      case (_, ShortType) =>
+        val v = vec.asInstanceOf[SmallIntVector]; nn((g, s, d) => v.setSafe(d, g.getShort(s)))
+      case (_, IntegerType) =>
+        val v = vec.asInstanceOf[IntVector]; nn((g, s, d) => v.setSafe(d, g.getInt(s)))
+      case (_, LongType) =>
+        val v = vec.asInstanceOf[BigIntVector]; nn((g, s, d) => v.setSafe(d, g.getLong(s)))
+      case (_, FloatType) =>
+        val v = vec.asInstanceOf[Float4Vector]; nn((g, s, d) => v.setSafe(d, g.getFloat(s)))
+      case (_, DoubleType) =>
+        val v = vec.asInstanceOf[Float8Vector]; nn((g, s, d) => v.setSafe(d, g.getDouble(s)))
+      case (_, StringType) =>
+        val v = vec.asInstanceOf[VarCharVector]
+        nn((g, s, d) => v.setSafe(d, g.getUTF8String(s).getBytes))
+      case (_, BinaryType) =>
+        val v = vec.asInstanceOf[VarBinaryVector]; nn((g, s, d) => v.setSafe(d, g.getBinary(s)))
+      case (_, BooleanType) =>
+        val v = vec.asInstanceOf[BitVector]
+        nn((g, s, d) => v.setSafe(d, if (g.getBoolean(s)) 1 else 0))
+      case (_, DateType) =>
+        val v = vec.asInstanceOf[DateDayVector]; nn((g, s, d) => v.setSafe(d, g.getInt(s)))
+      case (_, TimestampType) =>
+        val v = vec.asInstanceOf[TimeStampMicroTZVector]; nn((g, s, d) => v.setSafe(d, g.getLong(s)))
+      case (_, TimestampNTZType) =>
+        val v = vec.asInstanceOf[TimeStampMicroVector]; nn((g, s, d) => v.setSafe(d, g.getLong(s)))
+      case (_, t: DecimalType) =>
+        val v = vec.asInstanceOf[DecimalVector]
+        nn((g, s, d) => v.setSafe(d, g.getDecimal(s, t.precision, t.scale).toJavaBigDecimal))
+      case (_, NullType) =>
+        (_, _, _) => () // NullVector: value count set via root.setRowCount
+      case (_, ArrayType(et, _)) =>
+        val v = vec.asInstanceOf[ListVector]
+        val childSetter = mkSetter(v.getDataVector.asInstanceOf[FieldVector], et, None)
+        (g, s, d) => {
+          if (g.isNullAt(s)) v.setNull(d)
+          else {
+            val arr = g.getArray(s)
+            // startNewValue returns this row's child start offset —
+            // keeps the setter stateless across batch resets
+            val start = v.startNewValue(d)
+            var k = 0
+            while (k < arr.numElements()) { childSetter(arr, k, start + k); k += 1 }
+            v.endValue(d, arr.numElements())
+          }
+        }
+      case (_, st: StructType) =>
+        val v = vec.asInstanceOf[StructVector]
+        val childSetters = st.fields.zipWithIndex.map { case (cf, ci) =>
+          mkSetter(v.getChildrenFromFields.get(ci), cf.dataType, origTag(cf))
+        }
+        (g, s, d) => {
+          if (g.isNullAt(s)) v.setNull(d)
+          else {
+            v.setIndexDefined(d)
+            val struct = g.getStruct(s, st.fields.length)
+            var k = 0
+            while (k < childSetters.length) { childSetters(k)(struct, k, d); k += 1 }
+          }
+        }
+      case (_, other) => throw new UnsupportedOperationException(s"write: $other")
+    }
+  }
+
+  private def setNull(vec: FieldVector, idx: Int): Unit = vec match {
+    case v: BaseFixedWidthVector    => v.setNull(idx)
+    case v: BaseVariableWidthVector => v.setNull(idx)
+    case v: ListVector              => v.setNull(idx)
+    case v: StructVector            => v.setNull(idx)
+    case _: NullVector              => ()
+    case other => throw new UnsupportedOperationException(s"setNull: ${other.getClass}")
+  }
+
+  // =================== read: IPC -> external Rows ===================
+
+  final class ReadResult(
+      val schema: StructType,
+      val rows: Iterator[Row],
+      private val closeFn: () => Unit) extends AutoCloseable {
+    override def close(): Unit = closeFn()
+  }
+
+  /** Streaming read of an Arrow IPC stream: batches are decoded one at a
+    * time; dictionary-encoded columns are decoded to their value type. */
+  def read(in: InputStream): ReadResult = {
+    val alloc = newAllocator("read")
+    val reader = new ArrowStreamReader(in, alloc, CommonsCompressionFactory.INSTANCE)
+    val vroot = reader.getVectorSchemaRoot
+    val schema = ArrowSchemas.fromArrowSchema(vroot.getSchema)
+
+    val rowIter: Iterator[Row] = new Iterator[Row] {
+      private var batch: Array[Row] = Array.empty
+      private var pos = 0
+      private var done = false
+
+      private def loadNext(): Unit = {
+        if (reader.loadNextBatch()) {
+          val n = vroot.getRowCount
+          val decoded = new scala.collection.mutable.ArrayBuffer[ValueVector]()
+          val getters: Array[Int => AnyRef] = vroot.getFieldVectors.asScala.toArray.map { fv =>
+            val f = fv.getField
+            if (f.getDictionary != null) {
+              val dict = reader.getDictionaryVectors.get(f.getDictionary.getId)
+              val dv = DictionaryEncoder.decode(fv, dict)
+              decoded += dv
+              mkGetter(dv.asInstanceOf[FieldVector], StringType, None)
+            } else {
+              val sf = ArrowSchemas.fromArrowField(f)
+              mkGetter(fv, sf.dataType, origTagOf(sf))
+            }
+          }
+          val out = new Array[Row](n)
+          var i = 0
+          while (i < n) {
+            val vals = new Array[Any](getters.length)
+            var j = 0
+            while (j < getters.length) { vals(j) = getters(j)(i); j += 1 }
+            out(i) = Row.fromSeq(vals.toIndexedSeq)
+            i += 1
+          }
+          decoded.foreach(_.close())
+          batch = out; pos = 0
+        } else { done = true; batch = Array.empty; pos = 0 }
+      }
+
+      override def hasNext: Boolean = {
+        while (!done && pos >= batch.length) loadNext()
+        !done && pos < batch.length
+      }
+      override def next(): Row = { if (!hasNext) throw new NoSuchElementException; pos += 1; batch(pos - 1) }
+    }
+
+    new ReadResult(schema, rowIter, () => { reader.close(); alloc.close() })
+  }
+
+  private def origTagOf(f: StructField): Option[String] =
+    if (f.metadata.contains(ArrowSchemas.OrigTypeKey))
+      Some(f.metadata.getString(ArrowSchemas.OrigTypeKey))
+    else None
+
+  /** Getter producing Spark *external* values (java.sql dates etc.). */
+  private def mkGetter(vec: FieldVector, dt: DataType, orig: Option[String]): Int => AnyRef = {
+    def nn(f: Int => AnyRef): Int => AnyRef = i => if (vec.isNull(i)) null else f(i)
+    (orig, dt) match {
+      case (Some("uint8"), ShortType) =>
+        val v = vec.asInstanceOf[UInt1Vector]
+        nn(i => java.lang.Short.valueOf(((v.get(i): Byte) & 0xff).toShort))
+      case (Some("uint16"), IntegerType) =>
+        val v = vec.asInstanceOf[UInt2Vector]
+        nn(i => java.lang.Integer.valueOf(v.get(i).toInt))
+      case (Some("uint32"), LongType) =>
+        val v = vec.asInstanceOf[UInt4Vector]
+        nn(i => java.lang.Long.valueOf(java.lang.Integer.toUnsignedLong(v.get(i))))
+      case (Some("uint64"), _: DecimalType) =>
+        val v = vec.asInstanceOf[UInt8Vector]
+        nn(i => new java.math.BigDecimal(java.lang.Long.toUnsignedString(v.get(i))))
+      case (Some("date64"), DateType) =>
+        val v = vec.asInstanceOf[DateMilliVector]
+        nn(i => new java.sql.Date(Math.floorDiv(v.get(i), 86400000L) * 86400000L))
+      case (Some("timestamp_ns"), TimestampType) =>
+        val v = vec.asInstanceOf[TimeStampNanoTZVector]
+        nn(i => microsToSqlTimestamp(Math.floorDiv(v.get(i), 1000L)))
+      case (_, ByteType)    => val v = vec.asInstanceOf[TinyIntVector]; nn(i => java.lang.Byte.valueOf(v.get(i)))
+      case (_, ShortType)   => val v = vec.asInstanceOf[SmallIntVector]; nn(i => java.lang.Short.valueOf(v.get(i)))
+      case (_, IntegerType) => val v = vec.asInstanceOf[IntVector]; nn(i => java.lang.Integer.valueOf(v.get(i)))
+      case (_, LongType)    => val v = vec.asInstanceOf[BigIntVector]; nn(i => java.lang.Long.valueOf(v.get(i)))
+      case (_, FloatType)   => val v = vec.asInstanceOf[Float4Vector]; nn(i => java.lang.Float.valueOf(v.get(i)))
+      case (_, DoubleType)  => val v = vec.asInstanceOf[Float8Vector]; nn(i => java.lang.Double.valueOf(v.get(i)))
+      case (_, StringType)  =>
+        val v = vec.asInstanceOf[VarCharVector]; nn(i => new String(v.get(i), UTF_8))
+      case (_, BinaryType)  => val v = vec.asInstanceOf[VarBinaryVector]; nn(i => v.get(i))
+      case (_, BooleanType) =>
+        val v = vec.asInstanceOf[BitVector]; nn(i => java.lang.Boolean.valueOf(v.get(i) == 1))
+      case (_, DateType) =>
+        val v = vec.asInstanceOf[DateDayVector]
+        nn(i => new java.sql.Date(v.get(i).toLong * 86400000L))
+      case (_, TimestampType) =>
+        val v = vec.asInstanceOf[TimeStampMicroTZVector]
+        nn(i => microsToSqlTimestamp(v.get(i)))
+      case (_, TimestampNTZType) =>
+        val v = vec.asInstanceOf[TimeStampMicroVector]
+        nn(i => java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(v.get(i), 1000000L),
+          (Math.floorMod(v.get(i), 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+      case (_, _: DecimalType) =>
+        val v = vec.asInstanceOf[DecimalVector]; nn(i => v.getObject(i))
+      case (_, NullType) => _ => null
+      case (_, ArrayType(et, _)) =>
+        val v = vec.asInstanceOf[ListVector]
+        val childGetter = mkGetter(v.getDataVector.asInstanceOf[FieldVector], et, None)
+        nn { i =>
+          val start = v.getElementStartIndex(i)
+          val end = v.getElementEndIndex(i)
+          (start until end).map(childGetter).toIndexedSeq
+        }
+      case (_, st: StructType) =>
+        val v = vec.asInstanceOf[StructVector]
+        val childGetters = st.fields.zipWithIndex.map { case (cf, ci) =>
+          mkGetter(v.getChildrenFromFields.get(ci), cf.dataType, origTagOf(cf))
+        }
+        nn(i => Row.fromSeq(childGetters.map(g => g(i)).toIndexedSeq))
+      case (_, other) => throw new UnsupportedOperationException(s"read: $other")
+    }
+  }
+
+  private def microsToSqlTimestamp(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+}

@@ -1,0 +1,116 @@
+package graft.arrow
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.datagen.Generators
+
+class ArrowBridgeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("arrow-bridge-spec", "4").getOrCreate()
+
+  /** write df → IPC bytes → read back; returns (schema, rows). */
+  private def roundTrip(df: DataFrame,
+      opts: ArrowBridge.WriteOptions = ArrowBridge.WriteOptions())
+      : (StructType, Seq[Row], Long, Long) = {
+    val out = new ByteArrayOutputStream()
+    val it = ArrowBridge.internalRows(df)
+    val (nRows, nBatches) = ArrowBridge.write(df.schema, it, out, opts)
+    val res = ArrowBridge.read(new ByteArrayInputStream(out.toByteArray))
+    val rows = res.rows.toVector
+    res.close()
+    (res.schema, rows, nRows, nBatches)
+  }
+
+  // canonical form: every collection becomes a List so both toString
+  // (used as sort key) and equality are representation-independent
+  private def normalize(v: Any): Any = v match {
+    case b: Array[Byte] => b.toList
+    case a: Array[_]    => a.toList.map(normalize)
+    case s: Seq[_]      => s.toList.map(normalize)
+    case r: Row         => r.toSeq.toList.map(normalize)
+    case d: java.math.BigDecimal => d.stripTrailingZeros()
+    case x => x
+  }
+  private def rowsOf(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq.map(normalize))
+
+  test("21-type lattice round-trips (values + batch count)") {
+    val df = Generators.manyTypes(spark, 1000, 4)
+    val (schema, rows, nRows, nBatches) = roundTrip(df,
+      ArrowBridge.WriteOptions(batchSize = 100,
+        dictColumns = Map("col_19" -> Array("alpha", "beta", "gamma", "delta"))))
+    assert(nRows === 1000)
+    assert(nBatches === 10) // global iterator: 1000 rows / 100 per batch
+    assert(schema.fieldNames.toSeq === df.schema.fieldNames.toSeq)
+    // types survive (with widening tags re-applied)
+    assert(schema("col_4").dataType === ShortType)    // uint8
+    assert(schema("col_7").dataType === DecimalType(20, 0)) // uint64
+    assert(schema("col_19").dataType === StringType)  // dictionary
+    val got = rows.map(_.toSeq.toList.map(normalize)).sortBy(_.mkString("|"))
+    val want = rowsOf(df).sortBy(_.mkString("|"))
+    assert(got.size === want.size)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("nulls round-trip across all types") {
+    val df = Generators.withNulls(Generators.manyTypes(spark, 300, 2))
+    val (_, rows, nRows, _) = roundTrip(df)
+    assert(nRows === 300)
+    val got = rows.map(_.toSeq.toList.map(normalize)).sortBy(_.mkString("|"))
+    val want = rowsOf(df).sortBy(_.mkString("|"))
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+    assert(rows.exists(_.toSeq.exists(_ == null)))
+  }
+
+  test("flight-bench shape: 4xint64, 4096-row batches, sliced tail") {
+    val df = Generators.flightBench(spark, 10000, 1)
+    val (schema, rows, nRows, nBatches) = roundTrip(df)
+    assert(schema.fields.forall(_.dataType === LongType))
+    assert(nRows === 10000)
+    assert(nBatches === 3) // 4096+4096+1808
+    assert(rows.size === 10000)
+  }
+
+  test("lz4 and zstd IPC body compression round-trip") {
+    val df = Generators.ticker(spark, 5000, 2)
+    for (codec <- Seq("lz4", "zstd")) {
+      val (_, rows, nRows, _) = roundTrip(df, ArrowBridge.WriteOptions(codec = Some(codec)))
+      assert(nRows === 5000, codec)
+      assert(rows.size === 5000, codec)
+      val want = rowsOf(df).sortBy(_.mkString("|"))
+      assert(rows.map(_.toSeq.toList.map(normalize)).sortBy(_.mkString("|")) === want, codec)
+    }
+  }
+
+  test("compressed stream is smaller than identity on compressible data") {
+    val df = Generators.ticker(spark, 20000, 1)
+    def bytesWith(o: ArrowBridge.WriteOptions): Int = {
+      val out = new ByteArrayOutputStream()
+      ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), out, o)
+      out.size()
+    }
+    val plain = bytesWith(ArrowBridge.WriteOptions())
+    val zstd = bytesWith(ArrowBridge.WriteOptions(codec = Some("zstd")))
+    val dict = bytesWith(ArrowBridge.WriteOptions(
+      dictColumns = Map("ticker" -> Generators.tickers.toArray)))
+    assert(zstd < plain)
+    assert(dict < plain) // dictionary-encoded ticker strings shrink the wire
+  }
+
+  test("ticker distribution matches reference ranges") {
+    val df = Generators.ticker(spark, 10000, 2)
+    import org.apache.spark.sql.functions._
+    val r = df.agg(
+      countDistinct(col("ticker")).as("nt"),
+      min(col("price")).as("minp"), max(col("price")).as("maxp"),
+      min(col("volume")).as("minv"), max(col("volume")).as("maxv")).head()
+    assert(r.getLong(0) === 60L)
+    assert(r.getLong(1) >= 100L && r.getLong(2) <= 100000L)
+    assert(r.getLong(1) % 100 === 0L && r.getLong(2) % 100 === 0L)
+    assert(r.getLong(3) >= 1L && r.getLong(4) <= 10000L)
+  }
+}
