@@ -63,11 +63,66 @@ object ArrowBridge {
   def internalRows(df: org.apache.spark.sql.DataFrame): Iterator[InternalRow] =
     df.queryExecution.toRdd.map(_.copy()).toLocalIterator
 
+  /** Push-style streaming writer: append rows one at a time, constant
+    * memory; flushes a batch every `opts.batchSize` rows. */
+  final class StreamingWriter(schema: StructType, out: OutputStream, opts: WriteOptions) {
+    private val alloc = newAllocator("stream-write")
+    private var rows = 0L
+    private var batches = 0L
+    private var n = 0
+    private var closed = false
+
+    private val state = makeWriteState(schema, out, opts, alloc)
+
+    def append(r: InternalRow): Unit = {
+      var i = 0
+      while (i < state.setters.length) { state.setters(i)(r, i, n); i += 1 }
+      n += 1
+      if (n == opts.batchSize) flushBatch()
+    }
+
+    private def flushBatch(): Unit = if (n > 0) {
+      state.root.setRowCount(n)
+      state.writer.writeBatch()
+      rows += n; batches += 1; n = 0
+      state.root.allocateNew()
+    }
+
+    /** Ends the stream (EOS); returns (rows, batches). */
+    def finish(): (Long, Long) = {
+      flushBatch()
+      state.writer.end()
+      (rows, batches)
+    }
+
+    def close(): Unit = if (!closed) {
+      closed = true
+      state.writer.close()
+      state.root.close()
+      state.closeDicts()
+      alloc.close()
+    }
+  }
+
+  private final case class WriteState(
+      root: VectorSchemaRoot,
+      writer: org.apache.arrow.vector.ipc.ArrowWriter,
+      setters: Array[(SpecializedGetters, Int, Int) => Unit],
+      closeDicts: () => Unit)
+
   /** Writes `rows` as an Arrow IPC stream; returns (rows, batches). */
   def write(schema: StructType, rows: Iterator[InternalRow], out: OutputStream,
             opts: WriteOptions = WriteOptions()): (Long, Long) = {
-    val alloc = newAllocator("write")
+    val w = new StreamingWriter(schema, out, opts)
     try {
+      while (rows.hasNext) w.append(rows.next())
+      w.finish()
+    } finally w.close()
+  }
+
+  private def makeWriteState(schema: StructType, out: OutputStream,
+      opts: WriteOptions, alloc: BufferAllocator): WriteState = {
+    {
       val provider = new DictionaryProvider.MapDictionaryProvider()
       val dictIndex: Map[String, java.util.HashMap[String, Integer]] =
         opts.dictColumns.toSeq.zipWithIndex.map { case ((name, values), i) =>
@@ -92,7 +147,7 @@ object ArrowBridge {
         } else ArrowSchemas.toArrowField(f)
       }
       val vroot = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
-      try {
+      locally {
         val setters: Array[(SpecializedGetters, Int, Int) => Unit] =
           schema.fields.zipWithIndex.map { case (f, i) =>
             val vec = vroot.getVector(i)
@@ -121,34 +176,11 @@ object ArrowBridge {
               CommonsCompressionFactory.INSTANCE, codecType(c))
             case None => new ArrowStreamWriter(vroot, provider, chan)
           }
-        try {
-          writer.start()
-          var nRows = 0L
-          var nBatches = 0L
-          var n = 0
-          while (rows.hasNext) {
-            val r = rows.next()
-            var i = 0
-            while (i < setters.length) { setters(i)(r, i, n); i += 1 }
-            n += 1
-            if (n == opts.batchSize) {
-              vroot.setRowCount(n); writer.writeBatch()
-              nRows += n; nBatches += 1; n = 0
-              vroot.allocateNew()
-            }
-          }
-          if (n > 0) {
-            vroot.setRowCount(n); writer.writeBatch()
-            nRows += n; nBatches += 1
-          }
-          writer.end()
-          (nRows, nBatches)
-        } finally writer.close()
-      } finally {
-        vroot.close()
-        provider.getDictionaryIds.asScala.foreach(id => provider.lookup(id).getVector.close())
+        writer.start()
+        WriteState(vroot, writer, setters, () =>
+          provider.getDictionaryIds.asScala.foreach(id => provider.lookup(id).getVector.close()))
       }
-    } finally alloc.close()
+    }
   }
 
   private def origTag(f: StructField): Option[String] =

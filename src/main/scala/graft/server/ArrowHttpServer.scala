@@ -1,0 +1,249 @@
+package graft.server
+
+import java.io.{IOException, OutputStream}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.SecureRandom
+import java.util.Base64
+import java.util.concurrent.Executors
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.arrow.ArrowBridge
+
+/** Driver-embedded HTTP service streaming DataFrames as Arrow IPC
+  * streams — the engine surface reproducing the reference's http/
+  * experiment family (SURVEY §2.3):
+  *
+  *   GET  /q/<name>          chunked Arrow stream, content negotiation
+  *                           (HTTP codings zstd>gzip; IPC codecs
+  *                           zstd,lz4 via Accept ;codecs), 406 path
+  *   GET  /multipart/<name>  multipart/mixed: JSON + Arrow + footnotes
+  *   GET  /                  indirect JSON listing of /files artifacts
+  *   GET  /files/<name>      static .arrows artifact, Content-Length +
+  *                           Accept-Ranges + single-range GETs
+  *   POST /ingest/<name>     Arrow stream request body → temp view
+  *
+  * Streaming policy mirrors the reference: one flush per record batch
+  * (TTFB), 64 KiB coalescing floor on the compressed path with the
+  * first chunk force-flushed (server.py:388,421-429).
+  */
+final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
+
+  private val datasets = scala.collection.concurrent.TrieMap[String, () => DataFrame]()
+  private val files = scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
+
+  val httpCodings: Seq[String] = Seq("zstd", "gzip")
+  val ipcCodecs: Seq[String] = Seq("zstd", "lz4")
+
+  def register(name: String, df: => DataFrame): Unit = datasets.put(name, () => df)
+  def registerFile(name: String, path: java.nio.file.Path): Unit = files.put(name, path)
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(8))
+
+  def boundPort: Int = server.getAddress.getPort
+  def baseUrl: String = s"http://127.0.0.1:$boundPort"
+
+  // ------------------------------------------------------------------
+  server.createContext("/q/", exchange => safely(exchange) {
+    val name = exchange.getRequestURI.getPath.stripPrefix("/q/")
+    datasets.get(name) match {
+      case None => sendText(exchange, 404, s"no dataset $name")
+      case Some(dfFn) =>
+        val h = exchange.getRequestHeaders
+        Negotiation.negotiate(
+          Option(h.getFirst("Accept")), Option(h.getFirst("Accept-Encoding")),
+          ipcCodecs, httpCodings, http10 = exchange.getProtocol == "HTTP/1.0"
+        ) match {
+          case Left(diag) => sendText(exchange, 406, diag + "\n")
+          case Right(strategy) =>
+            val rh = exchange.getResponseHeaders
+            rh.set("Content-Type", strategy.contentType)
+            rh.set("Content-Disposition", s"""attachment; filename="$name.arrows"""")
+            strategy.httpCoding.foreach(c => rh.set("Content-Encoding", c))
+            exchange.sendResponseHeaders(200, 0) // 0 = chunked
+            val raw = exchange.getResponseBody
+            val sink = new CoalescingOutputStream(raw, 64 * 1024, flushFirst = true)
+            val out: OutputStream = strategy.httpCoding match {
+              case Some("gzip") => new java.util.zip.GZIPOutputStream(sink, true)
+              case Some("zstd") => new com.github.luben.zstd.ZstdOutputStream(sink)
+              case _            => sink
+            }
+            val df = dfFn()
+            try {
+              ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), out,
+                ArrowBridge.WriteOptions(codec = strategy.ipcCodec))
+            } finally { out.close() }
+        }
+    }
+  })
+
+  // ------------------------------------------------------------------
+  server.createContext("/multipart/", exchange => safely(exchange) {
+    val name = exchange.getRequestURI.getPath.stripPrefix("/multipart/")
+    datasets.get(name) match {
+      case None => sendText(exchange, 404, s"no dataset $name")
+      case Some(dfFn) =>
+        // CSPRNG boundary: 28 bytes entropy, base64url (reference
+        // algorithm, http/get_multipart/README.md:34-56)
+        val rnd = new Array[Byte](28)
+        new SecureRandom().nextBytes(rnd)
+        val boundary = Base64.getUrlEncoder.withoutPadding.encodeToString(rnd)
+        exchange.getResponseHeaders.set("Content-Type",
+          s"""multipart/mixed; boundary="$boundary"""")
+        exchange.sendResponseHeaders(200, 0)
+        val out = exchange.getResponseBody
+        val t0 = System.nanoTime()
+        val df = dfFn()
+        def part(ct: String): Unit =
+          out.write(s"\r\n--$boundary\r\nContent-Type: $ct\r\n\r\n".getBytes(UTF_8))
+
+        part("application/json")
+        val cols = df.schema.fields.map(f =>
+          s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""").mkString(",")
+        out.write(s"""{"name":"$name","columns":[$cols]}""".getBytes(UTF_8))
+
+        part(Negotiation.ArrowMime)
+        val counting = new CountingOutputStream(out)
+        val (rows, batches) = ArrowBridge.write(
+          df.schema, ArrowBridge.internalRows(df), counting)
+        counting.flush()
+
+        part("text/plain")
+        val secs = (System.nanoTime() - t0) / 1e9
+        out.write(
+          f"""record batches sent: $batches%d
+             |arrow bytes sent: ${counting.count}%d
+             |rows sent: $rows%d
+             |seconds elapsed: $secs%.2f
+             |""".stripMargin.getBytes(UTF_8))
+        out.write(s"\r\n--$boundary--\r\n".getBytes(UTF_8))
+        out.close()
+    }
+  })
+
+  // ------------------------------------------------------------------
+  server.createContext("/files/", exchange => safely(exchange) {
+    val name = exchange.getRequestURI.getPath.stripPrefix("/files/")
+    files.get(name) match {
+      case None => sendText(exchange, 404, s"no file $name")
+      case Some(p) =>
+        val bytes = java.nio.file.Files.size(p)
+        val rh = exchange.getResponseHeaders
+        rh.set("Content-Type", Negotiation.ArrowMime)
+        rh.set("Accept-Ranges", "bytes")
+        val range = Option(exchange.getRequestHeaders.getFirst("Range"))
+        range match {
+          case Some(r) if r.startsWith("bytes=") =>
+            val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
+            val start = if (a.isEmpty) bytes - b.toLong else a.toLong
+            val end = if (a.isEmpty || b.isEmpty) bytes - 1 else b.toLong
+            val len = end - start + 1
+            rh.set("Content-Range", s"bytes $start-$end/$bytes")
+            exchange.sendResponseHeaders(206, len)
+            val out = exchange.getResponseBody
+            val ch = java.nio.file.Files.newByteChannel(p)
+            try {
+              ch.position(start)
+              val buf = java.nio.ByteBuffer.allocate(64 * 1024)
+              var remaining = len
+              while (remaining > 0) {
+                buf.clear(); buf.limit(math.min(buf.capacity(), remaining).toInt)
+                val n = ch.read(buf)
+                if (n < 0) remaining = 0
+                else { out.write(buf.array(), 0, n); remaining -= n }
+              }
+            } finally { ch.close(); out.close() }
+          case _ =>
+            exchange.sendResponseHeaders(200, bytes)
+            val out = exchange.getResponseBody
+            java.nio.file.Files.copy(p, out)
+            out.close()
+        }
+    }
+  })
+
+  // ------------------------------------------------------------------
+  server.createContext("/ingest/", exchange => safely(exchange) {
+    val name = exchange.getRequestURI.getPath.stripPrefix("/ingest/")
+    if (exchange.getRequestMethod != "POST") sendText(exchange, 405, "POST only")
+    else {
+      val res = ArrowBridge.read(exchange.getRequestBody)
+      val rows = res.rows.toVector
+      res.close()
+      val df = spark.createDataFrame(rows.asJava, res.schema)
+      df.createOrReplaceTempView(name)
+      datasets.put(name, () => spark.table(name))
+      sendText(exchange, 200,
+        s"""{"name":"$name","rows":${rows.size},"columns":${res.schema.size}}""")
+    }
+  })
+
+  // ------------------------------------------------------------------
+  // indirect listing (JSON-of-URIs), reference get_indirect/server.py:23-44
+  server.createContext("/", exchange => safely(exchange) {
+    if (exchange.getRequestURI.getPath != "/") sendText(exchange, 404, "not found")
+    else {
+      val uris = files.keys.toSeq.sorted.map(n =>
+        s"""{"uri": "$baseUrl/files/$n"}""").mkString(",\n  ")
+      val body = s"""{"arrow_stream_files": [\n  $uris\n]}"""
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      sendText(exchange, 200, body)
+    }
+  })
+
+  private def sendText(exchange: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(UTF_8)
+    if (!exchange.getResponseHeaders.containsKey("Content-Type"))
+      exchange.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+    exchange.sendResponseHeaders(code, b.length)
+    val out = exchange.getResponseBody
+    out.write(b); out.close()
+  }
+
+  private def safely(exchange: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch {
+      case _: IOException => // client went away mid-stream
+      case e: Exception =>
+        try sendText(exchange, 500, s"error: ${e.getMessage}")
+        catch { case _: IOException => () }
+    } finally exchange.close()
+
+  def start(): ArrowHttpServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}
+
+/** Coalesces writes to >= minSize before forwarding (the reference's
+  * 64 KiB floor), force-flushing the first chunk for low TTFB. */
+final class CoalescingOutputStream(under: OutputStream, minSize: Int,
+    flushFirst: Boolean) extends OutputStream {
+  private val buf = new java.io.ByteArrayOutputStream(minSize * 2)
+  private var first = flushFirst
+
+  override def write(b: Int): Unit = { buf.write(b); maybeFlush() }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    buf.write(b, off, len); maybeFlush()
+  }
+  private def maybeFlush(): Unit =
+    if (first || buf.size() >= minSize) { forward(); first = false }
+  private def forward(): Unit = if (buf.size() > 0) {
+    buf.writeTo(under); buf.reset(); under.flush()
+  }
+  override def flush(): Unit = { forward(); under.flush() }
+  override def close(): Unit = { forward(); under.close() }
+}
+
+final class CountingOutputStream(under: OutputStream) extends OutputStream {
+  var count: Long = 0
+  override def write(b: Int): Unit = { under.write(b); count += 1 }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    under.write(b, off, len); count += len
+  }
+  override def flush(): Unit = under.flush()
+  override def close(): Unit = () // parts share the exchange stream
+}

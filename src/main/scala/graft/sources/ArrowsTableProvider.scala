@@ -1,0 +1,298 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, InputStream}
+import java.net.{HttpURLConnection, URI}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.vector.FieldVector
+import org.apache.arrow.vector.dictionary.DictionaryEncoder
+import org.apache.arrow.vector.ipc.ArrowStreamReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch}
+
+import graft.arrow.{ArrowBridge, ArrowSchemas, InternalGetters}
+
+/** DataSource V2 for Arrow IPC streams: `format("arrows")`.
+  *
+  * Read: local `.arrows` files (or directories of them) and `http(s)://`
+  * URIs — one InputPartition per file/URI, which is exactly the
+  * reference's own scale-out story (get_indirect's JSON-of-URIs,
+  * `curl --parallel`; SURVEY §2.4). Column pruning supported; schemas
+  * that map 1:1 onto Spark types take a zero-copy columnar path
+  * (ArrowColumnVector), widened/dictionary schemas fall back to row
+  * conversion.
+  *
+  * Write: partition-parallel part files (`part-NNNNN.arrows`) with
+  * batch-size / lz4|zstd codec / IPC file-format options.
+  */
+class ArrowsTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "arrows"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = ArrowsTableProvider.resolvePaths(options)
+    require(paths.nonEmpty, "arrows source needs at least one path or url")
+    ArrowsTableProvider.readSchema(paths.head)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ArrowsTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object ArrowsTableProvider {
+  def isUrl(p: String): Boolean = p.startsWith("http://") || p.startsWith("https://")
+
+  /** Expand paths: multi-path load, directories → their .arrows files. */
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      // Spark passes load(paths*) as a JSON string array
+      json.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+    val single = Option(options.get("path")).toSeq
+    val urls = Option(options.get("url")).toSeq
+    (multi ++ single ++ urls).flatMap { p =>
+      if (isUrl(p)) Seq(p)
+      else {
+        val f = new java.io.File(stripScheme(p))
+        if (f.isDirectory)
+          f.listFiles().toSeq.map(_.getPath).filter(_.endsWith(".arrows")).sorted
+        else Seq(f.getPath)
+      }
+    }
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) URI.create(p).getPath else p
+
+  def open(path: String): InputStream =
+    if (isUrl(path)) {
+      val conn = URI.create(path).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Accept", "application/vnd.apache.arrow.stream")
+      val code = conn.getResponseCode
+      require(code == 200, s"GET $path -> HTTP $code")
+      val ct = Option(conn.getContentType).getOrElse("")
+      require(ct.startsWith("application/vnd.apache.arrow.stream"),
+        s"unexpected content-type $ct from $path")
+      val raw = conn.getInputStream
+      val decoded = Option(conn.getContentEncoding) match {
+        case Some("gzip") => new java.util.zip.GZIPInputStream(raw)
+        case Some("zstd") => new com.github.luben.zstd.ZstdInputStream(raw)
+        case _            => raw
+      }
+      new BufferedInputStream(decoded, 1 << 16)
+    } else new BufferedInputStream(new java.io.FileInputStream(stripScheme(path)), 1 << 16)
+
+  def readSchema(path: String): StructType = {
+    val in = open(path)
+    try {
+      val alloc = ArrowBridge.newAllocator("schema-probe")
+      try {
+        val reader = new ArrowStreamReader(in, alloc)
+        try ArrowSchemas.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+        finally reader.close()
+      } finally alloc.close()
+    } finally in.close()
+  }
+}
+
+final class ArrowsTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = "arrows"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ArrowsScanBuilder(tableSchema, opts)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ArrowsWriteBuilder(info.schema(), options.asCaseSensitiveMap().asScala.toMap)
+}
+
+final class ArrowsScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve our metadata tags (pruned schema loses them)
+    val byName = full.fields.map(f => f.name -> f).toMap
+    required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
+  }
+  override def build(): Scan = new ArrowsScan(full, required,
+    ArrowsTableProvider.resolvePaths(options))
+}
+
+final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => ArrowsInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowsReaderFactory(required)
+}
+
+final case class ArrowsInputPartition(path: String) extends InputPartition
+
+/** 1:1 Arrow↔Spark mapping (no widening/dictionary) → columnar OK. */
+object ExactMap {
+  def ok(st: StructType): Boolean = st.fields.forall { f =>
+    !f.metadata.contains(ArrowSchemas.OrigTypeKey) && (f.dataType match {
+      case s: StructType => ok(s)
+      case org.apache.spark.sql.types.ArrayType(e, _) =>
+        ok(StructType(Seq(org.apache.spark.sql.types.StructField("e", e))))
+      case _ => true
+    })
+  }
+}
+
+final class ArrowsReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  private val columnar = ExactMap.ok(required)
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ArrowsRowReader(p.asInstanceOf[ArrowsInputPartition].path, required)
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    new ArrowsColumnarReader(p.asInstanceOf[ArrowsInputPartition].path, required)
+}
+
+/** Shared reader plumbing: stream → per-batch vector access. */
+abstract class ArrowsReaderBase(path: String) {
+  protected val alloc = ArrowBridge.newAllocator("dsv2-read")
+  protected val in: InputStream = ArrowsTableProvider.open(path)
+  protected val reader = new ArrowStreamReader(in, alloc,
+    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+  protected val root = reader.getVectorSchemaRoot
+  protected val arrowFieldIndex: Map[String, Int] =
+    root.getSchema.getFields.asScala.map(_.getName).zipWithIndex.toMap
+
+  def closeAll(): Unit = { reader.close(); alloc.close() }
+}
+
+final class ArrowsColumnarReader(path: String, required: StructType)
+    extends ArrowsReaderBase(path) with PartitionReader[ColumnarBatch] {
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    if (reader.loadNextBatch()) {
+      val vecs = required.fields.map { f =>
+        new ArrowColumnVector(root.getVector(arrowFieldIndex(f.name)))
+      }
+      batch = new ColumnarBatch(vecs.toArray, root.getRowCount)
+      true
+    } else false
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { if (batch != null) batch.close(); closeAll() }
+}
+
+final class ArrowsRowReader(path: String, required: StructType)
+    extends ArrowsReaderBase(path) with PartitionReader[InternalRow] {
+  private var getters: Array[Int => Any] = _
+  private var decoded: Seq[org.apache.arrow.vector.ValueVector] = Nil
+  private var rowCount = 0
+  private var pos = 0
+
+  private def loadBatch(): Boolean = {
+    decoded.foreach(_.close()); decoded = Nil
+    if (!reader.loadNextBatch()) return false
+    rowCount = root.getRowCount
+    pos = 0
+    getters = required.fields.map { f =>
+      val fv = root.getVector(arrowFieldIndex(f.name))
+      if (fv.getField.getDictionary != null) {
+        val dict = reader.getDictionaryVectors.get(fv.getField.getDictionary.getId)
+        val dv = DictionaryEncoder.decode(fv, dict)
+        decoded = decoded :+ dv
+        InternalGetters.utf8(dv.asInstanceOf[org.apache.arrow.vector.VarCharVector])
+      } else {
+        val tag = if (f.metadata.contains(ArrowSchemas.OrigTypeKey))
+          Some(f.metadata.getString(ArrowSchemas.OrigTypeKey)) else None
+        InternalGetters.forField(fv.asInstanceOf[FieldVector], f.dataType, tag)
+      }
+    }
+    true
+  }
+
+  override def next(): Boolean = {
+    while (pos >= rowCount) if (!loadBatch()) return false
+    pos += 1
+    true
+  }
+
+  override def get(): InternalRow = {
+    val i = pos - 1
+    val arr = new Array[Any](getters.length)
+    var j = 0
+    while (j < getters.length) { arr(j) = getters(j)(i); j += 1 }
+    new GenericInternalRow(arr)
+  }
+
+  override def close(): Unit = { decoded.foreach(_.close()); closeAll() }
+}
+
+// ============================ write ============================
+
+final class ArrowsWriteBuilder(schema: StructType, options: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new ArrowsBatchWrite(schema, options)
+  }
+}
+
+final class ArrowsBatchWrite(schema: StructType, options: Map[String, String])
+    extends BatchWrite {
+  private val path = options.getOrElse("path",
+    throw new IllegalArgumentException("arrows write needs a path"))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    val opts = ArrowBridge.WriteOptions(
+      batchSize = options.get("batchsize").map(_.toInt).getOrElse(4096),
+      codec = options.get("codec").filter(_ != "identity"),
+      fileFormat = options.get("variant").contains("file"))
+    ArrowsWriterFactory(path, schema, opts)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class ArrowsWriterFactory(path: String, schema: StructType,
+    opts: ArrowBridge.WriteOptions) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ArrowsDataWriter(path, partitionId, schema, opts)
+}
+
+final class ArrowsDataWriter(dir: String, partitionId: Int, schema: StructType,
+    opts: ArrowBridge.WriteOptions) extends DataWriter[InternalRow] {
+  private val ext = if (opts.fileFormat) "arrow" else "arrows"
+  private val file = new java.io.File(dir, f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}.$ext")
+  private val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file), 1 << 16)
+  private val writer = new ArrowBridge.StreamingWriter(schema, out, opts)
+
+  override def write(record: InternalRow): Unit = writer.append(record)
+
+  override def commit(): WriterCommitMessage = {
+    writer.finish()
+    new WriterCommitMessage {}
+  }
+  override def abort(): Unit = { writer.close(); out.close(); val _ = file.delete() }
+  override def close(): Unit = { writer.close(); out.close() }
+}

@@ -1,0 +1,185 @@
+package graft.server
+
+import java.io.ByteArrayOutputStream
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.arrow.ArrowBridge
+import graft.datagen.Generators
+
+class ArrowHttpSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("arrow-http-spec", "4").getOrCreate()
+
+  lazy val server: ArrowHttpServer = {
+    val s = new ArrowHttpServer(spark)
+    s.register("ticker", Generators.ticker(spark, 5000, 2))
+    s.register("bench", Generators.flightBench(spark, 10000, 2))
+    s.start()
+  }
+
+  private def get(path: String, headers: Map[String, String] = Map.empty)
+      : (Int, Map[String, String], Array[Byte]) = {
+    val conn = URI.create(server.baseUrl + path).toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    val code = conn.getResponseCode
+    val body = new ByteArrayOutputStream()
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    if (in != null) {
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n != -1) { body.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    }
+    val hs = conn.getHeaderFields.entrySet().iterator()
+    val hmap = scala.collection.mutable.Map[String, String]()
+    while (hs.hasNext) {
+      val e = hs.next()
+      if (e.getKey != null) hmap(e.getKey.toLowerCase) = e.getValue.get(0)
+    }
+    (code, hmap.toMap, body.toByteArray)
+  }
+
+  test("GET /q streams a decodable Arrow stream with correct rows") {
+    val (code, headers, body) = get("/q/ticker")
+    assert(code === 200)
+    assert(headers("content-type").startsWith(Negotiation.ArrowMime))
+    val res = ArrowBridge.read(new java.io.ByteArrayInputStream(body))
+    val rows = res.rows.toVector
+    res.close()
+    assert(rows.size === 5000)
+    assert(rows.forall(_.getLong(1) % 100 == 0))
+  }
+
+  test("DSv2 url read: format(arrows) over our own server") {
+    val df = spark.read.format("arrows")
+      .option("url", s"${server.baseUrl}/q/bench").load()
+    assert(df.schema.fieldNames.toSeq === Seq("a", "b", "c", "d"))
+    assert(df.count() === 10000)
+    // values equal the generated frame
+    val want = Generators.flightBench(spark, 10000, 2)
+    assert(df.except(want).count() === 0 && want.except(df).count() === 0)
+  }
+
+  test("negotiation: zstd HTTP coding round-trips") {
+    val (code, headers, body) = get("/q/ticker", Map("Accept-Encoding" -> "zstd"))
+    assert(code === 200)
+    assert(headers.get("content-encoding").contains("zstd"))
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(body))
+    val res = ArrowBridge.read(in)
+    assert(res.rows.size === 5000)
+    res.close()
+  }
+
+  test("negotiation: IPC codecs param wins and is echoed") {
+    val (code, headers, body) = get("/q/ticker",
+      Map("Accept" -> s"""${Negotiation.ArrowMime}; codecs="zstd, lz4""""))
+    assert(code === 200)
+    assert(headers("content-type").contains("codecs=\"zstd\""))
+    assert(!headers.contains("content-encoding"))
+    val res = ArrowBridge.read(new java.io.ByteArrayInputStream(body))
+    assert(res.rows.size === 5000)
+    res.close()
+  }
+
+  test("negotiation: identity;q=0 without alternatives yields 406") {
+    val (code, _, body) = get("/q/ticker",
+      Map("Accept-Encoding" -> "identity;q=0, br"))
+    assert(code === 406)
+    assert(new String(body, UTF_8).contains("no acceptable"))
+  }
+
+  test("multipart/mixed: three parts parse by streaming scanner") {
+    val (code, headers, body) = get("/multipart/ticker")
+    assert(code === 200)
+    val ct = headers("content-type")
+    assert(ct.startsWith("multipart/mixed"))
+    val boundary = ct.split("boundary=\"")(1).stripSuffix("\"")
+    var kinds = Vector[String]()
+    var arrowRows = -1
+    var json = ""
+    var footnotes = ""
+    MultipartStream.parse(new java.io.ByteArrayInputStream(body), boundary) { part =>
+      val ct = part.headers("content-type")
+      kinds :+= ct
+      if (ct == "application/json")
+        json = new String(part.body.readAllBytes(), UTF_8)
+      else if (ct == Negotiation.ArrowMime) {
+        val res = ArrowBridge.read(part.body)
+        arrowRows = res.rows.size
+        res.close()
+      } else footnotes = new String(part.body.readAllBytes(), UTF_8)
+    }
+    assert(kinds === Vector("application/json", Negotiation.ArrowMime, "text/plain"))
+    assert(json.contains(""""name":"ticker""""))
+    assert(arrowRows === 5000)
+    assert(footnotes.contains("record batches sent"))
+    assert(footnotes.contains("seconds elapsed"))
+  }
+
+  test("POST /ingest round-trips a stream into a temp view") {
+    val df = Generators.ticker(spark, 500, 1)
+    val bytes = new ByteArrayOutputStream()
+    ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), bytes)
+    val conn = URI.create(s"${server.baseUrl}/ingest/posted").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(bytes.toByteArray)
+    conn.getOutputStream.close()
+    assert(conn.getResponseCode === 200)
+    val resp = new String(conn.getInputStream.readAllBytes(), UTF_8)
+    assert(resp.contains(""""rows":500"""))
+    assert(spark.table("posted").count() === 500)
+  }
+
+  test("indirect listing + ranged fetch reassembles to the full file") {
+    // materialize an artifact and register it
+    val df = Generators.ticker(spark, 2000, 1)
+    val tmp = java.nio.file.Files.createTempFile("graft", ".arrows")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), out)
+    out.close()
+    server.registerFile("ticker.arrows", tmp)
+
+    val (lcode, _, listing) = get("/")
+    assert(lcode === 200)
+    val uri = new String(listing, UTF_8).split("\"uri\": \"")(1).split("\"")(0)
+    assert(uri.endsWith("/files/ticker.arrows"))
+
+    // HEAD-equivalent: full GET gives the length; then two half ranges
+    val (code, headers, full) = get("/files/ticker.arrows")
+    assert(code === 200)
+    assert(headers.get("accept-ranges").contains("bytes"))
+    val size = full.length
+    val half = size / 2
+    val (c1, _, part1) = get("/files/ticker.arrows", Map("Range" -> s"bytes=0-${half - 1}"))
+    val (c2, _, part2) = get("/files/ticker.arrows", Map("Range" -> s"bytes=$half-"))
+    assert(c1 === 206 && c2 === 206)
+    assert(part1.length + part2.length === size)
+    val joined = part1 ++ part2
+    assert(joined.toSeq === full.toSeq)
+    // concatenation is a valid stream (the get_range premise)
+    val res = ArrowBridge.read(new java.io.ByteArrayInputStream(joined))
+    assert(res.rows.size === 2000)
+    res.close()
+  }
+
+  test("DSv2 file write + multi-file read round-trip with pruning") {
+    val df = Generators.ticker(spark, 3000, 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrows").toString
+    df.write.format("arrows").option("codec", "lz4").mode("overwrite").save(dir)
+    val back = spark.read.format("arrows").load(dir)
+    assert(back.count() === 3000)
+    assert(back.select("price").distinct().count() ===
+      df.select("price").distinct().count())
+    // pruned read plan only materializes the required column
+    val plan = back.select("price").queryExecution.executedPlan.toString
+    assert(plan.contains("price"))
+  }
+}
