@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the events table — the unbounded
+  * twins of the batch queries in [[graft.operators.EventsOps]] (same
+  * semantics, verified against them in EventStreamsSpec).
+  *
+  * The reference's record-batch streams are bounded (schema-first, EOS);
+  * its chunked HTTP servers demonstrate incremental batch-at-a-time
+  * delivery (SURVEY §1.1) — these pipelines are that capability extended
+  * to unbounded event streams with watermarks and stateful sessionization.
+  *
+  * Scale notes: watermark bounds state; sessionization state is one
+  * small struct per active user key; both shuffle only (key, partial
+  * agg) pairs.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, us: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, n_events: Int, start_us: Long, dur_us: Long)
+
+  /** 5-minute tumbling-window counts by event type, 10-min watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** 30-minute-gap sessionization via flatMapGroupsWithState: emits a
+    * session row when the gap closes it (processing-time independent —
+    * driven purely by event order within the group). */
+  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            st match {
+              case null => st = SessionState(e.us, e.us, 1)
+              case s if e.us - s.last > gapUs =>
+                out += SessionOut(userId, s.n, s.start, s.last - s.start)
+                st = SessionState(e.us, e.us, 1)
+              case s => st = s.copy(last = e.us, n = s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Closes all residual sessions (batch-end flush helper for tests /
+    * bounded replays). */
+  def residualSessions(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
+      val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var st: SessionState = null
+      sorted.foreach { e =>
+        st match {
+          case null => st = SessionState(e.us, e.us, 1)
+          case s if e.us - s.last > gapUs =>
+            out += SessionOut(userId, s.n, s.start, s.last - s.start)
+            st = SessionState(e.us, e.us, 1)
+          case s => st = s.copy(last = e.us, n = s.n + 1)
+        }
+      }
+      if (st != null) out += SessionOut(userId, st.n, st.start, st.last - st.start)
+      out.iterator
+    }
+  }
+
+  /** Events table as a bounded "stream" via a rate-limited file source
+    * shape: for tests we use MemoryStream; this loader reads the parquet
+    * with the micro-second normalization applied. */
+  def eventsOf(spark: SparkSession, sfDir: String): Dataset[Event] = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.operators.EventsOps
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("event-streams-spec", "4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling windows match the batch oracle-checked twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+
+    val events = EventStreams.eventsOf(spark, sf).collect().toSeq
+    // feed in two chunks to exercise incremental accumulation
+    val (a, b) = events.splitAt(events.size / 2)
+    input.addData(a); query.processAllAvailable()
+    input.addData(b); query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("tumbling_out")
+      .select(unix_micros(col("win_start")).as("w"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // batch twin (q18 without the n>1 filter)
+    val want = graft.Tables.events(spark, sf)
+      .withColumn("w", expr("unix_micros(ts) div 300000000 * 300000000"))
+      .groupBy(col("w"), col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("stateful sessionization matches the batch q19 twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = EventStreams.eventsOf(spark, sf)
+    // batch reference: q19 per-user session (n_events, start, dur)
+    val batch = EventsOps.all.find(_.name == "q19_sessionization").get
+      .fn(spark, sf)
+      .select(col("user_id"), col("n_events"), col("start_us"), col("dur_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // streaming: feed all events in event-time order in 3 chunks, then
+    // flush residual open sessions with the bounded-replay helper
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.sessionize(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    val ordered = events.collect().sortBy(e => (e.us, e.event_id)).toSeq
+    ordered.grouped(math.max(1, ordered.size / 3)).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    query.stop()
+    val closed = spark.table("sess_out").as[EventStreams.SessionOut]
+      .collect().map(s => (s.user_id, s.n_events.toLong, s.start_us, s.dur_us)).toSet
+
+    // sessions still open at end-of-stream: recompute residuals in batch
+    val all = EventStreams.residualSessions(events)
+      .collect().map(s => (s.user_id, s.n_events.toLong, s.start_us, s.dur_us)).toSet
+    assert(closed.subsetOf(all))
+    assert(all === batch)
+    // the streaming query must have closed every session the batch
+    // pipeline closed (residuals are exactly the final-open ones)
+    val finalOpen = all -- closed
+    val usersWithOpen = finalOpen.map(_._1)
+    assert(usersWithOpen.size === finalOpen.size) // one open session per user
+  }
+}
