@@ -1,0 +1,234 @@
+package graft.dissociated
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+import java.util.concurrent.{ArrayBlockingQueue, ConcurrentHashMap, CountDownLatch}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.arrow.ArrowBridge
+
+/** Dissociated IPC: metadata and body of each record batch travel on
+  * SEPARATE channels and are reassembled by sequence number — the
+  * capability of the reference's dissociated-ipc experiment
+  * (cudf-flight-server.cc send_metadata_stream :138-182 /
+  * send_data_stream :227-258; client reassembly
+  * cudf-flight-client.cc:264-288) re-expressed over plain byte channels
+  * (HTTP/TCP in place of UCX; GPU residency out of scope, SURVEY §7).
+  *
+  * Wire format (little-endian lengths, mirroring the reference's 5-byte
+  * `[type:1][seq:u32 LE]` AM prefix):
+  *   metadata channel: frames [type:1][seq:4][len:4][bytes]; type 1 =
+  *     schema (seq 0), 2 = batch metadata, 0 = EOS (len = batch count)
+  *   body channel: frames [seq:4][len:4][bytes], 8-byte-aligned payloads
+  *     (padding included in len; the IPC body alignment rule,
+  *     cudf-flight-server.cc:273-277)
+  *
+  * A batch's IPC encapsulation is `[0xFFFFFFFF][metaLen:4][flatbuffer]
+  * [padding][body]` — the splitter cuts at the body offset, the
+  * reassembler concatenates, so a rebuilt stream is byte-identical to a
+  * plain Arrow IPC stream and decodes with the standard reader.
+  */
+object Dissociated {
+
+  val TypeEos: Byte = 0
+  val TypeSchema: Byte = 1
+  val TypeBatch: Byte = 2
+
+  final case class Split(seq: Int, metadata: Array[Byte], body: Array[Byte])
+
+  /** Serialize a DataFrame into (schema message, per-batch splits). */
+  def split(df: DataFrame, batchSize: Int = 4096): (Array[Byte], Vector[Split]) = {
+    val full = new ByteArrayOutputStream()
+    ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), full,
+      ArrowBridge.WriteOptions(batchSize = batchSize))
+    splitStream(full.toByteArray)
+  }
+
+  /** Split a serialized Arrow IPC stream into schema + batch messages,
+    * each batch cut at its body offset. */
+  def splitStream(stream: Array[Byte]): (Array[Byte], Vector[Split]) = {
+    def readIntLE(off: Int): Int =
+      (stream(off) & 0xff) | ((stream(off + 1) & 0xff) << 8) |
+        ((stream(off + 2) & 0xff) << 16) | ((stream(off + 3) & 0xff) << 24)
+
+    var off = 0
+    var schema: Array[Byte] = null
+    val splits = Vector.newBuilder[Split]
+    var seq = 1
+    var done = false
+    while (!done && off < stream.length) {
+      require(readIntLE(off) == -1, s"expected continuation marker at $off")
+      val metaLen = readIntLE(off + 4)
+      if (metaLen == 0) { done = true; off += 8 } // EOS
+      else {
+        val msgEnd = off + 8 + metaLen
+        // the flatbuffer's bodyLength decides where this message ends;
+        // rather than parse it, use the next continuation marker — but
+        // bodies can contain 0xFFFFFFFF, so parse the header instead:
+        val header = java.nio.ByteBuffer.wrap(stream, off + 8, metaLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(header)
+        val bodyLen = msg.bodyLength().toInt
+        val total = msgEnd + bodyLen
+        val headerBytes = java.util.Arrays.copyOfRange(stream, off, msgEnd)
+        if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema) {
+          schema = headerBytes
+        } else {
+          splits += Split(seq, headerBytes,
+            java.util.Arrays.copyOfRange(stream, msgEnd, total))
+          seq += 1
+        }
+        off = total
+      }
+    }
+    (schema, splits.result())
+  }
+
+  // ---------------- channel framing ----------------
+
+  def writeMetaFrame(out: DataOutputStream, tpe: Byte, seq: Int, bytes: Array[Byte]): Unit = {
+    out.writeByte(tpe)
+    out.writeInt(Integer.reverseBytes(seq))
+    out.writeInt(Integer.reverseBytes(bytes.length))
+    out.write(bytes)
+  }
+
+  def writeBodyFrame(out: DataOutputStream, seq: Int, bytes: Array[Byte]): Unit = {
+    val pad = (8 - (bytes.length % 8)) % 8 // 8-byte alignment rule
+    out.writeInt(Integer.reverseBytes(seq))
+    out.writeInt(Integer.reverseBytes(bytes.length + pad))
+    out.write(bytes)
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  /** Serve the metadata stream of a pre-split dataset. */
+  def writeMetadataChannel(out: OutputStream, schema: Array[Byte],
+      splits: Seq[Split]): Unit = {
+    val d = new DataOutputStream(out)
+    writeMetaFrame(d, TypeSchema, 0, schema)
+    splits.foreach(s => writeMetaFrame(d, TypeBatch, s.seq, s.metadata))
+    writeMetaFrame(d, TypeEos, splits.size, Array.empty)
+    d.flush()
+  }
+
+  /** Serve the body stream; `order` permutes delivery to exercise
+    * out-of-order transfer (reference tags are unordered by design). */
+  def writeBodyChannel(out: OutputStream, splits: Seq[Split],
+      order: Seq[Int] = Nil): Unit = {
+    val d = new DataOutputStream(out)
+    val seq = if (order.nonEmpty) order.map(i => splits(i)) else splits
+    seq.foreach(s => writeBodyFrame(d, s.seq, s.body))
+    d.flush()
+  }
+
+  // ---------------- client: reassembly ----------------
+
+  final case class MetaFrame(tpe: Byte, seq: Int, bytes: Array[Byte])
+
+  def readMetaFrame(in: DataInputStream): Option[MetaFrame] =
+    try {
+      val tpe = in.readByte()
+      val seq = Integer.reverseBytes(in.readInt())
+      val len = Integer.reverseBytes(in.readInt())
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      Some(MetaFrame(tpe, seq, b))
+    } catch { case _: EOFException => None }
+
+  def readBodyFrame(in: DataInputStream): Option[(Int, Array[Byte])] =
+    try {
+      val seq = Integer.reverseBytes(in.readInt())
+      val len = Integer.reverseBytes(in.readInt())
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      Some((seq, b))
+    } catch { case _: EOFException => None }
+
+  /** Reads both channels concurrently (out-of-order completion), emits a
+    * standard Arrow IPC stream in sequence order with BOUNDED buffering
+    * (`maxPending` reassembly slots — the backpressure the reference's
+    * unbounded `outstanding_tags_` lacks, SURVEY §7 hard parts). */
+  def reassemble(meta: InputStream, body: InputStream, sink: OutputStream,
+      maxPending: Int = 16): (Long, Long) = {
+    val metaBySeq = new ConcurrentHashMap[Int, MetaFrame]()
+    val bodyBySeq = new ConcurrentHashMap[Int, Array[Byte]]()
+    val schemaLatch = new CountDownLatch(1)
+    @volatile var schema: Array[Byte] = null
+    @volatile var eosCount = -1
+    @volatile var error: Throwable = null
+    val available = new ArrayBlockingQueue[Int](1024)
+    val pendingGate = new java.util.concurrent.Semaphore(maxPending)
+
+    def noteAvailable(seq: Int): Unit =
+      if (metaBySeq.containsKey(seq) && bodyBySeq.containsKey(seq)) available.put(seq)
+
+    val metaThread = new Thread(() => {
+      try {
+        val d = new DataInputStream(meta)
+        var frame = readMetaFrame(d)
+        while (frame.isDefined) {
+          val f = frame.get
+          f.tpe match {
+            case TypeSchema => schema = f.bytes; schemaLatch.countDown()
+            case TypeBatch  => metaBySeq.put(f.seq, f); noteAvailable(f.seq)
+            case TypeEos    => eosCount = f.seq
+            case other      => throw new IllegalStateException(s"meta frame type $other")
+          }
+          frame = readMetaFrame(d)
+        }
+      } catch { case t: Throwable => error = t; schemaLatch.countDown() }
+    }, "dissoc-meta")
+
+    val bodyThread = new Thread(() => {
+      try {
+        val d = new DataInputStream(body)
+        var frame = readBodyFrame(d)
+        while (frame.isDefined) {
+          pendingGate.acquire() // bound unprocessed bodies in memory
+          val (seq, bytes) = frame.get
+          bodyBySeq.put(seq, bytes)
+          noteAvailable(seq)
+          frame = readBodyFrame(d)
+        }
+      } catch { case t: Throwable => error = t }
+    }, "dissoc-body")
+
+    metaThread.start(); bodyThread.start()
+    schemaLatch.await()
+    if (error != null) throw error
+    sink.write(schema)
+
+    var emitted = 0L
+    var bytes = schema.length.toLong
+    var next = 1
+    val ready = scala.collection.mutable.Set[Int]()
+    while (eosCount < 0 || emitted < eosCount) {
+      val seq = available.take()
+      ready += seq
+      while (ready.contains(next)) {
+        val m = metaBySeq.remove(next)
+        val b = bodyBySeq.remove(next)
+        sink.write(m.bytes)
+        // strip alignment padding: the IPC header records the true body
+        // length; padded tail bytes beyond it are channel-only
+        val header = java.nio.ByteBuffer.wrap(m.bytes, 8, m.bytes.length - 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val trueLen = org.apache.arrow.flatbuf.Message.getRootAsMessage(header)
+          .bodyLength().toInt
+        sink.write(b, 0, trueLen)
+        bytes += m.bytes.length + trueLen
+        ready -= next
+        pendingGate.release()
+        emitted += 1
+        next += 1
+      }
+      if (error != null) throw error
+    }
+    // EOS marker: continuation + zero length
+    sink.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0))
+    sink.flush()
+    metaThread.join(); bodyThread.join()
+    if (error != null) throw error
+    (emitted, bytes + 8)
+  }
+}

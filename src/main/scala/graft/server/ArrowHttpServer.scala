@@ -184,6 +184,60 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   })
 
   // ------------------------------------------------------------------
+  // dissociated IPC: discovery + metadata/body channels (the reference's
+  // dual-location FlightInfo + AM/tagged streams, cudf-flight-server.cc
+  // :96-104,138-182,227-258, re-expressed over HTTP)
+  private val dissocCache =
+    scala.collection.concurrent.TrieMap[String, (Array[Byte], Vector[graft.dissociated.Dissociated.Split])]()
+
+  private def dissocSplits(name: String): Option[(Array[Byte], Vector[graft.dissociated.Dissociated.Split])] =
+    datasets.get(name).map { dfFn =>
+      dissocCache.getOrElseUpdate(name, graft.dissociated.Dissociated.split(dfFn()))
+    }
+
+  server.createContext("/dissoc/info/", exchange => safely(exchange) {
+    val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/info/")
+    if (!datasets.contains(name)) sendText(exchange, 404, s"no dataset $name")
+    else {
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      sendText(exchange, 200,
+        s"""{"ticket": "$name", "locations": [
+           |  {"uri": "$baseUrl/dissoc/meta/$name", "channel": "metadata"},
+           |  {"uri": "$baseUrl/dissoc/data/$name", "channel": "body"}
+           |]}""".stripMargin)
+    }
+  })
+
+  server.createContext("/dissoc/meta/", exchange => safely(exchange) {
+    val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/meta/")
+    dissocSplits(name) match {
+      case None => sendText(exchange, 404, s"no dataset $name")
+      case Some((schema, splits)) =>
+        exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
+        exchange.sendResponseHeaders(200, 0)
+        val out = exchange.getResponseBody
+        graft.dissociated.Dissociated.writeMetadataChannel(out, schema, splits)
+        out.close()
+    }
+  })
+
+  server.createContext("/dissoc/data/", exchange => safely(exchange) {
+    val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/data/")
+    dissocSplits(name) match {
+      case None => sendText(exchange, 404, s"no dataset $name")
+      case Some((_, splits)) =>
+        exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
+        exchange.sendResponseHeaders(200, 0)
+        val out = exchange.getResponseBody
+        // deterministic out-of-order delivery within blocks of 8 (stays
+        // under the client's bounded reassembly window)
+        val order = splits.indices.grouped(8).flatMap(_.reverse).toSeq
+        graft.dissociated.Dissociated.writeBodyChannel(out, splits, order)
+        out.close()
+    }
+  })
+
+  // ------------------------------------------------------------------
   // indirect listing (JSON-of-URIs), reference get_indirect/server.py:23-44
   server.createContext("/", exchange => safely(exchange) {
     if (exchange.getRequestURI.getPath != "/") sendText(exchange, 404, "not found")

@@ -1,0 +1,70 @@
+package graft.dissociated
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.net.URI
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.arrow.ArrowBridge
+import graft.datagen.Generators
+import graft.server.ArrowHttpServer
+
+class DissociatedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("dissoc-spec", "4").getOrCreate()
+
+  test("split + shuffled reassembly is byte-identical to the plain stream") {
+    val df = Generators.ticker(spark, 5000, 2)
+    val plain = new ByteArrayOutputStream()
+    ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), plain,
+      ArrowBridge.WriteOptions(batchSize = 512))
+    val (schema, splits) = Dissociated.splitStream(plain.toByteArray)
+    assert(splits.size === 10) // 5000/512 -> 9 full + 1 tail
+
+    // metadata channel in order; bodies shuffled within a window
+    val metaCh = new ByteArrayOutputStream()
+    Dissociated.writeMetadataChannel(metaCh, schema, splits)
+    val bodyCh = new ByteArrayOutputStream()
+    val order = splits.indices.grouped(4).flatMap(_.reverse).toSeq
+    Dissociated.writeBodyChannel(bodyCh, splits, order)
+
+    val sink = new ByteArrayOutputStream()
+    val (batches, _) = Dissociated.reassemble(
+      new ByteArrayInputStream(metaCh.toByteArray),
+      new ByteArrayInputStream(bodyCh.toByteArray), sink, maxPending = 8)
+    assert(batches === 10)
+    assert(sink.toByteArray.toSeq === plain.toByteArray.toSeq)
+
+    val res = ArrowBridge.read(new ByteArrayInputStream(sink.toByteArray))
+    assert(res.rows.size === 5000)
+    res.close()
+  }
+
+  test("HTTP dual-channel: discovery, concurrent fetch, reassembly") {
+    val server = new ArrowHttpServer(spark)
+    server.register("trading", Generators.ticker(spark, 8000, 2))
+    server.start()
+    try {
+      val info = new String(
+        URI.create(s"${server.baseUrl}/dissoc/info/trading").toURL.openStream().readAllBytes(), UTF_8)
+      assert(info.contains("\"channel\": \"metadata\""))
+      val metaUrl = info.split("\"uri\": \"")(1).split("\"")(0)
+      val dataUrl = info.split("\"uri\": \"")(2).split("\"")(0)
+
+      val meta = URI.create(metaUrl).toURL.openStream()
+      val data = URI.create(dataUrl).toURL.openStream()
+      val sink = new ByteArrayOutputStream()
+      val (batches, bytes) = Dissociated.reassemble(meta, data, sink, maxPending = 16)
+      assert(batches === 2) // 8000 rows / 4096 default batch
+      assert(bytes === sink.size().toLong)
+
+      val res = ArrowBridge.read(new ByteArrayInputStream(sink.toByteArray))
+      val rows = res.rows.toVector
+      res.close()
+      assert(rows.size === 8000)
+      assert(rows.forall(_.getLong(1) % 100 == 0))
+    } finally server.stop()
+  }
+}
