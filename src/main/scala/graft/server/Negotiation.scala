@@ -104,13 +104,15 @@ object Negotiation {
           explicit.get(coding).orElse(star)
         val candidates = serverPrefs
           .flatMap(c => qOf(c).filter(_ > 0).map(q => (c, q)))
-        val identityQ = explicit.get("identity").orElse(star).getOrElse(1.0)
+        // identity is acceptable unless explicitly excluded; it only
+        // OUTRANKS an offered coding when the client gave it a strictly
+        // higher explicit q (clients listing a coding want that coding)
+        val identityExplicit = explicit.get("identity").orElse(star)
         if (candidates.nonEmpty) {
           val bestQ = candidates.map(_._2).max
-          // identity beats codings only if strictly higher q
-          if (identityQ > bestQ) Right("identity")
+          if (identityExplicit.exists(_ > bestQ)) Right("identity")
           else Right(candidates.filter(_._2 == bestQ).head._1)
-        } else if (identityQ > 0) Right("identity")
+        } else if (identityExplicit.forall(_ > 0)) Right("identity")
         else Left(s"no acceptable content-coding; server supports: " +
           (serverPrefs :+ "identity").mkString(", "))
     }
