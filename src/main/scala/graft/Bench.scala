@@ -2,8 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints exactly one JSON line with per-query wall seconds.
+/** Benchmark main. Runs the headline queries on SPARK_GRAFT_SF_DIR plus
+  * the reference's own throughput figure — the get_simple loop: serve a
+  * flight-benchmark payload (N rows × 4 int64) as an Arrow IPC stream
+  * over HTTP and read it back, reporting batches + seconds as
+  * http/get_simple/README.md:37 mandates.
+  *
+  * Prints exactly one JSON line:
+  * {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -16,14 +22,43 @@ object Bench {
     // so the measured numbers reflect steady-state execution.
     try fns(names.head)(spark, sfDir).count() catch { case _: Throwable => () }
 
-    val results = names.map { name =>
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fns(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    names.foreach { name =>
+      results(name) = timed {
+        try fns(name)(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
+
+    // get_simple loop: 10M rows x 4 int64 (scaled-down reference payload,
+    // same schema/batch size; 100M at full scale) served over localhost
+    // HTTP as one Arrow IPC stream, read back via the arrows source.
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
+    var batches = 0L
+    val arrowsSecs = timed {
+      val server = new graft.server.ArrowHttpServer(spark)
+      server.register("bench", graft.datagen.Generators.flightBench(spark, benchRows))
+      server.start()
+      try {
+        val df = spark.read.format("arrows")
+          .option("url", s"${server.baseUrl}/q/bench").load()
+        val n = df.count()
+        require(n == benchRows, s"arrows loop read $n rows")
+        batches = benchRows / 4096 + (if (benchRows % 4096 == 0) 0 else 1)
+      } finally server.stop()
+    }
+    results("arrows_http_loop_10m") = arrowsSecs
+    System.err.println(
+      f"arrows loop: $batches record batches received, $arrowsSecs%.2f seconds elapsed")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -63,6 +63,64 @@ object ArrowBridge {
   def internalRows(df: org.apache.spark.sql.DataFrame): Iterator[InternalRow] =
     df.queryExecution.toRdd.map(_.copy()).toLocalIterator
 
+  /** The serialized schema message of an IPC stream with these options —
+    * also the byte prefix of every per-partition stream, which is what
+    * makes executor-side serialization concatenable. */
+  def schemaBytes(schema: StructType, opts: WriteOptions = WriteOptions()): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    write(schema, Iterator.empty, bos, opts)
+    val all = bos.toByteArray
+    java.util.Arrays.copyOfRange(all, 0, all.length - EosBytes.length)
+  }
+
+  /** v5 IPC end-of-stream marker: continuation + zero length. */
+  val EosBytes: Array[Byte] = Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0)
+
+  /** Parallel DataFrame → IPC stream: each partition serializes its own
+    * batches on the executors (all cores busy), the driver concatenates
+    * [schema][partition batch messages…][EOS] in partition order with a
+    * bounded prefetch window — constant driver memory, no row-at-a-time
+    * driver loop. This is the 100 TB-shaped serving path: on a cluster
+    * the driver only relays ~10 MB chunks.
+    *
+    * Not valid with dictionary columns (each partition would emit its
+    * own dictionary message mid-stream) — falls back to the row loop.
+    *
+    * Returns (rows, batches, bytes).
+    */
+  def writeParallel(df: org.apache.spark.sql.DataFrame, out: OutputStream,
+      opts: WriteOptions = WriteOptions(), window: Int = 8): (Long, Long, Long) = {
+    if (opts.dictColumns.nonEmpty || opts.fileFormat) {
+      val (r, b) = write(df.schema, internalRows(df), out, opts)
+      return (r, b, -1L)
+    }
+    val schema = df.schema
+    val header = schemaBytes(schema, opts)
+    val headerLen = header.length
+    val chunks: org.apache.spark.rdd.RDD[(Array[Byte], Long, Long)] =
+      df.queryExecution.toRdd.mapPartitions { it =>
+        val bos = new java.io.ByteArrayOutputStream(1 << 20)
+        val (r, b) = write(schema, it, bos, opts)
+        val all = bos.toByteArray
+        // strip the schema prefix and EOS suffix; what remains is a
+        // pure sequence of encapsulated batch messages
+        Iterator.single((java.util.Arrays.copyOfRange(
+          all, headerLen, all.length - EosBytes.length), r, b))
+      }
+    out.write(header)
+    var rows = 0L
+    var batches = 0L
+    var bytes = header.length.toLong
+    PartitionStreamer.foreachOrdered(chunks, window) { case (chunk, r, b) =>
+      out.write(chunk)
+      out.flush()
+      rows += r; batches += b; bytes += chunk.length
+    }
+    out.write(EosBytes)
+    out.flush()
+    (rows, batches, bytes + EosBytes.length)
+  }
+
   /** Push-style streaming writer: append rows one at a time, constant
     * memory; flushes a batch every `opts.batchSize` rows. */
   final class StreamingWriter(schema: StructType, out: OutputStream, opts: WriteOptions) {

@@ -43,7 +43,12 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   def registerFile(name: String, path: java.nio.file.Path): Unit = files.put(name, path)
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(8))
+  private val pool = Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "arrow-http")
+    t.setDaemon(true) // never pin the JVM open
+    t
+  })
+  server.setExecutor(pool)
 
   def boundPort: Int = server.getAddress.getPort
   def baseUrl: String = s"http://127.0.0.1:$boundPort"
@@ -64,20 +69,31 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
             val rh = exchange.getResponseHeaders
             rh.set("Content-Type", strategy.contentType)
             rh.set("Content-Disposition", s"""attachment; filename="$name.arrows"""")
-            strategy.httpCoding.foreach(c => rh.set("Content-Encoding", c))
-            exchange.sendResponseHeaders(200, 0) // 0 = chunked
-            val raw = exchange.getResponseBody
-            val sink = new CoalescingOutputStream(raw, 64 * 1024, flushFirst = true)
-            val out: OutputStream = strategy.httpCoding match {
-              case Some("gzip") => new java.util.zip.GZIPOutputStream(sink, true)
-              case Some("zstd") => new com.github.luben.zstd.ZstdOutputStream(sink)
-              case _            => sink
+            // schema-only probe: answer [schema][EOS] without running
+            // the query (keeps DSv2 inferSchema from triggering a full
+            // serve that is then abandoned)
+            if (exchange.getRequestHeaders.containsKey("X-Arrow-Schema-Only")) {
+              exchange.sendResponseHeaders(200, 0)
+              val out = exchange.getResponseBody
+              out.write(ArrowBridge.schemaBytes(dfFn().schema))
+              out.write(ArrowBridge.EosBytes)
+              out.close()
+            } else {
+              strategy.httpCoding.foreach(c => rh.set("Content-Encoding", c))
+              exchange.sendResponseHeaders(200, 0) // 0 = chunked
+              val raw = exchange.getResponseBody
+              val sink = new CoalescingOutputStream(raw, 64 * 1024, flushFirst = true)
+              val out: OutputStream = strategy.httpCoding match {
+                case Some("gzip") => new java.util.zip.GZIPOutputStream(sink, true)
+                case Some("zstd") => new com.github.luben.zstd.ZstdOutputStream(sink)
+                case _            => sink
+              }
+              val df = dfFn()
+              try {
+                ArrowBridge.writeParallel(df, out,
+                  ArrowBridge.WriteOptions(codec = strategy.ipcCodec))
+              } finally { out.close() }
             }
-            val df = dfFn()
-            try {
-              ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), out,
-                ArrowBridge.WriteOptions(codec = strategy.ipcCodec))
-            } finally { out.close() }
         }
     }
   })
@@ -109,8 +125,7 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
 
         part(Negotiation.ArrowMime)
         val counting = new CountingOutputStream(out)
-        val (rows, batches) = ArrowBridge.write(
-          df.schema, ArrowBridge.internalRows(df), counting)
+        val (rows, batches, _) = ArrowBridge.writeParallel(df, counting)
         counting.flush()
 
         part("text/plain")
@@ -269,7 +284,7 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     } finally exchange.close()
 
   def start(): ArrowHttpServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 }
 
 /** Coalesces writes to >= minSize before forwarding (the reference's

@@ -76,10 +76,13 @@ object ArrowsTableProvider {
   private def stripScheme(p: String): String =
     if (p.startsWith("file:")) URI.create(p).getPath else p
 
-  def open(path: String): InputStream =
+  def open(path: String): InputStream = open(path, schemaOnly = false)
+
+  def open(path: String, schemaOnly: Boolean): InputStream =
     if (isUrl(path)) {
       val conn = URI.create(path).toURL.openConnection().asInstanceOf[HttpURLConnection]
       conn.setRequestProperty("Accept", "application/vnd.apache.arrow.stream")
+      if (schemaOnly) conn.setRequestProperty("X-Arrow-Schema-Only", "1")
       val code = conn.getResponseCode
       require(code == 200, s"GET $path -> HTTP $code")
       val ct = Option(conn.getContentType).getOrElse("")
@@ -95,7 +98,7 @@ object ArrowsTableProvider {
     } else new BufferedInputStream(new java.io.FileInputStream(stripScheme(path)), 1 << 16)
 
   def readSchema(path: String): StructType = {
-    val in = open(path)
+    val in = open(path, schemaOnly = true)
     try {
       val alloc = ArrowBridge.newAllocator("schema-probe")
       try {
