@@ -88,24 +88,30 @@ object DedupOps {
     // -- LSH band join: 4 bands x 4 rows over the 16-hash signature ----
     QueryDef.sql("d03_minhash_lsh_pairs",
       (s, d) => {
+        // scale shape: the band self-join and distinct move ONLY
+        // (band, id) pairs through the shuffle; texts join back by id
+        // afterwards, and Jaccard is a projection over the (small)
+        // candidate set — never part of a join condition.
         val sigs = signatures(s, d)
-        val bands = sigs.select(col("doc_id"), col("t"),
+        val bands = sigs.select(col("doc_id"),
             explode(transform(sequence(lit(0), lit(3)), b =>
               md5(concat(b.cast("string"), lit("|"),
                 concat_ws("|", slice(col("sig"), b * 4 + 1, lit(4))))))).as("band"))
-        val cand = bands.as("a").join(bands.as("b"), col("a.band") === col("b.band") &&
+        val candIds = bands.as("a").join(bands.as("b"), col("a.band") === col("b.band") &&
             col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-                  col("a.t").as("ta"), col("b.t").as("tb"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
-        cand
-          .withColumn("ga", array_distinct(grams3(words(col("ta")))))
-          .withColumn("gb", array_distinct(grams3(words(col("tb")))))
-          .withColumn("jaccard",
-            size(array_intersect(col("ga"), col("gb"))).cast("double") /
-              size(array_union(col("ga"), col("gb"))))
+        val texts = corpus(s, d)
+        val withGrams = candIds
+          .join(texts.select(col("doc_id").as("a_id"),
+            array_distinct(grams3(words(col("t")))).as("ga")), "a_id")
+          .join(texts.select(col("doc_id").as("b_id"),
+            array_distinct(grams3(words(col("t")))).as("gb")), "b_id")
+        withGrams
+          .select(col("a_id"), col("b_id"),
+            (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              size(array_union(col("ga"), col("gb")))).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
-          .select(col("a_id"), col("b_id"), col("jaccard"))
           .orderBy(col("a_id"), col("b_id"))
       },
       s"""WITH $oSignatures,

@@ -77,6 +77,47 @@ object EventsOps {
          |GROUP BY user_id, sess_idx
          |ORDER BY user_id, sess_idx""".stripMargin),
 
+    // -- as-of join: purchase → most recent prior view, per user -------
+    // Composed as union + per-user window (SURVEY §2.5 mapping: custom
+    // operators preferred as compositions when semantics allow). One
+    // shuffle on user_id, no range-join pair blowup — the 100 TB shape
+    // for event-time as-of joins.
+    QueryDef.sql("q21_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("last_view_us",
+            last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+          .withColumn("last_view_id",
+            last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("purchase_us"), col("last_view_id"),
+            (col("us") - col("last_view_us")).as("gap_us"))
+          .orderBy(col("purchase_id"))
+      },
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |f AS (
+        |  SELECT event_id, user_id, event_type, us,
+        |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+        |      OVER w AS last_view_us,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER w AS last_view_id
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+        |  last_view_id, us - last_view_us AS gap_us
+        |FROM f
+        |WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin),
+
     // -- per-user event-type pivot (conditional aggregation) -----------
     QueryDef.sql("q20_event_type_pivot",
       (s, d) => Tables.events(s, d)

@@ -255,12 +255,15 @@ object Relational {
       (s, d) => {
         val c = Tables.customer(s, d)
         val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1998-01-01 00:00:00"))
         c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy(col("c_custkey"))
       },
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin),
 
     // ---------------------------------------------------------------

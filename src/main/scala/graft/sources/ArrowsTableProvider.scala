@@ -67,7 +67,8 @@ object ArrowsTableProvider {
       else {
         val f = new java.io.File(stripScheme(p))
         if (f.isDirectory)
-          f.listFiles().toSeq.map(_.getPath).filter(_.endsWith(".arrows")).sorted
+          f.listFiles().toSeq.map(_.getPath)
+            .filter(n => n.endsWith(".arrows") || n.endsWith(".arrow")).sorted
         else Seq(f.getPath)
       }
     }
@@ -97,16 +98,36 @@ object ArrowsTableProvider {
       new BufferedInputStream(decoded, 1 << 16)
     } else new BufferedInputStream(new java.io.FileInputStream(stripScheme(path)), 1 << 16)
 
+  /** Local file in the Arrow IPC *file* format? (ARROW1 magic) */
+  def isFileFormat(path: String): Boolean =
+    !isUrl(path) && {
+      val f = new java.io.File(stripScheme(path))
+      f.isFile && f.length > 6 && {
+        val in = new java.io.FileInputStream(f)
+        try {
+          val magic = new Array[Byte](6)
+          in.read(magic) == 6 && new String(magic, "ASCII") == "ARROW1"
+        } finally in.close()
+      }
+    }
+
+  /** Open either IPC format as an ArrowReader. */
+  def openReader(path: String, alloc: org.apache.arrow.memory.BufferAllocator,
+      schemaOnly: Boolean = false): org.apache.arrow.vector.ipc.ArrowReader =
+    if (isFileFormat(path)) {
+      val ch = new java.io.RandomAccessFile(stripScheme(path), "r").getChannel
+      new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+    } else new ArrowStreamReader(open(path, schemaOnly), alloc,
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+
   def readSchema(path: String): StructType = {
-    val in = open(path, schemaOnly = true)
+    val alloc = ArrowBridge.newAllocator("schema-probe")
     try {
-      val alloc = ArrowBridge.newAllocator("schema-probe")
-      try {
-        val reader = new ArrowStreamReader(in, alloc)
-        try ArrowSchemas.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
-        finally reader.close()
-      } finally alloc.close()
-    } finally in.close()
+      val reader = openReader(path, alloc, schemaOnly = true)
+      try ArrowSchemas.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      finally reader.close()
+    } finally alloc.close()
   }
 }
 
@@ -174,12 +195,10 @@ final class ArrowsReaderFactory(required: StructType)
     new ArrowsColumnarReader(p.asInstanceOf[ArrowsInputPartition].path, required)
 }
 
-/** Shared reader plumbing: stream → per-batch vector access. */
+/** Shared reader plumbing: stream/file → per-batch vector access. */
 abstract class ArrowsReaderBase(path: String) {
   protected val alloc = ArrowBridge.newAllocator("dsv2-read")
-  protected val in: InputStream = ArrowsTableProvider.open(path)
-  protected val reader = new ArrowStreamReader(in, alloc,
-    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+  protected val reader = ArrowsTableProvider.openReader(path, alloc)
   protected val root = reader.getVectorSchemaRoot
   protected val arrowFieldIndex: Map[String, Int] =
     root.getSchema.getFields.asScala.map(_.getName).zipWithIndex.toMap
