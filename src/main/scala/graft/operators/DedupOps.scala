@@ -43,16 +43,27 @@ object DedupOps {
       |         regexp_replace(trim(text), ' +[^ ]+$', '') AS t
       |  FROM documents)""".stripMargin
 
-  /** corpus + 16-hash MinHash signature per doc. */
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    corpus(s, d).withColumn("sig", minhashSig(grams3(words(col("t"))), 16))
+  /** corpus + 16-hash MinHash signature per doc. persist() calls are
+    * load-bearing: the signature frame is read 4× by the band explode
+    * and twice by the self-join; without the barrier Catalyst inlines
+    * (= recomputes) the md5 shingle pipeline at every reference —
+    * measured 10× slowdown at sf0.1. At cluster scale the same persist
+    * is the canonical LSH-pipeline shape. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val gv = corpus(s, d)
+      .withColumn("gvs", gramVals(grams3(words(col("t")))))
+      .persist()
+    gv.withColumn("sig", minhashSigFromGvs(col("gvs")))
+      .drop("gvs")
+      .persist()
+  }
 
   private val oSignatures =
     s"""$oCorpus,
+       |gv AS (
+       |  SELECT doc_id, t, ${oGramVals(oGrams3(oWords("t")))} AS gvs FROM corpus),
        |sigs AS (
-       |  SELECT doc_id, t,
-       |         ${oMinhashSig(oGrams3(oWords("t")), 16)} AS sig
-       |  FROM corpus)""".stripMargin
+       |  SELECT doc_id, t, ${oMinhashSigFromGvs("gvs")} AS sig FROM gv)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -95,8 +106,8 @@ object DedupOps {
         val sigs = signatures(s, d)
         val bands = sigs.select(col("doc_id"),
             explode(transform(sequence(lit(0), lit(3)), b =>
-              md5(concat(b.cast("string"), lit("|"),
-                concat_ws("|", slice(col("sig"), b * 4 + 1, lit(4))))))).as("band"))
+              concat(b.cast("string"), lit("|"), concat_ws("|",
+                transform(slice(col("sig"), b * 4 + 1, lit(4)), x => x.cast("string")))))).as("band"))
         val candIds = bands.as("a").join(bands.as("b"), col("a.band") === col("b.band") &&
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -117,7 +128,8 @@ object DedupOps {
       s"""WITH $oSignatures,
          |bands AS (
          |  SELECT doc_id, t, unnest(list_transform(range(0, 4),
-         |    b -> md5(b || '|' || array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
+         |    b -> b || '|' || array_to_string(list_transform(sig[b*4+1:b*4+4],
+         |           x -> CAST(x AS VARCHAR)), '|'))) AS band
          |  FROM sigs),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.t AS ta, b.t AS tb

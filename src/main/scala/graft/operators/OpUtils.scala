@@ -26,13 +26,26 @@ object OpUtils {
       .otherwise(transform(sequence(lit(1), size(ws) - 2),
         i => concat_ws(" ", slice(ws, i, lit(3)))))
 
-  /** k-element MinHash signature of a gram set: element j is the
-    * lexicographic minimum of md5(gram + "#" + j). Equivalent to k
-    * independent hash functions (salted md5), min-aggregated.
-    */
-  def minhashSig(grams: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(grams, g => md5(concat(g, lit("#"), j.cast("string"))))))
+  /** MinHash hash family: ONE md5 per gram → 30-bit base value, then k
+    * universal-hash derivations h_j(v) = (A_j*v + B_j) mod P (cheap
+    * integer ops, 16× less hashing than salted-md5-per-j). A_j < 2^31
+    * and v < 2^30 keep the product inside a long. */
+  val MinhashP = 1073741789L // largest prime < 2^30
+  val MinhashK = 16
+  val minhashA: Seq[Long] = (1 to MinhashK).map(j => (2654435761L * j) % MinhashP)
+  val minhashB: Seq[Long] = (1 to MinhashK).map(j => (40503L * j * j + 17) % MinhashP)
+
+  /** 30-bit gram values: first 15 hex digits of md5, mod 2^30. */
+  def gramVals(grams: Column): Column =
+    transform(grams, g => pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(1L << 30)))
+
+  /** k-element numeric MinHash signature from a gram-values COLUMN.
+    * Pass a materialized column (cached/shuffled), not an expression:
+    * Catalyst's projection collapse would otherwise inline — and
+    * recompute — the md5 pipeline once per hash function. */
+  def minhashSigFromGvs(gvs: Column): Column =
+    array((0 until MinhashK).map(j =>
+      array_min(transform(gvs, v => pmod(v * minhashA(j) + minhashB(j), lit(MinhashP))))): _*)
 
   /** Numeric value of the first `digits` hex chars of md5(expr) — a
     * deterministic cross-engine hash in [0, 16^digits). */
@@ -62,10 +75,17 @@ object OpUtils {
     s"CASE WHEN len($ws) < 3 THEN [] ELSE list_transform(range(1, len($ws) - 1), " +
       s"i -> array_to_string(($ws)[i:i+2], ' ')) END"
 
-  /** DuckDB: k-element MinHash signature of grams-list expression. */
-  def oMinhashSig(grams: String, k: Int): String =
-    s"list_transform(range(0, $k), j -> list_min(list_transform($grams, " +
-      s"g -> md5(g || '#' || j))))"
+  /** DuckDB: 30-bit gram values mirroring [[gramVals]]. */
+  def oGramVals(grams: String): String =
+    s"list_transform($grams, g -> ${oMd5Val("g", 15)} % ${1L << 30})"
+
+  /** DuckDB: numeric MinHash signature from a gram-values column
+    * (compute gvs in a prior CTE with [[oGramVals]]). */
+  def oMinhashSigFromGvs(gvs: String): String = {
+    val hashes = (0 until MinhashK).map(j =>
+      s"list_min(list_transform($gvs, v -> (v * ${minhashA(j)} + ${minhashB(j)}) % $MinhashP))")
+    s"[${hashes.mkString(", ")}]"
+  }
 
   /** DuckDB: numeric value of first `digits` hex chars of md5(expr). */
   def oMd5Val(e: String, digits: Int): String =
