@@ -142,6 +142,28 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   })
 
   // ------------------------------------------------------------------
+  // batch-offset index for ranged-parallel clients: the stream format
+  // has no footer, so the server (which can afford one parse at
+  // registration) publishes message boundaries
+  server.createContext("/offsets/", exchange => safely(exchange) {
+    val name = exchange.getRequestURI.getPath.stripPrefix("/offsets/")
+    files.get(name) match {
+      case None => sendText(exchange, 404, s"no file $name")
+      case Some(p) =>
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val (schema, splits) = graft.dissociated.Dissociated.splitStream(bytes)
+        var off = schema.length.toLong
+        val spans = splits.map { s =>
+          val start = off
+          off += s.metadata.length + s.body.length
+          s"[$start,$off]"
+        }
+        exchange.getResponseHeaders.set("Content-Type", "application/json")
+        sendText(exchange, 200,
+          s"""{"schema_end": ${schema.length}, "total": ${bytes.length}, "batches": [${spans.mkString(",")}]}""")
+    }
+  })
+
   server.createContext("/files/", exchange => safely(exchange) {
     val name = exchange.getRequestURI.getPath.stripPrefix("/files/")
     files.get(name) match {

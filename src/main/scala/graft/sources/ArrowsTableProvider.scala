@@ -98,6 +98,42 @@ object ArrowsTableProvider {
       new BufferedInputStream(decoded, 1 << 16)
     } else new BufferedInputStream(new java.io.FileInputStream(stripScheme(path)), 1 << 16)
 
+  /** Probe the server's /offsets index and build range partitions of
+    * roughly equal byte size, each covering whole batches. Empty when
+    * the server has no index. */
+  def rangedPartitions(fileUrl: String, n: Int): Seq[ArrowsInputPartition] =
+    try {
+      val offsetsUrl = fileUrl.replace("/files/", "/offsets/")
+      val json = new String(
+        URI.create(offsetsUrl).toURL.openStream().readAllBytes(), "UTF-8")
+      val schemaEnd = "\"schema_end\": (\\d+)".r.findFirstMatchIn(json).get.group(1).toLong
+      val spans = "\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(json)
+        .map(m => (m.group(1).toLong, m.group(2).toLong)).toVector
+      if (spans.isEmpty) Nil
+      else {
+        val total = spans.last._2 - spans.head._1
+        val target = math.max(1L, total / n)
+        val groups = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var start = spans.head._1
+        var end = start
+        spans.foreach { case (_, e) =>
+          end = e
+          if (end - start >= target) { groups += ((start, end)); start = end }
+        }
+        if (end > start) groups += ((start, end))
+        groups.toSeq.map { case (s, e) => ArrowsInputPartition(fileUrl, schemaEnd, s, e) }
+      }
+    } catch { case _: Exception => Nil }
+
+  /** GET a byte range of a URL. */
+  def openRange(url: String, start: Long, endExclusive: Long): InputStream = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestProperty("Range", s"bytes=$start-${endExclusive - 1}")
+    val code = conn.getResponseCode
+    require(code == 206 || code == 200, s"range GET $url -> HTTP $code")
+    new BufferedInputStream(conn.getInputStream, 1 << 16)
+  }
+
   /** Local file in the Arrow IPC *file* format? (ARROW1 magic) */
   def isFileFormat(path: String): Boolean =
     !isUrl(path) && {
@@ -155,20 +191,36 @@ final class ArrowsScanBuilder(full: StructType, options: CaseInsensitiveStringMa
     required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
   }
   override def build(): Scan = new ArrowsScan(full, required,
-    ArrowsTableProvider.resolvePaths(options))
+    ArrowsTableProvider.resolvePaths(options),
+    Option(options.get("rangepartitions")).map(_.toInt).getOrElse(1))
 }
 
-final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String])
-    extends Scan with Batch {
+final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String],
+    rangePartitions: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** One partition per file/URL; a URL whose server publishes a batch-
+    * offset index (our /offsets endpoint) additionally splits into
+    * byte-range partitions — the get_range split-fetch made a parallel
+    * scan (SURVEY §2.4 range fetch; §4 parallel/partitioned fetch). */
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => ArrowsInputPartition(p): InputPartition).toArray
+    paths.flatMap { p =>
+      val ranged =
+        if (rangePartitions > 1 && ArrowsTableProvider.isUrl(p) && p.contains("/files/"))
+          ArrowsTableProvider.rangedPartitions(p, rangePartitions)
+        else Nil
+      if (ranged.nonEmpty) ranged else Seq(ArrowsInputPartition(p, -1, -1, -1))
+    }.toArray
+
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowsReaderFactory(required)
 }
 
-final case class ArrowsInputPartition(path: String) extends InputPartition
+final case class ArrowsInputPartition(path: String,
+    schemaEnd: Long, start: Long, end: Long) extends InputPartition {
+  def isRanged: Boolean = start >= 0
+}
 
 /** 1:1 Arrow↔Spark mapping (no widening/dictionary) → columnar OK. */
 object ExactMap {
@@ -189,16 +241,28 @@ final class ArrowsReaderFactory(required: StructType)
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ArrowsRowReader(p.asInstanceOf[ArrowsInputPartition].path, required)
+    new ArrowsRowReader(p.asInstanceOf[ArrowsInputPartition], required)
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
-    new ArrowsColumnarReader(p.asInstanceOf[ArrowsInputPartition].path, required)
+    new ArrowsColumnarReader(p.asInstanceOf[ArrowsInputPartition], required)
 }
 
-/** Shared reader plumbing: stream/file → per-batch vector access. */
-abstract class ArrowsReaderBase(path: String) {
+/** Shared reader plumbing: stream/file → per-batch vector access. A
+  * ranged partition synthesizes [schema][its byte span][EOS] from two
+  * range GETs — a valid standalone stream (the get_range concatenation
+  * premise). */
+abstract class ArrowsReaderBase(part: ArrowsInputPartition) {
   protected val alloc = ArrowBridge.newAllocator("dsv2-read")
-  protected val reader = ArrowsTableProvider.openReader(path, alloc)
+  protected val reader =
+    if (part.isRanged) {
+      val pieces = java.util.Arrays.asList(
+        ArrowsTableProvider.openRange(part.path, 0, part.schemaEnd),
+        ArrowsTableProvider.openRange(part.path, part.start, part.end),
+        new java.io.ByteArrayInputStream(ArrowBridge.EosBytes): InputStream)
+      new ArrowStreamReader(
+        new java.io.SequenceInputStream(java.util.Collections.enumeration(pieces)),
+        alloc, org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+    } else ArrowsTableProvider.openReader(part.path, alloc)
   protected val root = reader.getVectorSchemaRoot
   protected val arrowFieldIndex: Map[String, Int] =
     root.getSchema.getFields.asScala.map(_.getName).zipWithIndex.toMap
@@ -206,8 +270,8 @@ abstract class ArrowsReaderBase(path: String) {
   def closeAll(): Unit = { reader.close(); alloc.close() }
 }
 
-final class ArrowsColumnarReader(path: String, required: StructType)
-    extends ArrowsReaderBase(path) with PartitionReader[ColumnarBatch] {
+final class ArrowsColumnarReader(part: ArrowsInputPartition, required: StructType)
+    extends ArrowsReaderBase(part) with PartitionReader[ColumnarBatch] {
   private var batch: ColumnarBatch = _
 
   override def next(): Boolean = {
@@ -224,8 +288,8 @@ final class ArrowsColumnarReader(path: String, required: StructType)
   override def close(): Unit = { if (batch != null) batch.close(); closeAll() }
 }
 
-final class ArrowsRowReader(path: String, required: StructType)
-    extends ArrowsReaderBase(path) with PartitionReader[InternalRow] {
+final class ArrowsRowReader(part: ArrowsInputPartition, required: StructType)
+    extends ArrowsReaderBase(part) with PartitionReader[InternalRow] {
   private var getters: Array[Int => Any] = _
   private var decoded: Seq[org.apache.arrow.vector.ValueVector] = Nil
   private var rowCount = 0

@@ -170,6 +170,24 @@ class ArrowHttpSpec extends AnyFunSuite {
     res.close()
   }
 
+  test("ranged-parallel read: offsets index splits one URL into partitions") {
+    val df = Generators.ticker(spark, 20000, 1)
+    val tmp = java.nio.file.Files.createTempFile("graft-ranged", ".arrows")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), out,
+      ArrowBridge.WriteOptions(batchSize = 1000)) // 20 batches
+    out.close()
+    server.registerFile("ranged.arrows", tmp)
+
+    val url = s"${server.baseUrl}/files/ranged.arrows"
+    val back = spark.read.format("arrows")
+      .option("rangepartitions", "4").option("url", url).load()
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.count() === 20000)
+    val want = df.agg(org.apache.spark.sql.functions.sum("price")).head().getLong(0)
+    assert(back.agg(org.apache.spark.sql.functions.sum("price")).head().getLong(0) === want)
+  }
+
   test("DSv2 file write + multi-file read round-trip with pruning") {
     val df = Generators.ticker(spark, 3000, 3)
     val dir = java.nio.file.Files.createTempDirectory("graft-arrows").toString
