@@ -1,7 +1,8 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,9 +16,25 @@ object SparkEntry {
       operators.SimilarityOps.all ++
       operators.MultimodalOps.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    allQueries.head.fn(spark, "/root/testdata/sf0.001")
+  /** Flagship: the SURVEY §7 minimum end-to-end slice. q01 computed by
+    * Catalyst, served by our HTTP server as a chunked Arrow IPC stream,
+    * read back through our `arrows` source. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val q01 = allQueries.head.fn(spark, sfDir)
+    val server = new graft.server.ArrowHttpServer(spark)
+    server.register("q01", q01)
+    server.start()
+    try {
+      val served = spark.read.format("arrows")
+        .option("url", s"${server.baseUrl}/q/q01").load()
+      // materialize while the server is alive; result is small (agg)
+      val rows = served.collect().toIndexedSeq
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), served.schema)
+    } finally server.stop()
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

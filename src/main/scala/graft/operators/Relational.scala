@@ -369,6 +369,69 @@ object Relational {
         |ORDER BY custdist DESC, c_count DESC""".stripMargin),
 
     // ---------------------------------------------------------------
+    QueryDef.sql("q22_string_functions",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).as("nlen"),
+          substring(col("p_brand"), 1, 5).as("brand5"),
+          regexp_replace(col("p_type"), "[AEIOU]", "_").as("devowel"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("joined"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev"))
+        .orderBy(col("p_partkey")),
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  length(p_name) AS nlen,
+        |  substring(p_brand, 1, 5) AS brand5,
+        |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devowel,
+        |  concat_ws('/', p_brand, p_type) AS joined,
+        |  levenshtein(p_brand, p_type) AS lev
+        |FROM part
+        |WHERE p_partkey <= 200
+        |ORDER BY p_partkey""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q23_date_arithmetic",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_99"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy(col("o_orderkey")),
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders
+        |WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q24_conditional_null_handling",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 1000, "low").otherwise("high").as("bal_class"),
+          greatest(col("c_acctbal"), lit(0.0)).as("clamped"),
+          (col("c_custkey") % 7 === 0).cast("int").as("is_sevenths"))
+        .orderBy(col("c_custkey")),
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_class,
+        |  greatest(c_acctbal, 0.0) AS clamped,
+        |  CAST(c_custkey % 7 = 0 AS INT) AS is_sevenths
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---------------------------------------------------------------
     QueryDef.sql("q17_distinct_counts",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
