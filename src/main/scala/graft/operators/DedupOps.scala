@@ -201,6 +201,7 @@ object DedupOps {
     // -- embedding-cosine near-dup with label blocking -----------------
     QueryDef.sql("d06_embedding_neardup",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
         e.as("a").join(e.as("b"),

@@ -60,10 +60,13 @@ object OpUtils {
   /** Dot product of two double arrays with deterministic fold order. */
   def dot(a: Column, b: Column): Column = sumFold(zip_with(a, b, (x, y) => x * y))
 
-  /** Cosine similarity, computed as dot/(sqrt(na)*sqrt(nb)) — the exact
-    * op sequence the oracle mirrors. */
+  /** Cosine similarity via the native codegen'd Expression
+    * ([[graft.functions.CosineSimilarity]]); per-accumulator FP op
+    * order matches the fold the oracle mirrors (bitwise-identical).
+    * Session must have GraftFunctions registered (GraftSession does;
+    * operator builders call register defensively). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   // ----- DuckDB-side snippet builders (oracle SQL fragments) -----
 
