@@ -74,8 +74,18 @@ object ArrowsTableProvider {
     }
   }
 
-  private def stripScheme(p: String): String =
+  private[sources] def stripScheme(p: String): String =
     if (p.startsWith("file:")) URI.create(p).getPath else p
+
+  /** The unexpanded path options (directories stay directories) —
+    * the streaming source re-lists them per micro-batch. */
+  def rawPaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      json.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+    multi ++ Option(options.get("path")).toSeq ++ Option(options.get("url")).toSeq
+  }
 
   def open(path: String): InputStream = open(path, schemaOnly = false)
 
@@ -173,6 +183,7 @@ final class ArrowsTable(tableSchema: StructType, options: CaseInsensitiveStringM
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
@@ -192,13 +203,22 @@ final class ArrowsScanBuilder(full: StructType, options: CaseInsensitiveStringMa
   }
   override def build(): Scan = new ArrowsScan(full, required,
     ArrowsTableProvider.resolvePaths(options),
-    Option(options.get("rangepartitions")).map(_.toInt).getOrElse(1))
+    Option(options.get("rangepartitions")).map(_.toInt).getOrElse(1),
+    ArrowsTableProvider.rawPaths(options))
 }
 
 final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String],
-    rangePartitions: Int) extends Scan with Batch {
+    rangePartitions: Int, rawDirs: Seq[String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Unbounded variant: the load path is watched as an append-only
+    * directory of .arrows files; each micro-batch covers the newly
+    * arrived files (the reference's incremental batch-at-a-time
+    * delivery, SURVEY §1.1, extended to an unbounded source). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ArrowsMicroBatchStream(required, rawDirs)
 
   /** One partition per file/URL; a URL whose server publishes a batch-
     * offset index (our /offsets endpoint) additionally splits into

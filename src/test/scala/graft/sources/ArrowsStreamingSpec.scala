@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.arrow.ArrowBridge
+import graft.datagen.Generators
+
+class ArrowsStreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("arrows-stream-spec", "4").getOrCreate()
+
+  test("readStream over an append-only .arrows directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+
+    def dropFile(n: Int, rows: Int): Unit = {
+      val df = Generators.ticker(spark, rows, 1)
+      val f = new java.io.File(dir, f"chunk-$n%03d.arrows")
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+      ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), out)
+      out.close()
+    }
+
+    dropFile(0, 1000)
+    val schema = spark.read.format("arrows").load(dir).schema
+    val q = spark.readStream.format("arrows").schema(schema).load(dir)
+      .groupBy(col("ticker")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("arrows_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("arrows_stream_out")
+        .agg(sum(col("n"))).head().getLong(0)
+      assert(n1 === 1000L)
+
+      dropFile(1, 500)
+      dropFile(2, 250)
+      q.processAllAvailable()
+      val n2 = spark.table("arrows_stream_out")
+        .agg(sum(col("n"))).head().getLong(0)
+      assert(n2 === 1750L)
+    } finally q.stop()
+  }
+}
