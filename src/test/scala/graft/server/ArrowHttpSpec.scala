@@ -76,6 +76,16 @@ class ArrowHttpSpec extends AnyFunSuite {
     res.close()
   }
 
+  test("negotiation: gzip HTTP coding round-trips (matrix completeness)") {
+    val (code, headers, body) = get("/q/ticker", Map("Accept-Encoding" -> "gzip;q=0.9, br"))
+    assert(code === 200)
+    assert(headers.get("content-encoding").contains("gzip"))
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
+    val res = ArrowBridge.read(in)
+    assert(res.rows.size === 5000)
+    res.close()
+  }
+
   test("negotiation: IPC codecs param wins and is echoed") {
     val (code, headers, body) = get("/q/ticker",
       Map("Accept" -> s"""${Negotiation.ArrowMime}; codecs="zstd, lz4""""))
