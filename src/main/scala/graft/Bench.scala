@@ -56,6 +56,34 @@ object Bench {
     System.err.println(
       f"arrows loop: $batches record batches received, $arrowsSecs%.2f seconds elapsed")
 
+    // client timing breakdown (time-to-schema / time-to-first-batch /
+    // total), the get_compressed client's mandated metrics — measured
+    // with a raw arrow-java client against a 1M-row serve.
+    locally {
+      val server = new graft.server.ArrowHttpServer(spark)
+      server.register("t", graft.datagen.Generators.flightBench(spark, 1000000))
+      server.start()
+      try {
+        val t0 = System.nanoTime()
+        val in = java.net.URI.create(s"${server.baseUrl}/q/t").toURL.openStream()
+        val alloc = graft.arrow.ArrowBridge.newAllocator("bench-tts")
+        val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+        reader.getVectorSchemaRoot.getSchema
+        val tSchema = (System.nanoTime() - t0) / 1e9
+        reader.loadNextBatch()
+        val tFirst = (System.nanoTime() - t0) / 1e9
+        var nb = 1L
+        while (reader.loadNextBatch()) nb += 1
+        val tTotal = (System.nanoTime() - t0) / 1e9
+        reader.close(); alloc.close()
+        results("arrows_time_to_schema") = tSchema
+        results("arrows_time_to_first_batch") = tFirst
+        results("arrows_client_total_1m") = tTotal
+        System.err.println(
+          f"client metrics (1M rows): schema $tSchema%.3f s, first batch $tFirst%.3f s, total $tTotal%.2f s, $nb batches")
+      } finally server.stop()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.sum

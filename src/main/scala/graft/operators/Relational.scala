@@ -432,6 +432,24 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin),
 
     // ---------------------------------------------------------------
+    QueryDef.sql("q25_percentiles",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+             expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+             min(col("o_totalprice")).as("min_price"),
+             max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderpriority")),
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // ---------------------------------------------------------------
     QueryDef.sql("q17_distinct_counts",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

@@ -35,12 +35,26 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
 
   private val datasets = scala.collection.concurrent.TrieMap[String, () => DataFrame]()
   private val files = scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
+  /** Per-dataset dictionary-encoded columns (value sets computed at
+    * registration — one dictionary per stream, the reference's
+    * USE_DICTIONARY_ENCODING behavior, get_compressed/server.py:50-52). */
+  private val dictCols = scala.collection.concurrent.TrieMap[String, Map[String, Array[String]]]()
 
   val httpCodings: Seq[String] = Seq("zstd", "gzip")
   val ipcCodecs: Seq[String] = Seq("zstd", "lz4")
 
   def register(name: String, df: => DataFrame): Unit = datasets.put(name, () => df)
   def registerFile(name: String, path: java.nio.file.Path): Unit = files.put(name, path)
+
+  /** Register with dictionary encoding on the given string columns;
+    * their distinct values are collected once, eagerly. */
+  def registerDict(name: String, df: DataFrame, columns: Seq[String]): Unit = {
+    val dicts = columns.map { c =>
+      c -> df.select(c).distinct().orderBy(c).collect().map(_.getString(0))
+    }.toMap
+    dictCols.put(name, dicts)
+    datasets.put(name, () => df)
+  }
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newFixedThreadPool(8, r => {
@@ -75,7 +89,9 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
             if (exchange.getRequestHeaders.containsKey("X-Arrow-Schema-Only")) {
               exchange.sendResponseHeaders(200, 0)
               val out = exchange.getResponseBody
-              out.write(ArrowBridge.schemaBytes(dfFn().schema))
+              // must reflect the dictionary layout of the real stream
+              out.write(ArrowBridge.schemaBytes(dfFn().schema,
+                ArrowBridge.WriteOptions(dictColumns = dictCols.getOrElse(name, Map.empty))))
               out.write(ArrowBridge.EosBytes)
               out.close()
             } else {
@@ -91,7 +107,8 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
               val df = dfFn()
               try {
                 ArrowBridge.writeParallel(df, out,
-                  ArrowBridge.WriteOptions(codec = strategy.ipcCodec))
+                  ArrowBridge.WriteOptions(codec = strategy.ipcCodec,
+                    dictColumns = dictCols.getOrElse(name, Map.empty)))
               } finally { out.close() }
             }
         }

@@ -201,10 +201,23 @@ final class ArrowsScanBuilder(full: StructType, options: CaseInsensitiveStringMa
     val byName = full.fields.map(f => f.name -> f).toMap
     required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
   }
-  override def build(): Scan = new ArrowsScan(full, required,
-    ArrowsTableProvider.resolvePaths(options),
-    Option(options.get("rangepartitions")).map(_.toInt).getOrElse(1),
-    ArrowsTableProvider.rawPaths(options))
+  override def build(): Scan = {
+    val paths = ArrowsTableProvider.resolvePaths(options)
+    // Spark's V2 Table.columns() bridge strips StructField metadata, so
+    // the original-type tags (dictionary/uint/...) that steer reader
+    // selection may be gone — re-probe the first source's Arrow schema
+    // and re-attach them by field name.
+    val tagged = try {
+      val probed = ArrowsTableProvider.readSchema(paths.head)
+        .fields.map(f => f.name -> f).toMap
+      StructType(required.fields.map { f =>
+        probed.get(f.name).map(p => f.copy(metadata = p.metadata)).getOrElse(f)
+      })
+    } catch { case _: Exception => required }
+    new ArrowsScan(full, tagged, paths,
+      Option(options.get("rangepartitions")).map(_.toInt).getOrElse(1),
+      ArrowsTableProvider.rawPaths(options))
+  }
 }
 
 final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String],

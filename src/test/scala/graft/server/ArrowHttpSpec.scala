@@ -132,6 +132,25 @@ class ArrowHttpSpec extends AnyFunSuite {
     assert(footnotes.contains("seconds elapsed"))
   }
 
+  test("dictionary-encoded serving: smaller wire, decodes via bridge and DSv2") {
+    val df = Generators.ticker(spark, 5000, 2)
+    server.registerDict("ticker_dict", df, Seq("ticker"))
+    val (code, _, body) = get("/q/ticker_dict")
+    assert(code === 200)
+    val (_, _, plain) = get("/q/ticker")
+    assert(body.length < plain.length) // dictionary indices < repeated strings
+    val res = ArrowBridge.read(new java.io.ByteArrayInputStream(body))
+    val rows = res.rows.toVector
+    res.close()
+    assert(rows.size === 5000)
+    assert(rows.map(_.getString(0)).distinct.size === 60)
+    // DSv2 row-reader path decodes dictionaries too
+    val viaSource = spark.read.format("arrows")
+      .option("url", s"${server.baseUrl}/q/ticker_dict").load()
+    assert(viaSource.select("ticker").distinct().count() === 60)
+    assert(viaSource.count() === 5000)
+  }
+
   test("POST /ingest round-trips a stream into a temp view") {
     val df = Generators.ticker(spark, 500, 1)
     val bytes = new ByteArrayOutputStream()
