@@ -108,6 +108,68 @@ object SimilarityOps {
          |WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin),
 
+    // -- IVF search: coarse centroids -> probe best cell -> exact rank --
+    // The inverted-file path at scale: centroid table is tiny
+    // (broadcast), each query touches ONE cell's vectors instead of the
+    // corpus. Centroid means use order-deterministic folds so the
+    // DuckDB oracle computes identical doubles.
+    QueryDef.sql("s04_ivf_search",
+      (s, d) => {
+        val e = vecs(s, d)
+        val dims = e.select(col("label"), col("vec_id"),
+          posexplode(col("v")).as(Seq("d", "val")))
+        val means = dims.groupBy(col("label"), col("d"))
+          .agg((sumFold(transform(
+              sort_array(collect_list(struct(col("vec_id").as("i"), col("val").as("x")))),
+              p => p.getField("x"))) / count(lit(1))).as("m"))
+        val cents = means.groupBy(col("label"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("d").as("d"), col("m").as("m")))),
+            p => p.getField("m")).as("cv"))
+        val q = e.filter(col("vec_id") < 30).select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val wc = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
+        val best = q.crossJoin(broadcast(cents))
+          .withColumn("cos_c", cosine(col("qv"), col("cv")))
+          .withColumn("r", row_number().over(wc))
+          .filter(col("r") === 1)
+          .select(col("q_id"), col("qv"), col("label"))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        best.as("b").join(e.as("c"),
+            col("c.label") === col("b.label") && col("c.vec_id") =!= col("b.q_id"))
+          .select(col("b.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+            cosine(col("b.qv"), col("c.v")).as("cos"))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      s"""WITH e AS ($oVecs),
+         |dims AS (
+         |  SELECT label, vec_id, dd.d AS d, v[dd.d + 1] AS val
+         |  FROM e, (SELECT unnest(range(0, 64)) AS d) dd),
+         |means AS (
+         |  SELECT label, d,
+         |    ${oSumFold("list(val ORDER BY vec_id)")} / COUNT(*) AS m
+         |  FROM dims GROUP BY label, d),
+         |cents AS (SELECT label, list(m ORDER BY d) AS cv FROM means GROUP BY label),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 30),
+         |scored AS (
+         |  SELECT q.q_id, q.qv, c.label, ${oCosine("q.qv", "c.cv")} AS cos_c
+         |  FROM q CROSS JOIN cents c),
+         |best AS (
+         |  SELECT q_id, qv, label FROM (
+         |    SELECT q_id, qv, label,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_c DESC, label) AS r
+         |    FROM scored) WHERE r = 1),
+         |cand AS (
+         |  SELECT b.q_id, e.vec_id AS n_id, ${oCosine("b.qv", "e.v")} AS cos
+         |  FROM best b JOIN e ON e.label = b.label AND e.vec_id != b.q_id),
+         |r AS (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM cand)
+         |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin),
+
     // -- centroid per label (the IVF coarse-quantizer build step) ------
     QueryDef.sql("s03_label_centroids",
       (s, d) => {

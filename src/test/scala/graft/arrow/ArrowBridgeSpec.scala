@@ -101,6 +101,17 @@ class ArrowBridgeSpec extends AnyFunSuite {
     assert(dict < plain) // dictionary-encoded ticker strings shrink the wire
   }
 
+  test("empty and single-row streams round-trip (schema survives)") {
+    val df0 = Generators.ticker(spark, 5000, 1).filter("price < 0") // empty
+    val (schema0, rows0, n0, b0) = roundTrip(df0)
+    assert(n0 === 0 && b0 === 0 && rows0.isEmpty)
+    assert(schema0.fieldNames.toSeq === Seq("ticker", "price", "volume"))
+
+    val df1 = Generators.ticker(spark, 1, 1)
+    val (_, rows1, n1, b1) = roundTrip(df1)
+    assert(n1 === 1 && b1 === 1 && rows1.size === 1)
+  }
+
   test("ticker distribution matches reference ranges") {
     val df = Generators.ticker(spark, 10000, 2)
     import org.apache.spark.sql.functions._
