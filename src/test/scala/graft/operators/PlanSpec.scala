@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftSession, SparkEntry}
+
+/** Plan-shape assertions: the properties that keep these queries fast at
+  * 1000× the data are checked, not assumed. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("plan-spec", "4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("p_size"), p)
+    // pruned read schema: only the needed columns are decoded
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.split("ReadSchema")(1).split("\n")(0).contains("p_retailprice"), p)
+  }
+
+  test("q05: all dimension joins broadcast — fact table never shuffles for a join") {
+    val p = plan("q05_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only exchanges are the final aggregation + sort
+    val exchanges = p.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"unexpected shuffles:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before one shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    val shuffles = p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+  }
+
+  test("q04 semi and q10 anti join plan as join operators, not subquery loops") {
+    assert(plan("q04_order_priority_semi").contains("LeftSemi"))
+    assert(plan("q10_anti_join").contains("LeftAnti"))
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // AQE prints codegen spans only in the final (executed) plan
+    val df = SparkEntry.queries("q06_revenue_scan")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages render as "*(n) Operator"
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("s01: query side broadcasts against the corpus (no corpus shuffle)") {
+    val p = plan("s01_knn_bruteforce")
+    assert(p.contains("Broadcast"), p)
+  }
+}
