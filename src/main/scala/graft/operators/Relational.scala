@@ -450,6 +450,42 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin),
 
     // ---------------------------------------------------------------
+    QueryDef.sql("q26_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first),
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${oxsum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
+    // ---------------------------------------------------------------
+    QueryDef.sql("q27_array_functions",
+      (s, d) => Tables.embeddings(s, d)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first"),
+          element_at(col("embedding"), 64).cast("double").as("last"),
+          size(filter(col("embedding").cast("array<double>"), x => x > 0)).as("n_pos"),
+          array_max(col("embedding").cast("array<double>")).as("mx"),
+          array_min(col("embedding").cast("array<double>")).as("mn"))
+        .orderBy(col("vec_id")),
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first,
+        |  CAST(embedding[64] AS DOUBLE) AS last,
+        |  len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_pos,
+        |  list_max(CAST(embedding AS DOUBLE[])) AS mx,
+        |  list_min(CAST(embedding AS DOUBLE[])) AS mn
+        |FROM embeddings
+        |WHERE vec_id < 100
+        |ORDER BY vec_id""".stripMargin),
+
+    // ---------------------------------------------------------------
     QueryDef.sql("q17_distinct_counts",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

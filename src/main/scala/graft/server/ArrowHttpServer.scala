@@ -238,6 +238,43 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   })
 
   // ------------------------------------------------------------------
+  // multipart/form-data POST ingest: JSON metadata part + Arrow stream
+  // part (http/post_multipart/README.md:20-22 — spec-only in the
+  // reference; implemented here with the streaming boundary scanner)
+  server.createContext("/ingest-multipart/", exchange => safely(exchange) {
+    val name = exchange.getRequestURI.getPath.stripPrefix("/ingest-multipart/")
+    val ct = Option(exchange.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    if (exchange.getRequestMethod != "POST") sendText(exchange, 405, "POST only")
+    else if (!ct.startsWith("multipart/")) sendText(exchange, 400, "multipart body required")
+    else {
+      val boundary = ct.split("boundary=")(1).stripPrefix("\"").stripSuffix("\"")
+      var meta = "{}"
+      var rows: Vector[Row] = Vector.empty
+      var schema: org.apache.spark.sql.types.StructType = null
+      MultipartStream.parse(exchange.getRequestBody, boundary) { part =>
+        part.headers.getOrElse("content-type", "") match {
+          case Negotiation.ArrowMime =>
+            val res = ArrowBridge.read(part.body)
+            rows = res.rows.toVector
+            schema = res.schema
+            res.close()
+          case "application/json" =>
+            meta = new String(part.body.readAllBytes(), UTF_8)
+          case _ => () // ignore unknown parts
+        }
+      }
+      if (schema == null) sendText(exchange, 400, "no arrow part in body")
+      else {
+        val df = spark.createDataFrame(rows.asJava, schema)
+        df.createOrReplaceTempView(name)
+        datasets.put(name, () => spark.table(name))
+        sendText(exchange, 200,
+          s"""{"name":"$name","rows":${rows.size},"columns":${schema.size},"metadata":$meta}""")
+      }
+    }
+  })
+
+  // ------------------------------------------------------------------
   // dissociated IPC: discovery + metadata/body channels (the reference's
   // dual-location FlightInfo + AM/tagged streams, cudf-flight-server.cc
   // :96-104,138-182,227-258, re-expressed over HTTP)

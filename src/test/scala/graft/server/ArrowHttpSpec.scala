@@ -167,6 +167,34 @@ class ArrowHttpSpec extends AnyFunSuite {
     assert(spark.table("posted").count() === 500)
   }
 
+  test("POST /ingest-multipart: JSON + Arrow parts ingest to a temp view") {
+    val df = Generators.ticker(spark, 300, 1)
+    val arrow = new ByteArrayOutputStream()
+    ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), arrow)
+    val boundary = "graftTestBoundary42"
+    val body = new ByteArrayOutputStream()
+    def part(ct: String): Unit =
+      body.write(s"\r\n--$boundary\r\nContent-Type: $ct\r\n\r\n".getBytes(UTF_8))
+    part("application/json")
+    body.write("""{"source":"unit-test"}""".getBytes(UTF_8))
+    part(Negotiation.ArrowMime)
+    body.write(arrow.toByteArray)
+    body.write(s"\r\n--$boundary--\r\n".getBytes(UTF_8))
+
+    val conn = URI.create(s"${server.baseUrl}/ingest-multipart/mp_posted").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", s"""multipart/form-data; boundary="$boundary"""")
+    conn.getOutputStream.write(body.toByteArray)
+    conn.getOutputStream.close()
+    assert(conn.getResponseCode === 200)
+    val resp = new String(conn.getInputStream.readAllBytes(), UTF_8)
+    assert(resp.contains(""""rows":300"""))
+    assert(resp.contains(""""source":"unit-test""""))
+    assert(spark.table("mp_posted").count() === 300)
+  }
+
   test("indirect listing + ranged fetch reassembles to the full file") {
     // materialize an artifact and register it
     val df = Generators.ticker(spark, 2000, 1)
