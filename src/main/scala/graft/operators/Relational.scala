@@ -486,6 +486,29 @@ object Relational {
         |ORDER BY vec_id""".stripMargin),
 
     // ---------------------------------------------------------------
+    // TPC-H Q17 shape: rows compared against their group's average —
+    // planned as one aggregation + an equi-join, not a correlated
+    // per-row subquery (the 100 TB-safe shape).
+    QueryDef.sql("q28_small_quantity_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val avgQ = li.groupBy(col("l_partkey").as("p_key"))
+          .agg(((xsum(col("l_quantity")) / count(lit(1))) * 0.5).as("half_avg"))
+        li.join(broadcast(avgQ), col("l_partkey") === col("p_key"))
+          .filter(col("l_quantity") < col("half_avg"))
+          .agg((dsum(mon(col("l_extendedprice"))) / 7.0).as("avg_yearly"),
+               count(lit(1)).as("n"))
+      },
+      s"""WITH a AS (
+         |  SELECT l_partkey AS p_key,
+         |    (${oxsum("l_quantity")} / COUNT(*)) * 0.5 AS half_avg
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT ${odsum("CAST(l_extendedprice AS DECIMAL(12,2))")} / 7.0 AS avg_yearly,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN a ON l_partkey = p_key
+         |WHERE l_quantity < half_avg""".stripMargin),
+
+    // ---------------------------------------------------------------
     QueryDef.sql("q17_distinct_counts",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
