@@ -86,13 +86,18 @@ object DedupOps {
         |ORDER BY lang""".stripMargin),
 
     // -- MinHash signatures (map-side, no shuffle) ---------------------
+    // sig is emitted serialized (pipe-joined) — a flat string column is
+    // oracle-hashable, a raw array is not.
     QueryDef.sql("d02_minhash_signature",
       (s, d) => signatures(s, d)
-        .select(col("doc_id"), col("sig"))
+        .select(col("doc_id"),
+          concat_ws("|", transform(col("sig"), _.cast("string"))).as("sig_str"))
         .filter(col("doc_id") < 20 || (col("doc_id") >= 1000000L && col("doc_id") < 1000020L))
         .orderBy(col("doc_id")),
       s"""WITH $oSignatures
-         |SELECT doc_id, sig FROM sigs
+         |SELECT doc_id,
+         |  array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), '|') AS sig_str
+         |FROM sigs
          |WHERE doc_id < 20 OR (doc_id >= 1000000 AND doc_id < 1000020)
          |ORDER BY doc_id""".stripMargin),
 

@@ -68,8 +68,8 @@ object EventsOps {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
          |g AS (
          |  SELECT user_id, us,
-         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
          |  FROM f)
          |SELECT user_id, sess_idx, COUNT(*) AS n_events,
          |  MIN(us) AS start_us, MAX(us) - MIN(us) AS dur_us
@@ -130,9 +130,9 @@ object EventsOps {
         .filter(col("n_total") >= 20)
         .orderBy(col("user_id")),
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  COUNT(*) AS n_total
         |FROM events
         |GROUP BY user_id

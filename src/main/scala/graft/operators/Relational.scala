@@ -299,7 +299,7 @@ object Relational {
         .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
         .orderBy(col("event_type")),
       """SELECT event_type,
-        |  SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS k_sum,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  COUNT(*) AS n
         |FROM events
         |GROUP BY event_type

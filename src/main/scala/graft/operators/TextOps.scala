@@ -35,9 +35,9 @@ object TextOps {
              countDistinct(col("source")).as("n_sources"))
         .orderBy(col("lang")),
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(len(${oWords("text")})) AS total_tokens,
+         |  CAST(SUM(len(${oWords("text")})) AS BIGINT) AS total_tokens,
          |  CAST(SUM(len(${oWords("text")})) AS DOUBLE) / COUNT(*) AS avg_tokens,
-         |  SUM(length(text)) AS total_chars,
+         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
          |  COUNT(DISTINCT source) AS n_sources
          |FROM documents
          |GROUP BY lang
@@ -111,7 +111,7 @@ object TextOps {
         }
         s"""WITH p AS (
            |  SELECT lang, ($pred).l AS pred, ($pred).s AS score FROM documents)
-           |SELECT lang, pred, COUNT(*) AS n, SUM(score) AS total_hits
+           |SELECT lang, pred, COUNT(*) AS n, CAST(SUM(score) AS BIGINT) AS total_hits
            |FROM p
            |GROUP BY lang, pred
            |ORDER BY lang, pred""".stripMargin

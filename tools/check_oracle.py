@@ -45,9 +45,36 @@ def main(sf_dir, out_dir):
             tbl = pq.read_table(f"{out_dir}/{name}")
             spark_cols = tbl.column_names
             spark_rows = [tuple(d[c] for c in spark_cols) for d in tbl.to_pylist()]
-            duck = con.execute(sql)
-            duck_cols = [d[0] for d in duck.description]
-            duck_rows = duck.fetchall()
+            duck_tbl = con.execute(sql).fetch_arrow_table()
+            duck_cols = duck_tbl.column_names
+            duck_rows = [tuple(d[c] for c in duck_cols) for d in duck_tbl.to_pylist()]
+            # Driver hashes TYPED values: a DuckDB HUGEINT (int128) vs a
+            # Spark BIGINT hash-mismatches even when values are equal.
+            # Compare arrow types column-by-column to catch that class.
+            type_errs = []
+            def numclass(t):
+                s = str(t)
+                if s.startswith("decimal") and "128" in s or s == "int128":
+                    return "wide"
+                if s.startswith(("int", "uint")):
+                    return "int"  # driver canon: all int widths hash equal
+                if s.startswith("decimal"):
+                    return s
+                return None
+            for c in sorted(set(spark_cols) & set(duck_cols)):
+                st = tbl.schema.field(c).type
+                dt = duck_tbl.schema.field(c).type
+                sn, dn = numclass(st), numclass(dt)
+                if (sn or dn) and sn != dn:
+                    type_errs.append(f"{c}: spark={st} duck={dt}")
+            # Driver canonicalizer cannot sort/hash list columns (d02 class)
+            for c in spark_cols:
+                if str(tbl.schema.field(c).type).startswith(("list", "large_list")):
+                    type_errs.append(f"{c}: list-typed column (driver canon crashes)")
+            if type_errs:
+                print(f"FAIL {name}: typed mismatch: {'; '.join(type_errs)}")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
