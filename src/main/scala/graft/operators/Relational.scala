@@ -99,8 +99,10 @@ object Relational {
         val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
         val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+        // customer is fact-scale (grows with SF) — no broadcast hint; AQE
+        // may still pick broadcast at small SF, which is exactly right.
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(dsum(revenue).as("revenue"))
           .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
@@ -149,8 +151,10 @@ object Relational {
         val su = Tables.supplier(s, d)
         val n = Tables.nation(s, d)
         val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        // explicit broadcast only on true dims (supplier/nation/region);
+        // customer grows with SF — its join side is left to AQE.
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
                                col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -494,7 +498,9 @@ object Relational {
         val li = Tables.lineitem(s, d)
         val avgQ = li.groupBy(col("l_partkey").as("p_key"))
           .agg(((xsum(col("l_quantity")) / count(lit(1))) * 0.5).as("half_avg"))
-        li.join(broadcast(avgQ), col("l_partkey") === col("p_key"))
+        // avgQ has |part| rows (SF-proportional) — never force-broadcast
+        // a data-sized frame; AQE broadcasts it at small SF on its own.
+        li.join(avgQ, col("l_partkey") === col("p_key"))
           .filter(col("l_quantity") < col("half_avg"))
           .agg((dsum(mon(col("l_extendedprice"))) / 7.0).as("avg_yearly"),
                count(lit(1)).as("n"))

@@ -59,4 +59,28 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("s01_knn_bruteforce")
     assert(p.contains("Broadcast"), p)
   }
+
+  test("explicit broadcast hints only on bounded frames (dims or aggregates)") {
+    // A forced broadcast() on an SF-proportional frame is a scale-killer:
+    // correct at sf0.1, executor OOM at 100×. Allowed shapes: leaf scans
+    // are all dimension tables (region/nation/supplier — fixed or
+    // SF-sublinear cardinality), or the hinted subtree contains an
+    // Aggregate (output bounded by its grouping keys, e.g. a 1-row max
+    // or a k-centroid table).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val dimPrefixes = Seq("r_", "n_", "s_")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val analyzed = fn(spark, sf).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint =>
+          val hasAgg = h.child.collectFirst { case a: Aggregate => a }.isDefined
+          val leaves = h.child.collectLeaves()
+          val dimOnly = leaves.nonEmpty && leaves.forall(l =>
+            dimPrefixes.exists(p => l.schema.fieldNames.forall(_.startsWith(p))))
+          assert(hasAgg || dimOnly,
+            s"$name: broadcast hint on unbounded frame:\n${h.child.treeString}")
+        case _ =>
+      }
+    }
+  }
 }
