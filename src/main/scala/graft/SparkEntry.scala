@@ -52,7 +52,7 @@ object SparkEntry {
       "q07_window_topn_per_group", "q12_events_hourly", "q16_order_count_distribution",
       "q19_sessionization", "q21_asof_join",
       "d03_minhash_lsh_pairs", "d06_embedding_neardup", "s01_knn_bruteforce",
-      "t02_quality_score")
+      "s02_ann_lsh", "s04_ivf_search", "t02_quality_score")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)

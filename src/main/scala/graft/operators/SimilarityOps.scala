@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import OpUtils._
@@ -29,16 +29,34 @@ object SimilarityOps {
 
   private val oVecs = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
-  /** 8-bit LSH bucket from sign of 8 hyperplane projections. */
-  private val bucketExpr =
-    """aggregate(
-      |  transform(sequence(0, 7), p ->
-      |    IF(aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
-      |         (acc, j) -> acc + IF(instr('0123456789abcdef',
-      |             substring(md5(concat(p, '_', j)), 1, 1)) - 1 >= 8,
-      |           element_at(v, j), -element_at(v, j))) > 0,
-      |       shiftleft(1, p), 0)),
-      |  0, (a, b) -> a + b)""".stripMargin
+  /** Hyperplane sign matrix w[p][j] ∈ {+1,−1}, p < 8, j ∈ 1..64, derived
+    * ONCE from md5(p+"_"+j) — the identical values the oracle re-derives
+    * per row. Precomputing drops the per-row cost from 512 interpreted
+    * md5/instr/substring calls to 512 codegen'd adds/negates. */
+  private val hyperplaneSigns: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 8).map { p =>
+      (1 to 64).map { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"${p}_$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+      }
+    }
+
+  /** 8-bit LSH bucket from sign of 8 hyperplane projections. The fold is
+    * unrolled left-associated from an explicit 0.0 accumulator — the same
+    * FP op order as the oracle's list_reduce, so buckets are bitwise
+    * identical (negate/identity are exact, so ±v[j] matches the oracle's
+    * CASE arm exactly). Fully inside whole-stage codegen: no higher-order
+    * functions, no per-row hashing. */
+  private def bucketCol(v: Column): Column =
+    (0 until 8).map { p =>
+      val proj = hyperplaneSigns(p).zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (sgn, j0)) =>
+          val x = element_at(v, j0 + 1)
+          acc + (if (sgn > 0) x else -x)
+      }
+      when(proj > lit(0.0), lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   private val oBucketExpr =
     """list_reduce([0] || list_transform(range(0, 8), p ->
@@ -81,7 +99,7 @@ object SimilarityOps {
     // -- LSH-bucketed ANN: same-bucket candidates, exact re-rank -------
     QueryDef.sql("s02_ann_lsh",
       (s, d) => {
-        val e = vecs(s, d).withColumn("bucket", expr(bucketExpr))
+        val e = vecs(s, d).withColumn("bucket", bucketCol(col("v")))
         val q = e.filter(col("vec_id") < 50)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
         val cand = q.join(e.filter(col("vec_id") >= 50), Seq("bucket"))
