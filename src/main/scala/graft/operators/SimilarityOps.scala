@@ -129,21 +129,20 @@ object SimilarityOps {
     // -- IVF search: coarse centroids -> probe best cell -> exact rank --
     // The inverted-file path at scale: centroid table is tiny
     // (broadcast), each query touches ONE cell's vectors instead of the
-    // corpus. Centroid means use order-deterministic folds so the
-    // DuckDB oracle computes identical doubles.
+    // corpus. Centroid means are exact fixed-point sums: each coord is
+    // quantized to 1e-7 (below float noise) and summed as DECIMAL —
+    // order-independent and O(1) state per group, so the build is one
+    // map-side-combined aggregation with no per-cell lists (a
+    // collect_list fold would hold O(cell size) memory per key at
+    // 100 TB) and no 64x posexplode row blowup. DuckDB mirrors the
+    // same quantize/sum/divide sequence, so doubles are identical.
     QueryDef.sql("s04_ivf_search",
       (s, d) => {
         val e = vecs(s, d)
-        val dims = e.select(col("label"), col("vec_id"),
-          posexplode(col("v")).as(Seq("d", "val")))
-        val means = dims.groupBy(col("label"), col("d"))
-          .agg((sumFold(transform(
-              sort_array(collect_list(struct(col("vec_id").as("i"), col("val").as("x")))),
-              p => p.getField("x"))) / count(lit(1))).as("m"))
-        val cents = means.groupBy(col("label"))
-          .agg(transform(
-            sort_array(collect_list(struct(col("d").as("d"), col("m").as("m")))),
-            p => p.getField("m")).as("cv"))
+        val cents = e.groupBy(col("label"))
+          .agg(array((1 to 64).map(dim =>
+            sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+              .cast("double") / lit(1e7) / count(lit(1))): _*).as("cv"))
         val q = e.filter(col("vec_id") < 30).select(col("vec_id").as("q_id"), col("v").as("qv"))
         val wc = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
         val best = q.crossJoin(broadcast(cents))
@@ -161,14 +160,11 @@ object SimilarityOps {
           .orderBy(col("q_id"), col("rnk"))
       },
       s"""WITH e AS ($oVecs),
-         |dims AS (
-         |  SELECT label, vec_id, dd.d AS d, v[dd.d + 1] AS val
-         |  FROM e, (SELECT unnest(range(0, 64)) AS d) dd),
-         |means AS (
-         |  SELECT label, d,
-         |    ${oSumFold("list(val ORDER BY vec_id)")} / COUNT(*) AS m
-         |  FROM dims GROUP BY label, d),
-         |cents AS (SELECT label, list(m ORDER BY d) AS cv FROM means GROUP BY label),
+         |cents AS (
+         |  SELECT label, ${(1 to 64).map(i =>
+               s"CAST(SUM(CAST(round(v[$i] * 1e7) AS DECIMAL(28,0))) AS DOUBLE) / 1e7 / COUNT(*)")
+               .mkString("[", ", ", "]")} AS cv
+         |  FROM e GROUP BY label),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 30),
          |scored AS (
          |  SELECT q.q_id, q.qv, c.label, ${oCosine("q.qv", "c.cv")} AS cos_c
@@ -189,24 +185,25 @@ object SimilarityOps {
          |ORDER BY q_id, rnk""".stripMargin),
 
     // -- centroid per label (the IVF coarse-quantizer build step) ------
+    // Exact fixed-point sums (quantize to 1e-7, sum as DECIMAL): order-
+    // independent, so partial/map-side aggregation is safe and no
+    // per-group list is ever materialized — the r1 collect_list fold
+    // was O(cell size) memory per key, an OOM at 100 TB cells.
     QueryDef.sql("s03_label_centroids",
       (s, d) => {
-        // Double sums folded in vec_id order — deterministic FP sequence
-        // in both engines (groupBy sum order would not be).
-        def ordSum(dim: Int) = sumFold(transform(
-          sort_array(collect_list(struct(col("vec_id").as("i"),
-            element_at(col("v"), dim).as("x")))),
-          s => s.getField("x")))
+        def fxSum(dim: Int) =
+          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+            .cast("double") / lit(1e7)
         vecs(s, d)
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"),
-            ordSum(1).as("sum_d1"),
-            ordSum(64).as("sum_d64"))
+            fxSum(1).as("sum_d1"),
+            fxSum(64).as("sum_d64"))
           .orderBy(col("label"))
       },
       s"""SELECT label, COUNT(*) AS n,
-         |  ${oSumFold("list(v[1] ORDER BY vec_id)")} AS sum_d1,
-         |  ${oSumFold("list(v[64] ORDER BY vec_id)")} AS sum_d64
+         |  CAST(SUM(CAST(round(v[1] * 1e7) AS DECIMAL(28,0))) AS DOUBLE) / 1e7 AS sum_d1,
+         |  CAST(SUM(CAST(round(v[64] * 1e7) AS DECIMAL(28,0))) AS DOUBLE) / 1e7 AS sum_d64
          |FROM ($oVecs)
          |GROUP BY label
          |ORDER BY label""".stripMargin)

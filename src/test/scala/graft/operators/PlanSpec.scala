@@ -60,6 +60,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("s03/s04: centroid build is a partial agg — no per-group lists, no explode") {
+    for (name <- Seq("s03_label_centroids", "s04_ivf_search")) {
+      val p = plan(name)
+      assert(!p.contains("collect_list"), s"$name materializes per-group lists:\n$p")
+      assert(!p.toLowerCase.contains("generate explode"), s"$name has a 64x row blowup:\n$p")
+      assert(p.contains("HashAggregate"), p)
+    }
+  }
+
   test("explicit broadcast hints only on bounded frames (dims or aggregates)") {
     // A forced broadcast() on an SF-proportional frame is a scale-killer:
     // correct at sf0.1, executor OOM at 100×. Allowed shapes: leaf scans
