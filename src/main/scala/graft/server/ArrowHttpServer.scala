@@ -43,8 +43,15 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   val httpCodings: Seq[String] = Seq("zstd", "gzip")
   val ipcCodecs: Seq[String] = Seq("zstd", "lz4")
 
-  def register(name: String, df: => DataFrame): Unit = datasets.put(name, () => df)
-  def registerFile(name: String, path: java.nio.file.Path): Unit = files.put(name, path)
+  def register(name: String, df: => DataFrame): Unit = {
+    spillCache.remove(name).foreach(_ =>
+      files.keys.filter(_.startsWith(s"$name/")).foreach(files.remove))
+    datasets.put(name, () => df)
+  }
+  def registerFile(name: String, path: java.nio.file.Path): Unit = {
+    offsetsCache.remove(name)
+    files.put(name, path)
+  }
 
   /** Register with dictionary encoding on the given string columns;
     * their distinct values are collected once, eagerly. */
@@ -159,25 +166,69 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   })
 
   // ------------------------------------------------------------------
+  // spill-to-artifact split listing: the first request runs the query
+  // ONCE, spills it partition-parallel to .arrows part files through
+  // the DSv2 writer, registers each part as a /files/ artifact, and
+  // answers the same JSON-of-URIs shape as the indirect listing — so a
+  // client fans out one GET per partition (and can range-split each via
+  // /offsets). This is the reference's own scale-out pattern
+  // (get_indirect JSON-of-URIs + parallel fetch) applied to dynamic
+  // query results: serving memory stays O(batch), reads get N-way
+  // parallelism instead of one task decoding the whole stream.
+  private val spillCache = scala.collection.concurrent.TrieMap[String, Vector[String]]()
+  private lazy val spillRoot = {
+    val p = java.nio.file.Files.createTempDirectory("graft-qsplit")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  server.createContext("/qsplit/", exchange => safely(exchange) {
+    val name = exchange.getRequestURI.getPath.stripPrefix("/qsplit/")
+    datasets.get(name) match {
+      case None => sendText(exchange, 404, s"no dataset $name")
+      case Some(dfFn) =>
+        val parts = spillCache.getOrElseUpdate(name, {
+          val dir = spillRoot.resolve(name).toFile
+          if (dir.exists) dir.listFiles().foreach(_.delete())
+          dfFn().write.format("arrows").mode("overwrite").save(dir.getPath)
+          dir.listFiles().filter(_.getName.endsWith(".arrows")).sortBy(_.getName)
+            .toVector.map { f =>
+              val key = s"$name/${f.getName}"
+              registerFile(key, f.toPath)
+              key
+            }
+        })
+        val uris = parts.map(k => s"""{"uri": "$baseUrl/files/$k"}""").mkString(",\n  ")
+        exchange.getResponseHeaders.set("Content-Type", "application/json")
+        sendText(exchange, 200, s"""{"arrow_stream_files": [\n  $uris\n]}""")
+    }
+  })
+
+  // ------------------------------------------------------------------
   // batch-offset index for ranged-parallel clients: the stream format
   // has no footer, so the server (which can afford one parse at
   // registration) publishes message boundaries
+  private val offsetsCache = scala.collection.concurrent.TrieMap[String, String]()
+
   server.createContext("/offsets/", exchange => safely(exchange) {
     val name = exchange.getRequestURI.getPath.stripPrefix("/offsets/")
     files.get(name) match {
       case None => sendText(exchange, 404, s"no file $name")
       case Some(p) =>
-        val bytes = java.nio.file.Files.readAllBytes(p)
-        val (schema, splits) = graft.dissociated.Dissociated.splitStream(bytes)
-        var off = schema.length.toLong
-        val spans = splits.map { s =>
-          val start = off
-          off += s.metadata.length + s.body.length
-          s"[$start,$off]"
-        }
+        // parse once per file, not once per request
+        val body = offsetsCache.getOrElseUpdate(name, {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val (schema, splits) = graft.dissociated.Dissociated.splitStream(bytes)
+          var off = schema.length.toLong
+          val spans = splits.map { s =>
+            val start = off
+            off += s.metadata.length + s.body.length
+            s"[$start,$off]"
+          }
+          s"""{"schema_end": ${schema.length}, "total": ${bytes.length}, "batches": [${spans.mkString(",")}]}"""
+        })
         exchange.getResponseHeaders.set("Content-Type", "application/json")
-        sendText(exchange, 200,
-          s"""{"schema_end": ${schema.length}, "total": ${bytes.length}, "batches": [${spans.mkString(",")}]}""")
+        sendText(exchange, 200, body)
     }
   })
 

@@ -135,6 +135,21 @@ object ArrowsTableProvider {
       }
     } catch { case _: Exception => Nil }
 
+  /** Probe a /q/ URL's /qsplit/ twin: a graft server answers with a
+    * JSON-of-URIs listing of spilled per-partition artifacts (the
+    * indirect-listing shape). Empty on 404/foreign servers → caller
+    * falls back to the single-stream read. */
+  def probeSplits(qUrl: String): Seq[String] =
+    try {
+      val conn = URI.create(qUrl.replace("/q/", "/qsplit/")).toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      if (conn.getResponseCode != 200) Nil
+      else {
+        val json = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        "\"uri\": \"([^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+      }
+    } catch { case _: Exception => Nil }
+
   /** GET a byte range of a URL. */
   def openRange(url: String, start: Long, endExclusive: Long): InputStream = {
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
@@ -216,12 +231,14 @@ final class ArrowsScanBuilder(full: StructType, options: CaseInsensitiveStringMa
     } catch { case _: Exception => required }
     new ArrowsScan(full, tagged, paths,
       Option(options.get("rangepartitions")).map(_.toInt).getOrElse(1),
-      ArrowsTableProvider.rawPaths(options))
+      ArrowsTableProvider.rawPaths(options),
+      Option(options.get("split")).forall(_.toBoolean))
   }
 }
 
 final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String],
-    rangePartitions: Int, rawDirs: Seq[String]) extends Scan with Batch {
+    rangePartitions: Int, rawDirs: Seq[String], split: Boolean = true)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -233,17 +250,26 @@ final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ArrowsMicroBatchStream(required, rawDirs)
 
-  /** One partition per file/URL; a URL whose server publishes a batch-
-    * offset index (our /offsets endpoint) additionally splits into
-    * byte-range partitions — the get_range split-fetch made a parallel
-    * scan (SURVEY §2.4 range fetch; §4 parallel/partitioned fetch). */
+  /** One partition per file/URL; a /q/ dynamic serve first probes the
+    * server's /qsplit/ spill listing and expands to one partition per
+    * spilled part file (option split=false opts out); a URL whose
+    * server publishes a batch-offset index (our /offsets endpoint)
+    * additionally splits into byte-range partitions — the get_range
+    * split-fetch made a parallel scan (SURVEY §2.4; §4). */
   override def planInputPartitions(): Array[InputPartition] =
     paths.flatMap { p =>
-      val ranged =
-        if (rangePartitions > 1 && ArrowsTableProvider.isUrl(p) && p.contains("/files/"))
-          ArrowsTableProvider.rangedPartitions(p, rangePartitions)
-        else Nil
-      if (ranged.nonEmpty) ranged else Seq(ArrowsInputPartition(p, -1, -1, -1))
+      val expanded =
+        if (split && ArrowsTableProvider.isUrl(p) && p.contains("/q/")) {
+          val parts = ArrowsTableProvider.probeSplits(p)
+          if (parts.nonEmpty) parts else Seq(p)
+        } else Seq(p)
+      expanded.flatMap { u =>
+        val ranged =
+          if (rangePartitions > 1 && ArrowsTableProvider.isUrl(u) && u.contains("/files/"))
+            ArrowsTableProvider.rangedPartitions(u, rangePartitions)
+          else Nil
+        if (ranged.nonEmpty) ranged else Seq(ArrowsInputPartition(u, -1, -1, -1))
+      }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =

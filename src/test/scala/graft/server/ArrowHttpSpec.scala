@@ -65,6 +65,25 @@ class ArrowHttpSpec extends AnyFunSuite {
     assert(df.except(want).count() === 0 && want.except(df).count() === 0)
   }
 
+  test("qsplit: dynamic serve spills to parts; DSv2 read fans out N partitions") {
+    val (code, _, body) = get("/qsplit/bench")
+    assert(code === 200)
+    val uris = "\"uri\": \"([^\"]+)\"".r.findAllMatchIn(new String(body, UTF_8))
+      .map(_.group(1)).toVector
+    assert(uris.size === 2, s"expected one URI per partition, got $uris") // 2 input partitions
+    // the split-aware read plans one partition per part file and
+    // returns the same rows as the single-stream read
+    val df = spark.read.format("arrows")
+      .option("url", s"${server.baseUrl}/q/bench").load()
+    assert(df.rdd.getNumPartitions === 2, df.rdd.getNumPartitions.toString)
+    assert(df.count() === 10000)
+    val single = spark.read.format("arrows")
+      .option("split", "false")
+      .option("url", s"${server.baseUrl}/q/bench").load()
+    assert(single.rdd.getNumPartitions === 1)
+    assert(df.except(single).count() === 0 && single.except(df).count() === 0)
+  }
+
   test("negotiation: zstd HTTP coding round-trips") {
     val (code, headers, body) = get("/q/ticker", Map("Accept-Encoding" -> "zstd"))
     assert(code === 200)
@@ -206,8 +225,10 @@ class ArrowHttpSpec extends AnyFunSuite {
 
     val (lcode, _, listing) = get("/")
     assert(lcode === 200)
-    val uri = new String(listing, UTF_8).split("\"uri\": \"")(1).split("\"")(0)
-    assert(uri.endsWith("/files/ticker.arrows"))
+    // the listing may also carry qsplit spill artifacts — find ours
+    val uris = "\"uri\": \"([^\"]+)\"".r
+      .findAllMatchIn(new String(listing, UTF_8)).map(_.group(1)).toVector
+    assert(uris.exists(_.endsWith("/files/ticker.arrows")), uris.mkString(", "))
 
     // HEAD-equivalent: full GET gives the length; then two half ranges
     val (code, headers, full) = get("/files/ticker.arrows")
