@@ -94,9 +94,31 @@ object ArrowBridge {
       val (r, b) = write(df.schema, internalRows(df), out, opts)
       return (r, b, -1L)
     }
+    val header = schemaBytes(df.schema, opts)
+    out.write(header)
+    var rows = 0L
+    var batches = 0L
+    var bytes = header.length.toLong
+    foreachPartitionChunk(df, opts, window) { case (chunk, r, b) =>
+      out.write(chunk)
+      out.flush()
+      rows += r; batches += b; bytes += chunk.length
+    }
+    out.write(EosBytes)
+    out.flush()
+    (rows, batches, bytes + EosBytes.length)
+  }
+
+  /** The executor-parallel chunk relay under [[writeParallel]]: each
+    * partition serializes its own batches; the driver sees, in
+    * partition order with a bounded prefetch window, one chunk per
+    * partition — a pure sequence of encapsulated batch messages (no
+    * schema prefix, no EOS). Driver memory is O(window × chunk). */
+  def foreachPartitionChunk(df: org.apache.spark.sql.DataFrame,
+      opts: WriteOptions = WriteOptions(), window: Int = 8)(
+      consume: (Array[Byte], Long, Long) => Unit): Unit = {
     val schema = df.schema
-    val header = schemaBytes(schema, opts)
-    val headerLen = header.length
+    val headerLen = schemaBytes(schema, opts).length
     val chunks: org.apache.spark.rdd.RDD[(Array[Byte], Long, Long)] =
       df.queryExecution.toRdd.mapPartitions { it =>
         val bos = new java.io.ByteArrayOutputStream(1 << 20)
@@ -107,18 +129,9 @@ object ArrowBridge {
         Iterator.single((java.util.Arrays.copyOfRange(
           all, headerLen, all.length - EosBytes.length), r, b))
       }
-    out.write(header)
-    var rows = 0L
-    var batches = 0L
-    var bytes = header.length.toLong
     PartitionStreamer.foreachOrdered(chunks, window) { case (chunk, r, b) =>
-      out.write(chunk)
-      out.flush()
-      rows += r; batches += b; bytes += chunk.length
+      consume(chunk, r, b)
     }
-    out.write(EosBytes)
-    out.flush()
-    (rows, batches, bytes + EosBytes.length)
   }
 
   /** Push-style streaming writer: append rows one at a time, constant

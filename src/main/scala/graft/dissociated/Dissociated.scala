@@ -44,6 +44,79 @@ object Dissociated {
     splitStream(full.toByteArray)
   }
 
+  /** Split a pure sequence of encapsulated batch messages — a
+    * writeParallel partition chunk (no schema, no EOS) — into splits
+    * numbered from `startSeq`. */
+  def splitChunk(chunk: Array[Byte], startSeq: Int): Vector[Split] = {
+    def readIntLE(off: Int): Int =
+      (chunk(off) & 0xff) | ((chunk(off + 1) & 0xff) << 8) |
+        ((chunk(off + 2) & 0xff) << 16) | ((chunk(off + 3) & 0xff) << 24)
+    var off = 0
+    var seq = startSeq
+    val splits = Vector.newBuilder[Split]
+    while (off < chunk.length) {
+      require(readIntLE(off) == -1, s"expected continuation marker at $off")
+      val metaLen = readIntLE(off + 4)
+      val msgEnd = off + 8 + metaLen
+      val header = java.nio.ByteBuffer.wrap(chunk, off + 8, metaLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val bodyLen = org.apache.arrow.flatbuf.Message.getRootAsMessage(header)
+        .bodyLength().toInt
+      splits += Split(seq, java.util.Arrays.copyOfRange(chunk, off, msgEnd),
+        java.util.Arrays.copyOfRange(chunk, msgEnd, msgEnd + bodyLen))
+      seq += 1
+      off = msgEnd + bodyLen
+    }
+    splits.result()
+  }
+
+  /** Serve a dataset's metadata channel partition-wise: the query runs
+    * through the writeParallel chunk relay and each chunk is split as
+    * it arrives — serving memory is O(window × chunk), independent of
+    * dataset size (the r1 path cached the entire serialized stream on
+    * the driver). Returns the batch count. */
+  def streamMetadataChannel(df: DataFrame, out: OutputStream,
+      batchSize: Int = 4096): Int = {
+    val d = new DataOutputStream(out)
+    val opts = ArrowBridge.WriteOptions(batchSize = batchSize)
+    writeMetaFrame(d, TypeSchema, 0, ArrowBridge.schemaBytes(df.schema, opts))
+    var seq = 0
+    ArrowBridge.foreachPartitionChunk(df, opts) { case (chunk, _, _) =>
+      splitChunk(chunk, seq + 1).foreach { s =>
+        writeMetaFrame(d, TypeBatch, s.seq, s.metadata)
+        seq = s.seq
+      }
+    }
+    writeMetaFrame(d, TypeEos, seq, Array.empty)
+    d.flush()
+    seq
+  }
+
+  /** Serve a dataset's body channel partition-wise (same chunk relay);
+    * delivery is permuted within windows of `shuffleWindow` frames to
+    * exercise out-of-order reassembly, mirroring the unordered tags of
+    * the reference transport. */
+  def streamBodyChannel(df: DataFrame, out: OutputStream,
+      batchSize: Int = 4096, shuffleWindow: Int = 8): Unit = {
+    val d = new DataOutputStream(out)
+    val opts = ArrowBridge.WriteOptions(batchSize = batchSize)
+    var seq = 0
+    val window = scala.collection.mutable.ArrayBuffer[Split]()
+    def flushWindow(): Unit = {
+      window.reverseIterator.foreach(s => writeBodyFrame(d, s.seq, s.body))
+      window.clear()
+    }
+    ArrowBridge.foreachPartitionChunk(df, opts) { case (chunk, _, _) =>
+      splitChunk(chunk, seq + 1).foreach { s =>
+        seq = s.seq
+        window += s
+        if (window.size >= shuffleWindow) flushWindow()
+      }
+    }
+    flushWindow()
+    d.flush()
+  }
+
   /** Split a serialized Arrow IPC stream into schema + batch messages,
     * each batch cut at its body offset. */
   def splitStream(stream: Array[Byte]): (Array[Byte], Vector[Split]) = {
@@ -162,6 +235,12 @@ object Dissociated {
     def noteAvailable(seq: Int): Unit =
       if (metaBySeq.containsKey(seq) && bodyBySeq.containsKey(seq)) available.put(seq)
 
+    // A producer thread that dies (error OR clean EOF) pushes a sentinel
+    // so the consumer's take() can never block forever: zero-batch
+    // streams, errors after the schema latch, and truncated channels all
+    // surface instead of deadlocking.
+    val Sentinel = Int.MinValue
+
     val metaThread = new Thread(() => {
       try {
         val d = new DataInputStream(meta)
@@ -177,7 +256,9 @@ object Dissociated {
           frame = readMetaFrame(d)
         }
       } catch { case t: Throwable => error = t; schemaLatch.countDown() }
+      finally available.put(Sentinel)
     }, "dissoc-meta")
+    metaThread.setDaemon(true)
 
     val bodyThread = new Thread(() => {
       try {
@@ -191,7 +272,9 @@ object Dissociated {
           frame = readBodyFrame(d)
         }
       } catch { case t: Throwable => error = t }
+      finally available.put(Sentinel)
     }, "dissoc-body")
+    bodyThread.setDaemon(true)
 
     metaThread.start(); bodyThread.start()
     schemaLatch.await()
@@ -201,10 +284,18 @@ object Dissociated {
     var emitted = 0L
     var bytes = schema.length.toLong
     var next = 1
+    var liveProducers = 2
     val ready = scala.collection.mutable.Set[Int]()
     while (eosCount < 0 || emitted < eosCount) {
       val seq = available.take()
-      ready += seq
+      if (seq == Sentinel) {
+        liveProducers -= 1
+        if (error != null) throw error
+        if (liveProducers == 0 && (eosCount < 0 || emitted < eosCount))
+          throw new EOFException(
+            s"dissociated stream truncated: emitted $emitted of " +
+              (if (eosCount < 0) "unknown (no EOS)" else eosCount.toString))
+      } else ready += seq
       while (ready.contains(next)) {
         val m = metaBySeq.remove(next)
         val b = bodyBySeq.remove(next)
@@ -227,7 +318,9 @@ object Dissociated {
     // EOS marker: continuation + zero length
     sink.write(Array[Byte](-1, -1, -1, -1, 0, 0, 0, 0))
     sink.flush()
-    metaThread.join(); bodyThread.join()
+    // bounded join: a malformed channel with frames beyond EOS could
+    // leave a (daemon) producer parked on the gate — don't hang with it
+    metaThread.join(10000); bodyThread.join(10000)
     if (error != null) throw error
     (emitted, bytes + 8)
   }

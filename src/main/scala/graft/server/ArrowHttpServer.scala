@@ -273,18 +273,46 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   })
 
   // ------------------------------------------------------------------
+  /** Spool an Arrow IPC body to a .arrows artifact — the bytes stream
+    * straight to disk (O(64 KiB) driver memory, never a Vector[Row]),
+    * then one batch-at-a-time pass counts rows. Returns (path, rows,
+    * columns). */
+  private def spoolIngest(name: String, in: java.io.InputStream)
+      : (java.nio.file.Path, Long, Int) = {
+    val dir = spillRoot.resolve("ingest")
+    java.nio.file.Files.createDirectories(dir)
+    val path = dir.resolve(
+      s"$name-${java.util.UUID.randomUUID.toString.take(8)}.arrows")
+    java.nio.file.Files.copy(in, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val alloc = ArrowBridge.newAllocator("ingest-count")
+    val rdr = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(path), 1 << 16),
+      alloc, org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+    try {
+      val cols = rdr.getVectorSchemaRoot.getSchema.getFields.size
+      var rows = 0L
+      while (rdr.loadNextBatch()) rows += rdr.getVectorSchemaRoot.getRowCount
+      (path, rows, cols)
+    } finally { rdr.close(); alloc.close() }
+  }
+
+  /** Expose a spooled artifact as dataset + temp view + static file —
+    * reads go through the DSv2 source, not driver memory. */
+  private def registerSpooled(name: String, path: java.nio.file.Path): Unit = {
+    registerFile(s"$name.arrows", path)
+    spark.read.format("arrows").load(path.toString).createOrReplaceTempView(name)
+    register(name, spark.table(name))
+  }
+
   server.createContext("/ingest/", exchange => safely(exchange) {
     val name = exchange.getRequestURI.getPath.stripPrefix("/ingest/")
     if (exchange.getRequestMethod != "POST") sendText(exchange, 405, "POST only")
     else {
-      val res = ArrowBridge.read(exchange.getRequestBody)
-      val rows = res.rows.toVector
-      res.close()
-      val df = spark.createDataFrame(rows.asJava, res.schema)
-      df.createOrReplaceTempView(name)
-      datasets.put(name, () => spark.table(name))
+      val (path, rows, cols) = spoolIngest(name, exchange.getRequestBody)
+      registerSpooled(name, path)
       sendText(exchange, 200,
-        s"""{"name":"$name","rows":${rows.size},"columns":${res.schema.size}}""")
+        s"""{"name":"$name","rows":$rows,"columns":$cols}""")
     }
   })
 
@@ -300,27 +328,23 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     else {
       val boundary = ct.split("boundary=")(1).stripPrefix("\"").stripSuffix("\"")
       var meta = "{}"
-      var rows: Vector[Row] = Vector.empty
-      var schema: org.apache.spark.sql.types.StructType = null
+      var spooled: Option[(java.nio.file.Path, Long, Int)] = None
       MultipartStream.parse(exchange.getRequestBody, boundary) { part =>
         part.headers.getOrElse("content-type", "") match {
           case Negotiation.ArrowMime =>
-            val res = ArrowBridge.read(part.body)
-            rows = res.rows.toVector
-            schema = res.schema
-            res.close()
+            // the Arrow part streams straight to disk, like /ingest/
+            spooled = Some(spoolIngest(name, part.body))
           case "application/json" =>
             meta = new String(part.body.readAllBytes(), UTF_8)
           case _ => () // ignore unknown parts
         }
       }
-      if (schema == null) sendText(exchange, 400, "no arrow part in body")
-      else {
-        val df = spark.createDataFrame(rows.asJava, schema)
-        df.createOrReplaceTempView(name)
-        datasets.put(name, () => spark.table(name))
-        sendText(exchange, 200,
-          s"""{"name":"$name","rows":${rows.size},"columns":${schema.size},"metadata":$meta}""")
+      spooled match {
+        case None => sendText(exchange, 400, "no arrow part in body")
+        case Some((path, rows, cols)) =>
+          registerSpooled(name, path)
+          sendText(exchange, 200,
+            s"""{"name":"$name","rows":$rows,"columns":$cols,"metadata":$meta}""")
       }
     }
   })
@@ -328,14 +352,12 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   // ------------------------------------------------------------------
   // dissociated IPC: discovery + metadata/body channels (the reference's
   // dual-location FlightInfo + AM/tagged streams, cudf-flight-server.cc
-  // :96-104,138-182,227-258, re-expressed over HTTP)
-  private val dissocCache =
-    scala.collection.concurrent.TrieMap[String, (Array[Byte], Vector[graft.dissociated.Dissociated.Split])]()
-
-  private def dissocSplits(name: String): Option[(Array[Byte], Vector[graft.dissociated.Dissociated.Split])] =
-    datasets.get(name).map { dfFn =>
-      dissocCache.getOrElseUpdate(name, graft.dissociated.Dissociated.split(dfFn()))
-    }
+  // :96-104,138-182,227-258, re-expressed over HTTP). Each channel
+  // streams partition-wise through the writeParallel chunk relay —
+  // serving memory is O(prefetch window), independent of dataset size.
+  // The two channels run the query independently, so sequence pairing
+  // relies on deterministic partition contents (true for sources and
+  // deterministic plans; same premise as re-serving any /q stream).
 
   server.createContext("/dissoc/info/", exchange => safely(exchange) {
     val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/info/")
@@ -352,29 +374,28 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
 
   server.createContext("/dissoc/meta/", exchange => safely(exchange) {
     val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/meta/")
-    dissocSplits(name) match {
+    datasets.get(name) match {
       case None => sendText(exchange, 404, s"no dataset $name")
-      case Some((schema, splits)) =>
+      case Some(dfFn) =>
         exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
         exchange.sendResponseHeaders(200, 0)
         val out = exchange.getResponseBody
-        graft.dissociated.Dissociated.writeMetadataChannel(out, schema, splits)
+        graft.dissociated.Dissociated.streamMetadataChannel(dfFn(), out)
         out.close()
     }
   })
 
   server.createContext("/dissoc/data/", exchange => safely(exchange) {
     val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/data/")
-    dissocSplits(name) match {
+    datasets.get(name) match {
       case None => sendText(exchange, 404, s"no dataset $name")
-      case Some((_, splits)) =>
+      case Some(dfFn) =>
         exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
         exchange.sendResponseHeaders(200, 0)
         val out = exchange.getResponseBody
-        // deterministic out-of-order delivery within blocks of 8 (stays
-        // under the client's bounded reassembly window)
-        val order = splits.indices.grouped(8).flatMap(_.reverse).toSeq
-        graft.dissociated.Dissociated.writeBodyChannel(out, splits, order)
+        // out-of-order delivery within windows of 8 (stays under the
+        // client's bounded reassembly window)
+        graft.dissociated.Dissociated.streamBodyChannel(dfFn(), out)
         out.close()
     }
   })

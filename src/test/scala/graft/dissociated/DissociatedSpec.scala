@@ -42,6 +42,58 @@ class DissociatedSpec extends AnyFunSuite {
     res.close()
   }
 
+  test("streamed partition-wise channels reassemble to the full dataset") {
+    // the streamed writers batch per partition (2 partitions x 2500
+    // rows here), unlike the cached split's global row loop — the
+    // contract is the decoded rows, not the batch layout
+    val df = Generators.ticker(spark, 5000, 2)
+    val metaStreamed = new ByteArrayOutputStream()
+    val n = Dissociated.streamMetadataChannel(df, metaStreamed)
+    assert(n === 2)
+    val bodyStreamed = new ByteArrayOutputStream()
+    Dissociated.streamBodyChannel(df, bodyStreamed)
+    val sink = new ByteArrayOutputStream()
+    val (batches, _) = Dissociated.reassemble(
+      new ByteArrayInputStream(metaStreamed.toByteArray),
+      new ByteArrayInputStream(bodyStreamed.toByteArray), sink)
+    assert(batches === n)
+    val res = ArrowBridge.read(new ByteArrayInputStream(sink.toByteArray))
+    val rows = res.rows.toVector
+    res.close()
+    assert(rows.size === 5000)
+    assert(rows.forall(_.getLong(1) % 100 == 0))
+  }
+
+  test("reassemble: zero-batch stream terminates instead of blocking") {
+    val df = Generators.ticker(spark, 5000, 2).limit(0)
+    val metaCh = new ByteArrayOutputStream()
+    Dissociated.streamMetadataChannel(df, metaCh)
+    val sink = new ByteArrayOutputStream()
+    val (batches, _) = Dissociated.reassemble(
+      new ByteArrayInputStream(metaCh.toByteArray),
+      new ByteArrayInputStream(Array.emptyByteArray), sink)
+    assert(batches === 0)
+    val res = ArrowBridge.read(new ByteArrayInputStream(sink.toByteArray))
+    assert(res.rows.isEmpty)
+    res.close()
+  }
+
+  test("reassemble: truncated body channel fails loudly, no deadlock") {
+    val df = Generators.ticker(spark, 5000, 2)
+    val (schema, splits) = Dissociated.split(df, batchSize = 512)
+    val metaCh = new ByteArrayOutputStream()
+    Dissociated.writeMetadataChannel(metaCh, schema, splits)
+    val bodyCh = new ByteArrayOutputStream()
+    Dissociated.writeBodyChannel(bodyCh, splits.dropRight(1)) // lose the tail
+    val sink = new ByteArrayOutputStream()
+    val e = intercept[java.io.EOFException] {
+      Dissociated.reassemble(
+        new ByteArrayInputStream(metaCh.toByteArray),
+        new ByteArrayInputStream(bodyCh.toByteArray), sink)
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("HTTP dual-channel: discovery, concurrent fetch, reassembly") {
     val server = new ArrowHttpServer(spark)
     server.register("trading", Generators.ticker(spark, 8000, 2))

@@ -186,6 +186,31 @@ class ArrowHttpSpec extends AnyFunSuite {
     assert(spark.table("posted").count() === 500)
   }
 
+  test("POST /ingest streams to disk: multi-batch body, no driver buffering") {
+    // 50k rows = many 4096-row batches — bigger than any single batch
+    // buffer; the handler spools to a .arrows artifact and the view
+    // reads back through the DSv2 source.
+    val df = Generators.ticker(spark, 50000, 2)
+    val bytes = new ByteArrayOutputStream()
+    ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), bytes)
+    val conn = URI.create(s"${server.baseUrl}/ingest/bigpost").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setChunkedStreamingMode(1 << 16) // stream the request too
+    conn.getOutputStream.write(bytes.toByteArray)
+    conn.getOutputStream.close()
+    assert(conn.getResponseCode === 200)
+    val resp = new String(conn.getInputStream.readAllBytes(), UTF_8)
+    assert(resp.contains(""""rows":50000"""), resp)
+    assert(spark.table("bigpost").count() === 50000)
+    // the spooled artifact is a served /files/ citizen (ranges + offsets)
+    val (fc, fh, _) = get("/files/bigpost.arrows")
+    assert(fc === 200 && fh.get("accept-ranges").contains("bytes"))
+    val (oc, _, obody) = get("/offsets/bigpost.arrows")
+    assert(oc === 200 && new String(obody, UTF_8).contains("\"batches\""))
+  }
+
   test("POST /ingest-multipart: JSON + Arrow parts ingest to a temp view") {
     val df = Generators.ticker(spark, 300, 1)
     val arrow = new ByteArrayOutputStream()
