@@ -49,7 +49,15 @@ object Bench {
           .option("url", s"${server.baseUrl}/q/bench").load()
         val n = df.count()
         require(n == benchRows, s"arrows loop read $n rows")
-        batches = benchRows / 4096 + (if (benchRows % 4096 == 0) 0 else 1)
+        // actual batch count of the stream that was read: sum each
+        // served part's /offsets index (not a derivation from row count)
+        val parts = graft.sources.ArrowsTableProvider
+          .probeSplits(s"${server.baseUrl}/q/bench")
+        batches = parts.map { u =>
+          val oj = new String(java.net.URI.create(u.replace("/files/", "/offsets/"))
+            .toURL.openStream().readAllBytes(), "UTF-8")
+          "\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(oj).size.toLong
+        }.sum
       } finally server.stop()
     }
     results("arrows_http_loop_10m") = arrowsSecs

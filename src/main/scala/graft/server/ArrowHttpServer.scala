@@ -242,27 +242,41 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
         rh.set("Content-Type", Negotiation.ArrowMime)
         rh.set("Accept-Ranges", "bytes")
         val range = Option(exchange.getRequestHeaders.getFirst("Range"))
+        // RFC 9110 §14: clamp end to size-1; suffix ranges larger than
+        // the file cover the whole file; syntactically or semantically
+        // unsatisfiable ranges → 416 with the */size form.
+        def unsatisfiable(): Unit = {
+          exchange.getResponseHeaders.set("Content-Range", s"bytes */$bytes")
+          sendText(exchange, 416, "unsatisfiable range")
+        }
         range match {
+          case Some(r) if r.startsWith("bytes=") &&
+              !r.stripPrefix("bytes=").matches("(\\d{0,18}-\\d{1,18}|\\d{1,18}-)") =>
+            unsatisfiable()
           case Some(r) if r.startsWith("bytes=") =>
             val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
-            val start = if (a.isEmpty) bytes - b.toLong else a.toLong
-            val end = if (a.isEmpty || b.isEmpty) bytes - 1 else b.toLong
-            val len = end - start + 1
-            rh.set("Content-Range", s"bytes $start-$end/$bytes")
-            exchange.sendResponseHeaders(206, len)
-            val out = exchange.getResponseBody
-            val ch = java.nio.file.Files.newByteChannel(p)
-            try {
-              ch.position(start)
-              val buf = java.nio.ByteBuffer.allocate(64 * 1024)
-              var remaining = len
-              while (remaining > 0) {
-                buf.clear(); buf.limit(math.min(buf.capacity(), remaining).toInt)
-                val n = ch.read(buf)
-                if (n < 0) remaining = 0
-                else { out.write(buf.array(), 0, n); remaining -= n }
-              }
-            } finally { ch.close(); out.close() }
+            val start = if (a.isEmpty) math.max(0L, bytes - b.toLong) else a.toLong
+            val end = if (a.isEmpty || b.isEmpty) bytes - 1
+                      else math.min(b.toLong, bytes - 1)
+            if (start > end || start >= bytes) unsatisfiable()
+            else {
+              val len = end - start + 1
+              rh.set("Content-Range", s"bytes $start-$end/$bytes")
+              exchange.sendResponseHeaders(206, len)
+              val out = exchange.getResponseBody
+              val ch = java.nio.file.Files.newByteChannel(p)
+              try {
+                ch.position(start)
+                val buf = java.nio.ByteBuffer.allocate(64 * 1024)
+                var remaining = len
+                while (remaining > 0) {
+                  buf.clear(); buf.limit(math.min(buf.capacity(), remaining).toInt)
+                  val n = ch.read(buf)
+                  if (n < 0) remaining = 0
+                  else { out.write(buf.array(), 0, n); remaining -= n }
+                }
+              } finally { ch.close(); out.close() }
+            }
           case _ =>
             exchange.sendResponseHeaders(200, bytes)
             val out = exchange.getResponseBody

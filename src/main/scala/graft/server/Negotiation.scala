@@ -86,6 +86,10 @@ object Negotiation {
     * forbids the uncoded fallback → 406 when nothing else fits. */
   def pickCoding(acceptEncoding: Option[String], serverPrefs: Seq[String],
       http10: Boolean): Either[String, String] = {
+    // HTTP/1.0 has no chunked transfer and unreliable coding support —
+    // the reference serves it uncoded (server.py:495-499 branches on
+    // protocol); force identity regardless of Accept-Encoding.
+    if (http10) return Right("identity")
     acceptEncoding match {
       case None | Some("") =>
         // Deviation from the reference (server.py:495-499 defaults

@@ -9,15 +9,20 @@ import org.apache.spark.sql.types.StructType
   * assigned stable positions in arrival order (alphabetical within one
   * listing), and a micro-batch covers the files between two offsets.
   *
-  * Limitation (round 1): the arrival-order map lives in this driver
-  * object, so exact replay across a driver restart is not guaranteed
-  * for files that arrived in the same listing interval.
-  */
+  * Replay safety: an offset's JSON carries the ASSIGNED FILE LIST, not
+  * a bare count — `planInputPartitions` derives its file range purely
+  * from the two offsets, so a replayed micro-batch after a driver
+  * restart re-reads exactly the files it covered originally (a count
+  * into a restart-emptied in-memory buffer would silently plan an
+  * empty batch). Deserializing an offset also repopulates the
+  * arrival-order map, keeping later assignments consistent. */
 final class ArrowsMicroBatchStream(schema: StructType, dirs: Seq[String])
     extends MicroBatchStream {
 
-  private case class ArrowsOffset(count: Int) extends Offset {
-    override def json(): String = count.toString
+  private case class ArrowsOffset(files: Vector[String]) extends Offset {
+    override def json(): String =
+      files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
   }
 
   /** Files in assigned order; grows monotonically. */
@@ -33,24 +38,33 @@ final class ArrowsMicroBatchStream(schema: StructType, dirs: Seq[String])
     else Nil
   }
 
-  override def latestOffset(): Offset = synchronized {
-    listNow().foreach { p =>
+  private def assimilate(files: Seq[String]): Unit =
+    files.foreach { p =>
       if (!knownSet.contains(p)) { known += p; knownSet += p }
     }
-    ArrowsOffset(known.size)
+
+  override def latestOffset(): Offset = synchronized {
+    assimilate(listNow())
+    ArrowsOffset(known.toVector)
   }
 
-  override def initialOffset(): Offset = ArrowsOffset(0)
+  override def initialOffset(): Offset = ArrowsOffset(Vector.empty)
 
-  override def deserializeOffset(json: String): Offset = ArrowsOffset(json.toInt)
+  override def deserializeOffset(json: String): Offset = synchronized {
+    val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toVector
+    assimilate(files) // restore arrival order after a restart
+    ArrowsOffset(files)
+  }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    synchronized {
-      val s = start.asInstanceOf[ArrowsOffset].count
-      val e = end.asInstanceOf[ArrowsOffset].count
-      known.slice(s, e).map(p =>
-        ArrowsInputPartition(p, -1, -1, -1): InputPartition).toArray
-    }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ArrowsOffset].files
+    val e = end.asInstanceOf[ArrowsOffset].files
+    require(e.take(s.size) == s,
+      s"offset ranges diverge: start is not a prefix of end (${s.size} vs ${e.size} files)")
+    e.drop(s.size).map(p =>
+      ArrowsInputPartition(p, -1, -1, -1): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowsReaderFactory(schema)

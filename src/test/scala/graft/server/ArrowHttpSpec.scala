@@ -273,6 +273,30 @@ class ArrowHttpSpec extends AnyFunSuite {
     res.close()
   }
 
+  test("range validation: clamped ends, 416 for unsatisfiable or malformed") {
+    val df = Generators.ticker(spark, 1000, 1)
+    val tmp = java.nio.file.Files.createTempFile("graft-rv", ".arrows")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), out)
+    out.close()
+    server.registerFile("rv.arrows", tmp)
+    val size = java.nio.file.Files.size(tmp)
+
+    // end beyond EOF clamps to size-1
+    val (c1, h1, b1) = get("/files/rv.arrows", Map("Range" -> s"bytes=0-${size * 2}"))
+    assert(c1 === 206 && b1.length === size.toInt)
+    assert(h1("content-range") === s"bytes 0-${size - 1}/$size")
+    // suffix larger than the file covers the whole file
+    val (c2, _, b2) = get("/files/rv.arrows", Map("Range" -> s"bytes=-${size * 3}"))
+    assert(c2 === 206 && b2.length === size.toInt)
+    // start past EOF, inverted, and malformed ranges → 416 with */size
+    for (r <- Seq(s"bytes=$size-", "bytes=500-10", "bytes=abc-def", "bytes=99999999999999999999-")) {
+      val (c, h, _) = get("/files/rv.arrows", Map("Range" -> r))
+      assert(c === 416, s"$r -> $c")
+      assert(h("content-range") === s"bytes */$size", r)
+    }
+  }
+
   test("ranged-parallel read: offsets index splits one URL into partitions") {
     val df = Generators.ticker(spark, 20000, 1)
     val tmp = java.nio.file.Files.createTempFile("graft-ranged", ".arrows")

@@ -30,6 +30,12 @@ class NegotiationSpec extends AnyFunSuite {
     assert(pickCoding(Some("identity"), prefs, false) === Right("identity"))
   }
 
+  test("HTTP/1.0 always gets identity, whatever the client asks for") {
+    assert(pickCoding(Some("zstd"), prefs, http10 = true) === Right("identity"))
+    assert(pickCoding(Some("gzip, zstd"), prefs, http10 = true) === Right("identity"))
+    assert(pickCoding(Some("*"), prefs, http10 = true) === Right("identity"))
+  }
+
   test("identity;q=0 with no acceptable alternative → 406") {
     assert(pickCoding(Some("identity;q=0"), prefs, false).isLeft)
     assert(pickCoding(Some("identity;q=0, br"), prefs, false).isLeft)

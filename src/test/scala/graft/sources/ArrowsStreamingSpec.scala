@@ -42,4 +42,40 @@ class ArrowsStreamingSpec extends AnyFunSuite {
       assert(n2 === 1750L)
     } finally q.stop()
   }
+
+  test("offsets carry the file list: replay plans the same files on a fresh instance") {
+    // simulates a driver restart: a NEW stream instance (empty arrival
+    // map) must replay a deserialized offset range exactly, not slice
+    // an empty buffer into a silently-empty micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    def drop(n: Int): String = {
+      val df = Generators.ticker(spark, 100, 1)
+      val f = new java.io.File(dir, f"chunk-$n%03d.arrows")
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+      ArrowBridge.write(df.schema, ArrowBridge.internalRows(df), out)
+      out.close()
+      f.getPath
+    }
+    val f0 = drop(0); val f1 = drop(1)
+    val schema = spark.read.format("arrows").load(dir).schema
+
+    val s1 = new ArrowsMicroBatchStream(schema, Seq(dir))
+    val start = s1.initialOffset()
+    val end = s1.latestOffset()
+    val endJson = end.json()
+    assert(endJson.contains(f0) && endJson.contains(f1))
+
+    // fresh instance, as after restart: deserialize the logged offsets
+    val s2 = new ArrowsMicroBatchStream(schema, Seq(dir))
+    val parts = s2.planInputPartitions(
+      s2.deserializeOffset(start.json()), s2.deserializeOffset(endJson))
+    assert(parts.length === 2)
+    assert(parts.map(_.asInstanceOf[ArrowsInputPartition].path).toSet === Set(f0, f1))
+
+    // and new arrivals continue after the restored assignments
+    val f2 = drop(2)
+    val next = s2.latestOffset()
+    val tail = s2.planInputPartitions(s2.deserializeOffset(endJson), next)
+    assert(tail.map(_.asInstanceOf[ArrowsInputPartition].path).toSeq === Seq(f2))
+  }
 }
