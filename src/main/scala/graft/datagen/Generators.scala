@@ -86,6 +86,25 @@ object Generators {
     df
   }
 
+  /** arrow-commits-shaped git-log table (F5; data/arrow-commits/
+    * README.md:60-65, arrow-commits.R:26-63): 40-hex sha, UTC micros
+    * timestamp descending like `git log`, files int32, merge bool,
+    * first-line-only message. Author name/email are never generated —
+    * the R script strips PII before writing (arrow-commits.R:31-32). */
+  def gitLog(s: SparkSession, rows: Long, partitions: Int = 4): DataFrame =
+    s.range(0, rows, 1, partitions).select(
+      lower(concat(
+        lpad(conv(pmod(h(30), lit(Long.MaxValue)).cast("string"), 10, 16), 16, "0"),
+        lpad(conv(pmod(h(31), lit(Long.MaxValue)).cast("string"), 10, 16), 16, "0"),
+        lpad(conv(pmod(h(32), lit(1L << 32)).cast("string"), 10, 16), 8, "0"))).as("commit"),
+      timestamp_micros(lit(1709776852000000L) - col("id") * 43000000000L
+        - pmod(h(33), lit(3600000000L))).as("time"),
+      (pmod(h(34), lit(40)) + 1).cast("int").as("files"),
+      (pmod(h(35), lit(10)) === 0).as("merge"),
+      concat(lit("GH-"), pmod(h(36), lit(99999)).cast("string"),
+        lit(": [Component] Deterministic change "),
+        conv(pmod(h(37), lit(1L << 20)).cast("string"), 10, 16)).as("message"))
+
   /** Sprinkle nulls deterministically (validity-bitmap coverage). */
   def withNulls(df: DataFrame, everyN: Int = 7): DataFrame = {
     val cols = df.columns.zipWithIndex.map { case (c, i) =>

@@ -54,6 +54,49 @@ class ConversionsSpec extends AnyFunSuite {
     assert(key(fromJsonl) === base)
   }
 
+  test("arrow-commits golden fixture: JSONL slice round-trips through .arrows") {
+    // the F5 pipeline (arrow-commits.R): git-log table → .arrows with
+    // 1024-row batches + .jsonl twin, with the R script's stopifnot
+    // round-trip identity (:66) as the contract
+    import org.apache.spark.sql.types._
+    val f5 = StructType(Seq(
+      StructField("commit", StringType), StructField("time", TimestampType),
+      StructField("files", IntegerType), StructField("merge", BooleanType),
+      StructField("message", StringType)))
+    val fixture = getClass.getResource("/arrow-commits-sample.jsonl").getPath
+    val docs = spark.read.schema(f5)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss'Z'").json(fixture)
+    assert(docs.count() === 48)
+    // PII rule: no author column anywhere (arrow-commits.R:31-32)
+    assert(!docs.columns.exists(_.toLowerCase.contains("author")))
+    // messages are single-line (first line only, arrow-commits.R:37-42)
+    assert(docs.filter(col("message").contains("\n")).count() === 0)
+
+    val dir = tmpDir("commits")
+    docs.coalesce(1).write.format("arrows")
+      .option("batchsize", "1024").mode("overwrite").save(dir)
+    val back = spark.read.format("arrows").load(dir)
+    // identical: same schema, same rows (the stopifnot)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      f5.map(f => (f.name, f.dataType)))
+    assert(back.count() === 48)
+    assert(back.except(docs).count() === 0 && docs.except(back).count() === 0)
+
+    // jsonl twin: write and re-read gives the same table
+    val twinDir = tmpDir("commits-jsonl")
+    back.write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss'Z'").json(twinDir)
+    val twin = spark.read.schema(f5)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss'Z'").json(twinDir)
+    assert(twin.except(docs).count() === 0 && docs.except(twin).count() === 0)
+
+    // and the deterministic generator emits the same shape
+    val gen = graft.datagen.Generators.gitLog(spark, 100)
+    assert(gen.schema.map(f => (f.name, f.dataType)) ===
+      f5.map(f => (f.name, f.dataType)))
+    assert(gen.filter(length(col("commit")) =!= 40).count() === 0)
+  }
+
   test("21-type lattice survives arrows → parquet with tags intact") {
     val df = Generators.manyTypes(spark, 500, 2)
     val dir = tmpDir("lattice")
