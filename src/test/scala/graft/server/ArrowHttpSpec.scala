@@ -165,9 +165,38 @@ class ArrowHttpSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.size === 60)
     // DSv2 row-reader path decodes dictionaries too
     val viaSource = spark.read.format("arrows")
+      .option("split", "false")
       .option("url", s"${server.baseUrl}/q/ticker_dict").load()
     assert(viaSource.select("ticker").distinct().count() === 60)
     assert(viaSource.count() === 5000)
+
+    // the parallel relay keeps exactly ONE dictionary message on the
+    // wire even though both partitions serialize one
+    def readIntLE(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8) |
+        ((a(off + 2) & 0xff) << 16) | ((a(off + 3) & 0xff) << 24)
+    var off = 0
+    var dicts = 0
+    var batchMsgs = 0
+    var done = false
+    while (!done && off < body.length) {
+      assert(readIntLE(body, off) === -1)
+      val metaLen = readIntLE(body, off + 4)
+      if (metaLen == 0) done = true
+      else {
+        val header = java.nio.ByteBuffer.wrap(body, off + 8, metaLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(header)
+        msg.headerType() match {
+          case org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch => dicts += 1
+          case org.apache.arrow.flatbuf.MessageHeader.RecordBatch => batchMsgs += 1
+          case _ => ()
+        }
+        off += 8 + metaLen + msg.bodyLength().toInt
+      }
+    }
+    assert(dicts === 1, s"expected one dictionary message, saw $dicts")
+    assert(batchMsgs >= 2, s"expected parallel per-partition batches, saw $batchMsgs")
   }
 
   test("POST /ingest round-trips a stream into a temp view") {
