@@ -73,6 +73,53 @@ object DedupOps {
        |sigs AS (
        |  SELECT doc_id, t, ${oMinhashSigFromGvs("gvs")} AS sig FROM gv)""".stripMargin
 
+  /** LSH candidate pairs with exact-Jaccard verification (jaccard ≥
+    * 0.5). Scale shape: the band self-join and distinct move ONLY
+    * (band, id) pairs through the shuffle; texts join back by id
+    * afterwards, and Jaccard is a projection over the (small)
+    * candidate set — never part of a join condition. */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d)
+    val bands = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)), b =>
+          concat(b.cast("string"), lit("|"), concat_ws("|",
+            transform(slice(col("sig"), b * 4 + 1, lit(4)), x => x.cast("string")))))).as("band"))
+    val candIds = bands.as("a").join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val texts = corpus(s, d)
+    candIds
+      .join(texts.select(col("doc_id").as("a_id"),
+        array_distinct(grams3(words(col("t")))).as("ga")), "a_id")
+      .join(texts.select(col("doc_id").as("b_id"),
+        array_distinct(grams3(words(col("t")))).as("gb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Oracle CTE chain ending in `pairs(a_id, b_id, jaccard)` — the
+    * DuckDB mirror of [[candidatePairs]]. */
+  private val oPairCtes =
+    s"""$oSignatures,
+       |bands AS (
+       |  SELECT doc_id, t, unnest(list_transform(range(0, 4),
+       |    b -> b || '|' || array_to_string(list_transform(sig[b*4+1:b*4+4],
+       |           x -> CAST(x AS VARCHAR)), '|'))) AS band
+       |  FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.t AS ta, b.t AS tb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |jac AS (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_intersect(list_distinct(${oGrams3(oWords("ta"))}),
+       |                            list_distinct(${oGrams3(oWords("tb"))}))) AS DOUBLE) /
+       |    len(list_distinct(${oGrams3(oWords("ta"))} || ${oGrams3(oWords("tb"))})) AS jaccard
+       |  FROM cand),
+       |pairs AS (SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.5)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // -- exact dedup: hash-groupBy on normalized text ------------------
@@ -111,51 +158,51 @@ object DedupOps {
 
     // -- LSH band join: 4 bands x 4 rows over the 16-hash signature ----
     QueryDef.sql("d03_minhash_lsh_pairs",
-      (s, d) => {
-        // scale shape: the band self-join and distinct move ONLY
-        // (band, id) pairs through the shuffle; texts join back by id
-        // afterwards, and Jaccard is a projection over the (small)
-        // candidate set — never part of a join condition.
-        val sigs = signatures(s, d)
-        val bands = sigs.select(col("doc_id"),
-            explode(transform(sequence(lit(0), lit(3)), b =>
-              concat(b.cast("string"), lit("|"), concat_ws("|",
-                transform(slice(col("sig"), b * 4 + 1, lit(4)), x => x.cast("string")))))).as("band"))
-        val candIds = bands.as("a").join(bands.as("b"), col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        val texts = corpus(s, d)
-        val withGrams = candIds
-          .join(texts.select(col("doc_id").as("a_id"),
-            array_distinct(grams3(words(col("t")))).as("ga")), "a_id")
-          .join(texts.select(col("doc_id").as("b_id"),
-            array_distinct(grams3(words(col("t")))).as("gb")), "b_id")
-        withGrams
-          .select(col("a_id"), col("b_id"),
-            (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-              size(array_union(col("ga"), col("gb")))).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy(col("a_id"), col("b_id"))
-      },
-      s"""WITH $oSignatures,
-         |bands AS (
-         |  SELECT doc_id, t, unnest(list_transform(range(0, 4),
-         |    b -> b || '|' || array_to_string(list_transform(sig[b*4+1:b*4+4],
-         |           x -> CAST(x AS VARCHAR)), '|'))) AS band
-         |  FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.t AS ta, b.t AS tb
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-         |jac AS (
-         |  SELECT a_id, b_id,
-         |    CAST(len(list_intersect(list_distinct(${oGrams3(oWords("ta"))}),
-         |                            list_distinct(${oGrams3(oWords("tb"))}))) AS DOUBLE) /
-         |    len(list_distinct(${oGrams3(oWords("ta"))} || ${oGrams3(oWords("tb"))})) AS jaccard
-         |  FROM cand)
-         |SELECT a_id, b_id, jaccard FROM jac
-         |WHERE jaccard >= 0.5
+      (s, d) => candidatePairs(s, d).orderBy(col("a_id"), col("b_id")),
+      s"""WITH $oPairCtes
+         |SELECT a_id, b_id, jaccard FROM pairs
          |ORDER BY a_id, b_id""".stripMargin),
+
+    // -- near-dup clustering: connected components over LSH pairs ------
+    // The dedup-pipeline step after pair finding: group transitive
+    // near-dups into clusters and mark one canonical doc per cluster
+    // (min id). Both engines compute "min id reachable within <= 4
+    // hops" via two doubling self-joins over the (sparse) pair edge
+    // set — the log-diameter transitive-closure shape that scales to
+    // low-diameter dup graphs without per-vertex iteration state.
+    QueryDef.sql("d07_neardup_clusters",
+      (s, d) => {
+        val p = candidatePairs(s, d).select(col("a_id"), col("b_id"))
+        val e = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+          .unionAll(p.select(col("a_id").as("src"), col("a_id").as("dst")))
+          .unionAll(p.select(col("b_id").as("src"), col("b_id").as("dst")))
+          .distinct()
+        def dbl(r: DataFrame): DataFrame =
+          r.as("x").join(r.as("y"), col("x.dst") === col("y.src"))
+            .select(col("x.src").as("src"), col("y.dst").as("dst"))
+            .distinct()
+        val labels = dbl(dbl(e)).groupBy(col("src"))
+          .agg(min(col("dst")).as("cluster"))
+        val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "cluster")
+          .select(col("src").as("doc_id"), col("cluster"),
+            (col("src") === col("cluster")).as("canonical"), col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $oPairCtes,
+         |e AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |  UNION SELECT a_id, a_id FROM pairs
+         |  UNION SELECT b_id, b_id FROM pairs),
+         |r2 AS (SELECT DISTINCT x.src, y.dst FROM e x JOIN e y ON x.dst = y.src),
+         |r4 AS (SELECT DISTINCT x.src, y.dst FROM r2 x JOIN r2 y ON x.dst = y.src),
+         |labels AS (SELECT src, MIN(dst) AS cluster FROM r4 GROUP BY src),
+         |sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
+         |SELECT l.src AS doc_id, l.cluster, l.src = l.cluster AS canonical, z.cluster_size
+         |FROM labels l JOIN sizes z USING (cluster)
+         |ORDER BY doc_id""".stripMargin),
 
     // -- exact n-gram Jaccard on the known near-dup pairs --------------
     QueryDef.sql("d04_ngram_jaccard",

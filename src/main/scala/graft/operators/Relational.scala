@@ -528,6 +528,36 @@ object Relational {
         |  COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // ---------------------------------------------------------------
+    // Deterministic stratified sampling — the data-mixing primitive of
+    // a training pipeline: per-stratum keep rates applied via a
+    // content hash, so the sample is reproducible on any cluster
+    // layout and any engine (no RNG state, no per-partition seeds).
+    // Map-side only: one scan, one small agg — no shuffle of kept rows.
+    QueryDef.sql("q29_stratified_sample",
+      (s, d) => {
+        import graft.operators.OpUtils.md5Val
+        val rate = when(col("lang") === "en", 800).otherwise(400)
+        val bucket = pmod(
+          md5Val(concat(col("lang"), lit(":"), col("doc_id").cast("string")), 12),
+          lit(1000L))
+        Tables.documents(s, d)
+          .withColumn("keep", bucket < rate)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+          .orderBy(col("lang"))
+      }, {
+        val bucket = graft.operators.OpUtils.oMd5Val("lang || ':' || CAST(doc_id AS VARCHAR)", 12)
+        s"""SELECT lang, COUNT(*) AS n_total,
+           |  CAST(SUM(CASE WHEN ($bucket) % 1000 <
+           |    (CASE WHEN lang = 'en' THEN 800 ELSE 400 END)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+           |FROM documents
+           |GROUP BY lang
+           |ORDER BY lang""".stripMargin
+      })
   )
 }

@@ -169,6 +169,46 @@ object TextOps {
          |  FROM c)
          |SELECT lang, word, n, rnk FROM r
          |WHERE rnk <= 5
-         |ORDER BY lang, rnk""".stripMargin)
+         |ORDER BY lang, rnk""".stripMargin),
+
+    // -- PII redaction: mask emails/phones, count matches --------------
+    // A training-data pipeline must strip PII before emission. The
+    // regexes stay inside the Java∩RE2 common subset so both engines
+    // match identically; synthetic PII is appended deterministically
+    // (the corpus has none) so the operator is exercised on every row.
+    // Per-row map work — embarrassingly parallel at any scale.
+    QueryDef.sql("t06_pii_redaction", {
+      (s, d) =>
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        Tables.documents(s, d).filter(col("doc_id") < 500)
+          .withColumn("txt", concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or mail "), col("doc_id").cast("string"),
+            lit("@mail.org; call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("txt"), lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0))).as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      }, {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      s"""WITH p AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or mail ' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.org; call +1-555-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+         |  FROM documents WHERE doc_id < 500)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(txt, '$emailRe')) AS n_emails,
+         |  len(regexp_extract_all(txt, '$phoneRe')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(txt, '$emailRe', '<EMAIL>', 'g'),
+         |      '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+         |FROM p
+         |ORDER BY doc_id""".stripMargin
+      })
   )
 }
