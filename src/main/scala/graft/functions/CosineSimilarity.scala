@@ -83,11 +83,22 @@ object GraftFunctions {
   /** Install graft's native expressions into a session's function
     * registry (GraftSession does this automatically): `cosine_sim` is
     * then usable from SQL and via [[cosineSim]]. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHashFull(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash_min", exprs => PolyHashMin(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column API over the registered function. */
   def cosineSim(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+
+  def polyHash(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("poly_hash", s)
+
+  def polyHashMin(s: Column, w: Column): Column =
+    org.apache.spark.sql.functions.call_function("poly_hash_min", s, w)
 }

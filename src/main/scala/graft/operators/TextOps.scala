@@ -119,18 +119,18 @@ object TextOps {
 
     // -- document fingerprinting: polynomial rolling hash --------------
     // fp_full: poly hash of all chars; fp_min8: winnowing-style minimum
-    // over all 8-char rolling windows.
+    // over all 8-char rolling windows. Native codegen'd expressions
+    // (functions.PolyHash) — the interpreted HOF version did O(n)
+    // substring allocations per doc and O(n*8) per-window refolds;
+    // the rolling-update loop is O(n) and bitwise-identical to the
+    // oracle's list_reduce folds (same mod ring homomorphism).
     QueryDef.sql("t04_fingerprint",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         Tables.documents(s, d)
           .withColumn("t", trim(col("text")))
-          .withColumn("fp_full", expr(
-            "aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))), " +
-              "CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000000007)"))
-          .withColumn("fp_min8", expr(
-            "array_min(transform(sequence(1, length(t) - 7), i -> " +
-              "aggregate(transform(sequence(0, 7), k -> ascii(substring(t, i + k, 1))), " +
-              "CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000000007)))"))
+          .withColumn("fp_full", graft.functions.GraftFunctions.polyHash(col("t")))
+          .withColumn("fp_min8", graft.functions.GraftFunctions.polyHashMin(col("t"), lit(8)))
           .select(col("doc_id"), col("fp_full"), col("fp_min8"))
           .orderBy(col("doc_id"))
       },
