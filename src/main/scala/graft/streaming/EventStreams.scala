@@ -84,6 +84,20 @@ object EventStreams {
     }
   }
 
+  /** Streaming exact dedup — the unbounded twin of d01: drop
+    * re-observations of the same content hash within the watermark
+    * horizon via dropDuplicatesWithinWatermark. State is one (hash,
+    * timestamp) entry per distinct doc inside the watermark; the
+    * watermark both bounds state AND defines the dedup contract
+    * (duplicates farther apart than the horizon are re-emitted — the
+    * only well-defined semantics for infinite streams). */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("h", md5(trim(col("text"))))
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

@@ -76,4 +76,33 @@ class EventStreamsSpec extends AnyFunSuite {
     val usersWithOpen = finalOpen.map(_._1)
     assert(usersWithOpen.size === finalOpen.size) // one open session per user
   }
+
+  test("streaming dedup (watermarked) matches batch distinct within horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // doc stream with duplicates: every third row repeats an earlier
+    // text, timestamps 1 second apart (all inside the 10-min horizon)
+    final case class Doc(doc_id: Long, us: Long, text: String)
+    val docs = (0 until 300).map { i =>
+      val src = if (i % 3 == 2) i - 2 else i
+      Doc(i.toLong, 1700000000000000L + i * 1000000L, s"document body $src")
+    }
+
+    val input = MemoryStream[(Long, Long, String)]
+    val stream = EventStreams.dedupStream(
+      input.toDF().toDF("doc_id", "us", "text"))
+    val query = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    docs.grouped(100).foreach { chunk =>
+      input.addData(chunk.map(d => (d.doc_id, d.us, d.text))); query.processAllAvailable()
+    }
+    query.stop()
+
+    val got = spark.table("dedup_out").select(col("text")).as[String].collect().toSeq
+    // exactly one survivor per distinct text, nothing lost
+    assert(got.size === got.distinct.size)
+    assert(got.toSet === docs.map(_.text).distinct.toSet)
+    assert(got.size === 200) // 300 rows, every third a duplicate
+  }
 }
