@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, batched decode/feature-extract per partition.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic stub ([[stubDecode]]); the Spark-side
-  * plumbing — binary column, metadata struct schema, partition-parallel
-  * batched transform, output schema — is real and tested. Swapping the
-  * stub for a real decoder (JNI/ffmpeg/Pillow-equivalent) changes no plan
-  * shape.
+  * Two decode tiers:
+  *  - [[decodePpm]] is a REAL image decoder — binary P6 PPM (magic,
+  *    comments, dims, maxval, interleaved RGB bytes) parsed from the
+  *    payload with channel-mean + Rec.601 luma features (m03). The
+  *    payloads are real image bytes synthesized deterministically, so
+  *    the DuckDB oracle can recompute every pixel.
+  *  - [[stubDecode]] remains the clearly-marked stand-in for formats
+  *    whose codecs the container lacks (JPEG/audio/video); the
+  *    surrounding plumbing — binary column, metadata struct,
+  *    partition-parallel batched transform — is identical, so swapping
+  *    in a JNI/ffmpeg decoder changes no plan shape.
   */
 object MultimodalOps {
 
@@ -37,6 +42,70 @@ object MultimodalOps {
     var i = 0
     while (i < n) { sum += (payload(i) & 0xff); i += 1 }
     (w, h, if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** Output schema of the real image feature extractor. */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** Deterministic P6 PPM payload for a doc id — REAL image bytes:
+    * ASCII header (magic, width, height, maxval) + interleaved RGB.
+    * Dims 4..16 × 4..14; pixel byte k = (id·31 + k·7) mod 256. */
+  def ppmBytes(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 13).toInt
+    val h = 4 + ((docId * 3) % 11).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    var k = 0
+    while (k < px.length) { px(k) = ((docId * 31 + k * 7) % 256).toByte; k += 1 }
+    header ++ px
+  }
+
+  /** Real P6 decoder: parses magic / `#` comments / dims / maxval, then
+    * accumulates per-channel sums over the raster. Returns (width,
+    * height, mean_r, mean_g, mean_b, rec601_luma_of_means). */
+  def decodePpm(b: Array[Byte]): (Int, Int, Double, Double, Double, Double) = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos)
+        if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else go = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val s0 = pos
+      while (pos < b.length && !Character.isWhitespace(b(pos).toChar)) pos += 1
+      new String(b, s0, pos - s0, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM (P6) payload")
+    val w = token().toInt
+    val h = token().toInt
+    require(token().toInt == 255, "unsupported maxval")
+    pos += 1 // exactly one whitespace byte separates header from raster
+    val n = w * h
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var p = 0
+    while (p < n) {
+      rs += b(pos + 3 * p) & 0xff
+      gs += b(pos + 3 * p + 1) & 0xff
+      bs += b(pos + 3 * p + 2) & 0xff
+      p += 1
+    }
+    val mr = rs.toDouble / n
+    val mg = gs.toDouble / n
+    val mb = bs.toDouble / n
+    (w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
   }
 
   /** documents.text re-framed as an opaque binary payload column with a
@@ -98,6 +167,50 @@ object MultimodalOps {
         |  CAST(list_reduce([0] || list_transform(range(1, n + 1),
         |    i -> ascii(t[i:i])), (a, x) -> a + x) AS DOUBLE) / n AS mean_luma
         |FROM b
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- REAL image decode: P6 PPM parse + channel means ---------------
+    // The payload is genuine image bytes; the decoder genuinely parses
+    // them (magic, comments, dims, maxval, raster). The oracle
+    // recomputes every pixel from the generation recipe — header
+    // arithmetic included — so a parser bug (off-by-one into the
+    // raster, header length miscount) fails the hash.
+    QueryDef.sql("m03_image_decode",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 500)
+        val feats = ids.rdd.mapPartitions { it =>
+          // decoder state would init once per partition here
+          it.map { r =>
+            val id = r.getLong(0)
+            val payload = ppmBytes(id)
+            val (w, h, mr, mg, mb, luma) = decodePpm(payload)
+            Row(id, payload.length, w, h, mr, mg, mb, luma)
+          }
+        }
+        s.createDataFrame(feats, imageFeatureSchema).orderBy(col("doc_id"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 3) % 11 AS h
+        |  FROM documents WHERE doc_id < 500),
+        |s AS (
+        |  SELECT doc_id, w, h, w * h AS n,
+        |    3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR)) + 5
+        |      + 3 * w * h AS byte_len,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, w * h),
+        |      p -> (doc_id * 31 + (3 * p) * 7) % 256), (a, x) -> a + x) AS rs,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, w * h),
+        |      p -> (doc_id * 31 + (3 * p + 1) * 7) % 256), (a, x) -> a + x) AS gs,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, w * h),
+        |      p -> (doc_id * 31 + (3 * p + 2) * 7) % 256), (a, x) -> a + x) AS bs
+        |  FROM b)
+        |SELECT doc_id, byte_len, w AS width, h AS height,
+        |  CAST(rs AS DOUBLE) / n AS mean_r,
+        |  CAST(gs AS DOUBLE) / n AS mean_g,
+        |  CAST(bs AS DOUBLE) / n AS mean_b,
+        |  0.299 * (CAST(rs AS DOUBLE) / n) + 0.587 * (CAST(gs AS DOUBLE) / n)
+        |    + 0.114 * (CAST(bs AS DOUBLE) / n) AS mean_luma
+        |FROM s
         |ORDER BY doc_id""".stripMargin)
   )
 }
