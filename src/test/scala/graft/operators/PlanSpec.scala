@@ -69,6 +69,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q29: stratified sample is one scan + one small agg (map-side only)") {
+    val p = plan("q29_stratified_sample")
+    // the kept-row decision is a projection, never a shuffle of rows:
+    // exactly the final aggregation exchange
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("d07: clustering has no cartesian product and no per-group lists") {
+    val p = plan("d07_neardup_clusters")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("collect_list"), p)
+  }
+
+  test("t04: fingerprint plan runs the native poly_hash inside codegen") {
+    val df = SparkEntry.queries("t04_fingerprint")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("poly_hash") || p.toLowerCase.contains("polyhash"), p)
+    // no interpreted HOF pipeline left on this path
+    assert(!p.contains("aggregate(transform(sequence"), p)
+  }
+
   test("explicit broadcast hints only on bounded frames (dims or aggregates)") {
     // A forced broadcast() on an SF-proportional frame is a scale-killer:
     // correct at sf0.1, executor OOM at 100×. Allowed shapes: leaf scans
