@@ -558,6 +558,38 @@ object Relational {
            |FROM documents
            |GROUP BY lang
            |ORDER BY lang""".stripMargin
-      })
+      }),
+
+    // ---------------------------------------------------------------
+    // Full outer join over two pre-aggregated frames with null
+    // coalescing — the reconcile-two-ledgers shape. Both sides reduce
+    // to per-day counts BEFORE the join (small inputs, partial aggs),
+    // so the outer join never sees fact-table cardinality.
+    QueryDef.sql("q30_full_outer_daily",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        val e = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_purchases"))
+        o.join(e, Seq("day"), "full_outer")
+          .select(col("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+          .orderBy(col("day"))
+      },
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |e AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(o.day, e.day) AS day,
+        |  COALESCE(o.n_orders, 0) AS n_orders,
+        |  COALESCE(e.n_purchases, 0) AS n_purchases
+        |FROM o FULL OUTER JOIN e ON o.day = e.day
+        |ORDER BY day""".stripMargin)
   )
 }

