@@ -117,6 +117,96 @@ object Dissociated {
     d.flush()
   }
 
+  /** Incrementally split an IPC stream read from `in`: `onSchema` fires
+    * for the schema message, `f` per batch split (sequence numbers from
+    * `startSeq`), stopping at EOS or EOF. Memory is O(one batch) — the
+    * streaming complement of [[splitStream]] for spilled artifacts.
+    * Returns the last sequence number consumed (startSeq-1 if none). */
+  def foreachSplitIn(in: InputStream, startSeq: Int)
+      (onSchema: Array[Byte] => Unit)(f: Split => Unit): Int = {
+    val d = new DataInputStream(in)
+    var seq = startSeq - 1
+    var done = false
+    while (!done) {
+      val marker = try d.readInt() catch { case _: EOFException => done = true; 0 }
+      if (!done) {
+        require(marker == -1, s"expected continuation marker, got $marker")
+        val metaLen = Integer.reverseBytes(d.readInt())
+        if (metaLen == 0) done = true // EOS
+        else {
+          // keep the 8-byte encapsulation prefix: reassembled streams
+          // must be byte-identical to plain IPC
+          val framed = new Array[Byte](8 + metaLen)
+          framed(0) = -1; framed(1) = -1; framed(2) = -1; framed(3) = -1
+          framed(4) = (metaLen & 0xff).toByte
+          framed(5) = ((metaLen >> 8) & 0xff).toByte
+          framed(6) = ((metaLen >> 16) & 0xff).toByte
+          framed(7) = ((metaLen >> 24) & 0xff).toByte
+          d.readFully(framed, 8, metaLen)
+          val header = java.nio.ByteBuffer.wrap(framed, 8, metaLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(header)
+          val body = new Array[Byte](msg.bodyLength().toInt)
+          d.readFully(body)
+          if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema)
+            onSchema(framed)
+          else {
+            seq += 1
+            f(Split(seq, framed, body))
+          }
+        }
+      }
+    }
+    seq
+  }
+
+  /** Serve the metadata channel from spilled `.arrows` part files (one
+    * per partition, name-sorted): a sequential O(one batch) pass over
+    * artifacts already on disk — the query that produced them is NOT
+    * re-run, so meta and body channels built from the same files are
+    * consistent by construction. Returns the batch count. */
+  def streamMetadataFromFiles(paths: Seq[java.nio.file.Path], out: OutputStream): Int = {
+    val d = new DataOutputStream(out)
+    var schemaSent = false
+    var seq = 0
+    paths.foreach { p =>
+      val in = new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(p), 1 << 16)
+      try {
+        seq = foreachSplitIn(in, seq + 1) { schema =>
+          if (!schemaSent) { writeMetaFrame(d, TypeSchema, 0, schema); schemaSent = true }
+        } { s => writeMetaFrame(d, TypeBatch, s.seq, s.metadata) }
+      } finally in.close()
+    }
+    writeMetaFrame(d, TypeEos, seq, Array.empty)
+    d.flush()
+    seq
+  }
+
+  /** Serve the body channel from the same spilled part files; delivery
+    * is permuted within `shuffleWindow`-frame windows to exercise
+    * out-of-order reassembly (reference transport tags are unordered). */
+  def streamBodyFromFiles(paths: Seq[java.nio.file.Path], out: OutputStream,
+      shuffleWindow: Int = 8): Unit = {
+    val d = new DataOutputStream(out)
+    var seq = 0
+    val window = scala.collection.mutable.ArrayBuffer[Split]()
+    def flushWindow(): Unit = {
+      window.reverseIterator.foreach(s => writeBodyFrame(d, s.seq, s.body))
+      window.clear()
+    }
+    paths.foreach { p =>
+      val in = new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(p), 1 << 16)
+      try {
+        seq = foreachSplitIn(in, seq + 1)(_ => ()) { s =>
+          window += s
+          if (window.size >= shuffleWindow) flushWindow()
+        }
+      } finally in.close()
+    }
+    flushWindow()
+    d.flush()
+  }
+
   /** Split a serialized Arrow IPC stream into schema + batch messages,
     * each batch cut at its body offset. */
   def splitStream(stream: Array[Byte]): (Array[Byte], Vector[Split]) = {

@@ -182,22 +182,34 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     p
   }
 
+  /** Run the query ONCE and spill it partition-parallel to .arrows part
+    * files (each registered under /files). Cached until re-register;
+    * shared by /qsplit and the dissociated channels. Serialized per
+    * name: concurrent first requests (e.g. a client opening both
+    * dissociated channels at once) must not race two overwrites into
+    * the same spill directory. */
+  private val spillLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def ensureSpilled(name: String, dfFn: () => DataFrame): Vector[String] =
+    spillLocks.computeIfAbsent(name, _ => new Object).synchronized {
+    spillCache.getOrElseUpdate(name, {
+      val dir = spillRoot.resolve(name).toFile
+      if (dir.exists) dir.listFiles().foreach(_.delete())
+      dfFn().write.format("arrows").mode("overwrite").save(dir.getPath)
+      dir.listFiles().filter(_.getName.endsWith(".arrows")).sortBy(_.getName)
+        .toVector.map { f =>
+          val key = s"$name/${f.getName}"
+          registerFile(key, f.toPath)
+          key
+        }
+    })
+  }
+
   server.createContext("/qsplit/", exchange => safely(exchange) {
     val name = exchange.getRequestURI.getPath.stripPrefix("/qsplit/")
     datasets.get(name) match {
       case None => sendText(exchange, 404, s"no dataset $name")
       case Some(dfFn) =>
-        val parts = spillCache.getOrElseUpdate(name, {
-          val dir = spillRoot.resolve(name).toFile
-          if (dir.exists) dir.listFiles().foreach(_.delete())
-          dfFn().write.format("arrows").mode("overwrite").save(dir.getPath)
-          dir.listFiles().filter(_.getName.endsWith(".arrows")).sortBy(_.getName)
-            .toVector.map { f =>
-              val key = s"$name/${f.getName}"
-              registerFile(key, f.toPath)
-              key
-            }
-        })
+        val parts = ensureSpilled(name, dfFn)
         val uris = parts.map(k => s"""{"uri": "$baseUrl/files/$k"}""").mkString(",\n  ")
         exchange.getResponseHeaders.set("Content-Type", "application/json")
         sendText(exchange, 200, s"""{"arrow_stream_files": [\n  $uris\n]}""")
@@ -366,12 +378,14 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   // ------------------------------------------------------------------
   // dissociated IPC: discovery + metadata/body channels (the reference's
   // dual-location FlightInfo + AM/tagged streams, cudf-flight-server.cc
-  // :96-104,138-182,227-258, re-expressed over HTTP). Each channel
-  // streams partition-wise through the writeParallel chunk relay —
-  // serving memory is O(prefetch window), independent of dataset size.
-  // The two channels run the query independently, so sequence pairing
-  // relies on deterministic partition contents (true for sources and
-  // deterministic plans; same premise as re-serving any /q stream).
+  // :96-104,138-182,227-258, re-expressed over HTTP). Channels serve
+  // from the SAME spilled artifacts as /qsplit: the query runs once
+  // (partition-parallel, through the DSv2 writer), then each channel is
+  // a sequential O(one batch) pass over the part files — meta/body
+  // sequence pairing is consistent by construction, with no
+  // plan-determinism premise and no second query run. A dataset that
+  // spills to zero part files (empty result) falls back to the direct
+  // chunk-relay path so a schema frame is still served.
 
   server.createContext("/dissoc/info/", exchange => safely(exchange) {
     val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/info/")
@@ -386,6 +400,9 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     }
   })
 
+  private def spilledPaths(name: String, dfFn: () => DataFrame): Vector[java.nio.file.Path] =
+    ensureSpilled(name, dfFn).map(k => files(k))
+
   server.createContext("/dissoc/meta/", exchange => safely(exchange) {
     val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/meta/")
     datasets.get(name) match {
@@ -394,7 +411,11 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
         exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
         exchange.sendResponseHeaders(200, 0)
         val out = exchange.getResponseBody
-        graft.dissociated.Dissociated.streamMetadataChannel(dfFn(), out)
+        val parts = spilledPaths(name, dfFn)
+        if (parts.nonEmpty)
+          graft.dissociated.Dissociated.streamMetadataFromFiles(parts, out)
+        else
+          graft.dissociated.Dissociated.streamMetadataChannel(dfFn(), out)
         out.close()
     }
   })
@@ -409,7 +430,11 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
         val out = exchange.getResponseBody
         // out-of-order delivery within windows of 8 (stays under the
         // client's bounded reassembly window)
-        graft.dissociated.Dissociated.streamBodyChannel(dfFn(), out)
+        val parts = spilledPaths(name, dfFn)
+        if (parts.nonEmpty)
+          graft.dissociated.Dissociated.streamBodyFromFiles(parts, out)
+        else
+          graft.dissociated.Dissociated.streamBodyChannel(dfFn(), out)
         out.close()
     }
   })

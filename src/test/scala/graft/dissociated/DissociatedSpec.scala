@@ -94,9 +94,13 @@ class DissociatedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
-  test("HTTP dual-channel: discovery, concurrent fetch, reassembly") {
+  test("HTTP dual-channel: discovery, concurrent fetch, reassembly; query runs once") {
     val server = new ArrowHttpServer(spark)
-    server.register("trading", Generators.ticker(spark, 8000, 2))
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.register("trading", {
+      runs.incrementAndGet()
+      Generators.ticker(spark, 8000, 2)
+    })
     server.start()
     try {
       val info = new String(
@@ -117,6 +121,32 @@ class DissociatedSpec extends AnyFunSuite {
       res.close()
       assert(rows.size === 8000)
       assert(rows.forall(_.getLong(1) % 100 == 0))
+      // both channels were served from ONE spilled run of the query
+      assert(runs.get() === 1)
     } finally server.stop()
+  }
+
+  test("file-backed channels are byte-consistent with the spilled parts") {
+    // spill two partitions through the DSv2 writer, then rebuild the
+    // stream from the meta/body file channels and decode it
+    val df = Generators.ticker(spark, 5000, 2)
+    val dir = java.nio.file.Files.createTempDirectory("dissoc-files")
+    df.write.format("arrows").mode("overwrite").save(dir.toString)
+    val parts = dir.toFile.listFiles().filter(_.getName.endsWith(".arrows"))
+      .sortBy(_.getName).map(_.toPath).toVector
+    assert(parts.size === 2)
+    val metaCh = new ByteArrayOutputStream()
+    val n = Dissociated.streamMetadataFromFiles(parts, metaCh)
+    val bodyCh = new ByteArrayOutputStream()
+    Dissociated.streamBodyFromFiles(parts, bodyCh)
+    val sink = new ByteArrayOutputStream()
+    val (batches, _) = Dissociated.reassemble(
+      new ByteArrayInputStream(metaCh.toByteArray),
+      new ByteArrayInputStream(bodyCh.toByteArray), sink)
+    assert(batches === n)
+    val res = ArrowBridge.read(new ByteArrayInputStream(sink.toByteArray))
+    val rows = res.rows.toVector
+    res.close()
+    assert(rows.size === 5000)
   }
 }
