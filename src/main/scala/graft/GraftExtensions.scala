@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_hash_min"),
       info("poly_hash_min", "poly_hash_min(str, w) - min rolling-window poly hash"),
       (exprs: Seq[Expression]) => functions.PolyHashMin(exprs(0), exprs(1))))
+    // custom-operator tier (c): the AS-OF join planner strategy
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }
 }

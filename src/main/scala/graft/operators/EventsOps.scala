@@ -118,6 +118,46 @@ object EventsOps {
         |WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin),
 
+    // -- as-of join, NATIVE operator path ------------------------------
+    // Same contract as q21, but through graft.plans.AsOfJoin: a custom
+    // LogicalPlan + Strategy + merge SparkPlan (SURVEY §2.5 tier (c))
+    // instead of the union+window composition. Oracle is the identical
+    // SQL — the driver compare proves the custom operator agrees with
+    // the declarative twin bit-for-bit.
+    QueryDef.sql("q31_asof_native",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .select(col("event_id"), col("user_id"), col("us"), col("event_type"))
+        val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+        val views = e.filter(col("event_type") === "view").drop("event_type")
+        graft.plans.AsOfJoin.asofJoin(purchases, views,
+            on = Seq("user_id"),
+            leftOrderCols = Seq("us", "event_id"),
+            rightOrderCols = Seq("us", "event_id"))
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("us").as("purchase_us"), col("r_event_id").as("last_view_id"),
+            (col("us") - col("r_us")).as("gap_us"))
+          .orderBy(col("purchase_id"))
+      },
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |f AS (
+        |  SELECT event_id, user_id, event_type, us,
+        |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+        |      OVER w AS last_view_us,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER w AS last_view_id
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+        |  last_view_id, us - last_view_us AS gap_us
+        |FROM f
+        |WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin),
+
     // -- per-user event-type pivot (conditional aggregation) -----------
     QueryDef.sql("q20_event_type_pivot",
       (s, d) => Tables.events(s, d)
