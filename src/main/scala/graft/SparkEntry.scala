@@ -50,9 +50,9 @@ object SparkEntry {
     val preferred = Seq(
       "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
       "q07_window_topn_per_group", "q12_events_hourly", "q16_order_count_distribution",
-      "q19_sessionization", "q21_asof_join",
-      "d03_minhash_lsh_pairs", "d06_embedding_neardup", "s01_knn_bruteforce",
-      "s02_ann_lsh", "s04_ivf_search", "t02_quality_score")
+      "q19_sessionization", "q21_asof_join", "q31_asof_native",
+      "d03_minhash_lsh_pairs", "d06_embedding_neardup", "d08_substring_dedup",
+      "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "t02_quality_score")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)

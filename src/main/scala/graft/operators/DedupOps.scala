@@ -279,6 +279,53 @@ object DedupOps {
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, cos FROM p
          |WHERE cos >= 0.30
-         |ORDER BY a_id, b_id""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // -- cross-document duplicated-span detection (exact substrings) ---
+    // The "Deduplicating Training Data Makes Language Models Better"
+    // exact-substring operator re-expressed relationally: every word
+    // 8-gram is hashed map-side; a gram duplicated across >= 2 docs
+    // marks all its occurrences. 100 TB shape: only 32-char md5s ever
+    // shuffle (never text), the dup set is a group-filter on the hash,
+    // and each doc's contamination fraction comes from one map-side
+    // count + one hash join against the (small) dup-hash set. Docs
+    // shorter than 8 words have no spans and drop out in both engines.
+    QueryDef.sql("d08_substring_dedup",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .withColumn("g8", when(size(col("ws")) < 8, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(col("ws")) - 7),
+              i => md5(concat_ws(" ", slice(col("ws"), i, lit(8)))))))
+          .select(col("doc_id"), explode(col("g8")).as("h"))
+        val dup = grams.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("h"))
+        val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val ddup = grams.join(dup, "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+        tot.join(ddup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"))
+              .as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(ws) < 8 THEN []
+         |         ELSE list_transform(range(1, len(ws) - 6),
+         |                i -> md5(array_to_string(ws[i:i+7], ' '))) END) AS h
+         |  FROM w),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+         |dd AS (SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN dup USING (h)
+         |       GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_grams, COALESCE(dd.n_dup, 0) AS n_dup,
+         |  CAST(COALESCE(dd.n_dup, 0) AS DOUBLE) / t.n_grams AS dup_frac
+         |FROM tot t LEFT JOIN dd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -590,6 +590,29 @@ object Relational {
         |  COALESCE(o.n_orders, 0) AS n_orders,
         |  COALESCE(e.n_purchases, 0) AS n_purchases
         |FROM o FULL OUTER JOIN e ON o.day = e.day
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin),
+
+    // ---------------------------------------------------------------
+    // GROUPING SETS with non-hierarchical sets — {(returnflag),
+    // (linestatus)} is expressible by neither ROLLUP (q11) nor CUBE
+    // (q26). One shuffle; Spark expands the sets map-side so partial
+    // aggregation still applies. grouping_id() disambiguates the null
+    // produced by the expansion from a null group value.
+    QueryDef.sql("q32_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          xsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n,
+         |  ${oxsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
   )
 }

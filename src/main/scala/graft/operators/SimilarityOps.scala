@@ -34,6 +34,24 @@ object SimilarityOps {
 
   private val oVecs = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
+  /** Per-label centroid table (the IVF coarse quantizer), built once per
+    * (session, dir) and persisted. Means are exact fixed-point DECIMAL
+    * sums — order-independent, O(1) agg state (see s03). */
+  private def centroids(s: SparkSession, d: String, e: DataFrame): DataFrame =
+    centCache.getOrElseUpdate((System.identityHashCode(s), d),
+      e.groupBy(col("label"))
+        .agg(array((1 to 64).map(dim =>
+          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+            .cast("double") / lit(1e7) / count(lit(1))): _*).as("cv"))
+        .persist())
+
+  /** The s04/s05 shared oracle CTE for the centroid table. */
+  private val oCents =
+    s"""SELECT label, ${(1 to 64).map(i =>
+         s"CAST(SUM(CAST(round(v[$i] * 1e7) AS DECIMAL(28,0))) AS DOUBLE) / 1e7 / COUNT(*)")
+         .mkString("[", ", ", "]")} AS cv
+       |  FROM e GROUP BY label""".stripMargin
+
   /** Hyperplane sign matrix w[p][j] ∈ {+1,−1}, p < 8, j ∈ 1..64, derived
     * ONCE from md5(p+"_"+j) — the identical values the oracle re-derives
     * per row. Precomputing drops the per-row cost from 512 interpreted
@@ -144,12 +162,7 @@ object SimilarityOps {
     QueryDef.sql("s04_ivf_search",
       (s, d) => {
         val e = vecs(s, d)
-        val cents = centCache.getOrElseUpdate((System.identityHashCode(s), d),
-          e.groupBy(col("label"))
-            .agg(array((1 to 64).map(dim =>
-              sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
-                .cast("double") / lit(1e7) / count(lit(1))): _*).as("cv"))
-            .persist())
+        val cents = centroids(s, d, e)
         val q = e.filter(col("vec_id") < 30).select(col("vec_id").as("q_id"), col("v").as("qv"))
         val wc = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
         val best = q.crossJoin(broadcast(cents))
@@ -167,11 +180,7 @@ object SimilarityOps {
           .orderBy(col("q_id"), col("rnk"))
       },
       s"""WITH e AS ($oVecs),
-         |cents AS (
-         |  SELECT label, ${(1 to 64).map(i =>
-               s"CAST(SUM(CAST(round(v[$i] * 1e7) AS DECIMAL(28,0))) AS DOUBLE) / 1e7 / COUNT(*)")
-               .mkString("[", ", ", "]")} AS cv
-         |  FROM e GROUP BY label),
+         |cents AS ($oCents),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 30),
          |scored AS (
          |  SELECT q.q_id, q.qv, c.label, ${oCosine("q.qv", "c.cv")} AS cos_c
@@ -213,6 +222,84 @@ object SimilarityOps {
          |  CAST(SUM(CAST(round(v[64] * 1e7) AS DECIMAL(28,0))) AS DOUBLE) / 1e7 AS sum_d64
          |FROM ($oVecs)
          |GROUP BY label
-         |ORDER BY label""".stripMargin)
+         |ORDER BY label""".stripMargin),
+
+    // -- IVF multiprobe: probe the 2 nearest cells, exact re-rank ------
+    // The recall knob of an IVF index: nprobe=2 doubles the candidate
+    // set while still touching a constant number of cells per query —
+    // the same broadcast-centroids + cell-join plan as s04, so the
+    // 100 TB shape is unchanged (work scales with probed-cell size, not
+    // corpus size).
+    QueryDef.sql("s05_ivf_multiprobe",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = centroids(s, d, e)
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val wc = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
+        val probed = q.crossJoin(broadcast(cents))
+          .withColumn("cos_c", cosine(col("qv"), col("cv")))
+          .withColumn("r", row_number().over(wc))
+          .filter(col("r") <= 2)
+          .select(col("q_id"), col("qv"), col("label"))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        probed.as("b").join(e.as("c"),
+            col("c.label") === col("b.label") && col("c.vec_id") =!= col("b.q_id"))
+          .select(col("b.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+            cosine(col("b.qv"), col("c.v")).as("cos"))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents AS ($oCents),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT q.q_id, q.qv, c.label, ${oCosine("q.qv", "c.cv")} AS cos_c
+         |  FROM q CROSS JOIN cents c),
+         |probed AS (
+         |  SELECT q_id, qv, label FROM (
+         |    SELECT q_id, qv, label,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_c DESC, label) AS r
+         |    FROM scored) WHERE r <= 2),
+         |cand AS (
+         |  SELECT b.q_id, e.vec_id AS n_id, ${oCosine("b.qv", "e.v")} AS cos
+         |  FROM probed b JOIN e ON e.label = b.label AND e.vec_id != b.q_id),
+         |r AS (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM cand)
+         |SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // -- int8 embedding quantization (scale + quantized vector) --------
+    // The storage/compute shrink step of a vector pipeline: per-vector
+    // symmetric int8 quantization (scale = 127/max|x|, q = floor(x*s +
+    // 0.5)). Map-side only. floor(x+0.5) instead of round() because the
+    // two engines disagree on round()'s tie rule but agree bit-for-bit
+    // on floor. Quantized values ship as a pipe-joined string: flat
+    // strings hash identically cross-engine (the d02 lesson).
+    QueryDef.sql("s06_embedding_quantize",
+      (s, d) => vecs(s, d)
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .filter(col("mx") > 0)
+        .withColumn("scale", lit(127.0) / col("mx"))
+        .select(col("vec_id"), col("scale"),
+          concat_ws("|", transform(col("v"),
+            x => floor(x * col("scale") + lit(0.5)).cast("long").cast("string")))
+            .as("q"))
+        .orderBy(col("vec_id")),
+      s"""WITH e AS ($oVecs),
+         |m AS (
+         |  SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x))) AS mx
+         |  FROM e),
+         |s AS (
+         |  SELECT vec_id, v, CAST(127.0 AS DOUBLE) / mx AS scale
+         |  FROM m WHERE mx > 0)
+         |SELECT vec_id, scale,
+         |  array_to_string(list_transform(v,
+         |    x -> CAST(CAST(floor(x * scale + 0.5) AS BIGINT) AS VARCHAR)), '|') AS q
+         |FROM s
+         |ORDER BY vec_id""".stripMargin)
   )
 }

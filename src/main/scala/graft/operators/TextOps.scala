@@ -209,6 +209,41 @@ object TextOps {
          |      '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
          |FROM p
          |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // -- repetition ratio: duplicate-bigram fraction per document ------
+    // The Gopher-style repetition quality signal: a document whose word
+    // bigrams are mostly repeats of each other is boilerplate/spam.
+    // Entirely per-row (map-side, no shuffle before the final sort) —
+    // linear at 100 TB. Counts are exact set arithmetic, the fraction a
+    // single deterministic IEEE division of two ints in both engines.
+    QueryDef.sql("t07_repetition_ratio",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("ws", words(col("text")))
+        .withColumn("g2", when(size(col("ws")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ", slice(col("ws"), i, lit(2))))))
+        .select(col("doc_id"),
+          size(col("g2")).as("n_bigrams"),
+          (size(col("g2")) - size(array_distinct(col("g2")))).as("n_dup"),
+          when(size(col("g2")) > 0,
+            (size(col("g2")) - size(array_distinct(col("g2")))).cast("double")
+              / size(col("g2")))
+            .otherwise(lit(0.0)).as("dup_frac"))
+        .orderBy(col("doc_id")),
+      s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) < 2 THEN []
+         |         ELSE list_transform(range(1, len(ws)),
+         |                i -> array_to_string(ws[i:i+1], ' ')) END AS g2
+         |  FROM w)
+         |SELECT doc_id, len(g2) AS n_bigrams,
+         |  len(g2) - len(list_distinct(g2)) AS n_dup,
+         |  CASE WHEN len(g2) > 0
+         |       THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+         |       ELSE 0.0 END AS dup_frac
+         |FROM g
+         |ORDER BY doc_id""".stripMargin)
   )
 }

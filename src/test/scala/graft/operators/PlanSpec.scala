@@ -94,6 +94,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(transform(sequence"), p)
   }
 
+  test("t07/s06: per-row operators never shuffle rows (map + final sort only)") {
+    for (name <- Seq("t07_repetition_ratio", "s06_embedding_quantize")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"), s"$name shuffles:\n$p")
+      assert(!p.contains("Join"), s"$name joins:\n$p")
+    }
+  }
+
+  test("d08: duplicated-span detection shuffles hashes, never text") {
+    val p = plan("d08_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // every hash exchange clusters on the md5 hash or doc_id — the text
+    // column never appears downstream of the gram projection
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && shuffled.forall(l =>
+      l.contains("h#") || l.contains("doc_id#")), p)
+    assert(!shuffled.exists(_.contains("text#")), p)
+  }
+
+  test("q32: grouping sets expand map-side with partial aggregation") {
+    val p = plan("q32_grouping_sets")
+    assert(p.contains("Expand"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+  }
+
   test("explicit broadcast hints only on bounded frames (dims or aggregates)") {
     // A forced broadcast() on an SF-proportional frame is a scale-killer:
     // correct at sf0.1, executor OOM at 100×. Allowed shapes: leaf scans
