@@ -108,6 +108,88 @@ object MultimodalOps {
     (w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
   }
 
+  /** Output schema of the real audio feature extractor. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("duration_s", DoubleType, nullable = false),
+    StructField("mean_amp", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /** Deterministic RIFF/WAV payload for a doc id — REAL audio bytes:
+    * 16-bit mono PCM at 8 kHz, 64..254 samples, sample k =
+    * ((id·131 + k·17) mod 65536) − 32768. Every third doc carries an
+    * extra LIST chunk between fmt and data, so the decoder's
+    * chunk-walking (not just fixed offsets) is exercised. */
+  def wavBytes(docId: Long): Array[Byte] = {
+    val rate = 8000
+    val n = 64 + (docId % 191).toInt
+    val junk = if (docId % 3 == 0) 8 + 6 else 0
+    val dataSize = 2 * n
+    val riffSize = 4 + (8 + 16) + junk + (8 + dataSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    if (junk > 0) bb.put("LIST".getBytes("US-ASCII")).putInt(6)
+      .put("GRAFT!".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < n) {
+      bb.putShort((((docId * 131 + k * 17) % 65536) - 32768).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Real WAV decoder: validates RIFF/WAVE magic, walks chunks (even-
+    * padded), parses fmt (PCM, mono, 16-bit required), then folds the
+    * data chunk into mean amplitude and RMS. */
+  def decodeWav(b: Array[Byte]): (Int, Int, Double, Double, Double) = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val c = new Array[Byte](4); bb.get(c); new String(c, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF payload")
+    bb.getInt // riff size
+    require(fourcc() == "WAVE", "not a WAVE form")
+    var rate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (bb.remaining() >= 8 && (rate < 0 || dataOff < 0)) {
+      val id = fourcc()
+      val len = bb.getInt
+      val next = bb.position() + len + (len & 1) // chunks are even-padded
+      id match {
+        case "fmt " =>
+          require(bb.getShort == 1, "not PCM")
+          require(bb.getShort == 1, "not mono")
+          rate = bb.getInt
+          bb.getInt; bb.getShort
+          require(bb.getShort == 16, "not 16-bit")
+        case "data" => dataOff = bb.position(); dataLen = len
+        case _      => () // skip unknown chunks (LIST etc.)
+      }
+      bb.position(next)
+    }
+    require(rate > 0 && dataOff >= 0, "missing fmt or data chunk")
+    val n = dataLen / 2
+    var sum = 0L
+    var sq = 0L
+    var k = 0
+    while (k < n) {
+      val v = bb.getShort(dataOff + 2 * k).toLong
+      sum += v; sq += v * v; k += 1
+    }
+    (rate, n, n.toDouble / rate, sum.toDouble / n,
+      math.sqrt(sq.toDouble / n))
+  }
+
   /** documents.text re-framed as an opaque binary payload column with a
     * metadata struct — the multimodal table shape. */
   def binaryTable(s: SparkSession, d: String): DataFrame =
@@ -210,6 +292,49 @@ object MultimodalOps {
         |  CAST(bs AS DOUBLE) / n AS mean_b,
         |  0.299 * (CAST(rs AS DOUBLE) / n) + 0.587 * (CAST(gs AS DOUBLE) / n)
         |    + 0.114 * (CAST(bs AS DOUBLE) / n) AS mean_luma
+        |FROM s
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- REAL audio decode: RIFF/WAV chunk walk + PCM stats ------------
+    // Genuine wave-file bytes (RIFF header, fmt chunk, an interleaved
+    // LIST chunk on every third doc, 16-bit PCM data); the decoder
+    // genuinely walks chunks and folds samples. The oracle recomputes
+    // every sample and the full container byte length from the
+    // generation recipe, so a header offset bug, a chunk-skip bug, or a
+    // sign error in the PCM decode fails the hash.
+    QueryDef.sql("m04_audio_decode",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 500)
+        val feats = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val payload = wavBytes(id)
+            val (rate, n, dur, mean, rms) = decodeWav(payload)
+            Row(id, payload.length, rate, n, dur, mean, rms)
+          }
+        }
+        s.createDataFrame(feats, audioFeatureSchema).orderBy(col("doc_id"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id, 64 + doc_id % 191 AS n,
+        |    CASE WHEN doc_id % 3 = 0 THEN 14 ELSE 0 END AS junk
+        |  FROM documents WHERE doc_id < 500),
+        |v AS (
+        |  SELECT doc_id, n, 44 + 2 * n + junk AS byte_len,
+        |    list_transform(range(0, n),
+        |      k -> (doc_id * 131 + k * 17) % 65536 - 32768) AS vs
+        |  FROM b),
+        |s AS (
+        |  SELECT doc_id, n, byte_len,
+        |    list_reduce([CAST(0 AS BIGINT)] || vs, (a, x) -> a + x) AS sm,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(vs, x -> x * x),
+        |      (a, x) -> a + x) AS sq
+        |  FROM v)
+        |SELECT doc_id, byte_len, 8000 AS sample_rate, n AS n_samples,
+        |  CAST(n AS DOUBLE) / 8000 AS duration_s,
+        |  CAST(sm AS DOUBLE) / n AS mean_amp,
+        |  sqrt(CAST(sq AS DOUBLE) / n) AS rms
         |FROM s
         |ORDER BY doc_id""".stripMargin)
   )
