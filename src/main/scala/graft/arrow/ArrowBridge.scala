@@ -226,6 +226,144 @@ object ArrowBridge {
     } finally w.close()
   }
 
+  /** Wire schema bytes of a [[writeDeltaDict]] stream: the schema
+    * message ONLY — unlike the one-dict-per-stream path, no dictionary
+    * batch precedes the first data (dictionaries appear when values
+    * do), so a schema probe of a delta stream is exactly this prefix. */
+  def deltaDictSchemaBytes(schema: StructType, dictCols: Seq[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeDeltaDict(schema, Iterator.empty, bos, dictCols)
+    java.util.Arrays.copyOfRange(bos.toByteArray, 0,
+      bos.size() - EosBytes.length)
+  }
+
+  /** Single-pass dictionary-DELTA stream writer: encodes `dictCols`
+    * (string columns) against dictionaries that GROW as values appear —
+    * the first values emit as a full dictionary batch, later batches
+    * emit `isDelta=true` dictionary batches carrying only unseen values
+    * (appended by spec-conforming readers; arrow-java's ArrowReader
+    * batch-appends them, so [[read]] decodes these streams unchanged).
+    *
+    * Contrast with `WriteOptions.dictColumns` (one dictionary per
+    * stream, the reference's only wire shape,
+    * get_compressed/python/server/server.py:50-52): that path needs the
+    * value set up front — a full `distinct()` pre-scan — while this one
+    * needs NO pre-scan and O(|dictionary|) writer memory, the shape for
+    * encoding unbounded streams (POST ingest, readStream) where the
+    * value set is unknown. Delta batches are the IPC spec's documented
+    * evolution of dictionary streams (format/Columnar.rst, dictionary
+    * messages).
+    *
+    * Returns (rows, batches, final dictionary size per column). */
+  def writeDeltaDict(schema: StructType, rows: Iterator[InternalRow],
+      out: OutputStream, dictCols: Seq[String], batchSize: Int = 4096)
+      : (Long, Long, Map[String, Int]) = {
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message.{ArrowDictionaryBatch, IpcOption, MessageSerializer}
+    import org.apache.arrow.vector.util.DictionaryUtility
+    require(dictCols.nonEmpty, "writeDeltaDict needs at least one dictionary column")
+    dictCols.foreach(c => require(
+      schema(c).dataType == StringType, s"dictionary column $c must be string"))
+    val alloc = newAllocator("delta-dict-write")
+    val dictIds = dictCols.zipWithIndex.toMap
+    def encoding(c: String) =
+      new DictionaryEncoding(dictIds(c).toLong, false, new ArrowType.Int(32, true))
+
+    val fields: Seq[Field] = schema.fields.toSeq.map { f =>
+      if (dictIds.contains(f.name))
+        new Field(f.name,
+          new FieldType(f.nullable, new ArrowType.Int(32, true), encoding(f.name), null),
+          List.empty[Field].asJava)
+      else ArrowSchemas.toArrowField(f)
+    }
+    val vroot = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
+    // empty value vectors let toMessageFormat recover the VALUE type for
+    // the wire schema (the index type travels in the encoding metadata)
+    val provider = new DictionaryProvider.MapDictionaryProvider()
+    dictCols.foreach { c =>
+      val dv = new VarCharVector(s"$c-dict", alloc)
+      dv.allocateNew(0); dv.setValueCount(0)
+      provider.put(new Dictionary(dv, encoding(c)))
+    }
+    val lookups = dictCols.map(c => c -> new java.util.HashMap[String, Integer]()).toMap
+    val pendingNew = dictCols.map(c => c -> scala.collection.mutable.ArrayBuffer[String]()).toMap
+
+    try {
+      val setters: Array[(InternalRow, Int) => Unit] =
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          val vec = vroot.getVector(i)
+          if (dictIds.contains(f.name)) {
+            val lookup = lookups(f.name)
+            val pend = pendingNew(f.name)
+            val iv = vec.asInstanceOf[IntVector]
+            (r: InternalRow, dst: Int) =>
+              if (r.isNullAt(i)) iv.setNull(dst)
+              else {
+                val v = r.getUTF8String(i).toString
+                var idx = lookup.get(v)
+                if (idx == null) { idx = Integer.valueOf(lookup.size); lookup.put(v, idx); pend += v }
+                iv.setSafe(dst, idx.intValue())
+              }
+          } else {
+            val s = mkSetter(vec, f.dataType, origTag(f))
+            (r: InternalRow, dst: Int) => s(r, i, dst)
+          }
+        }
+
+      val wch = new WriteChannel(Channels.newChannel(out))
+      val used = new java.util.HashSet[java.lang.Long]()
+      val msgFields = vroot.getSchema.getFields.asScala
+        .map(f => DictionaryUtility.toMessageFormat(f, provider, used))
+      MessageSerializer.serialize(wch, new ASchema(msgFields.asJava))
+
+      var rowsN = 0L
+      var batches = 0L
+      val emittedOnce = scala.collection.mutable.Set[String]()
+      while (rows.hasNext) {
+        var n = 0
+        while (rows.hasNext && n < batchSize) {
+          val r = rows.next()
+          var i = 0
+          while (i < setters.length) { setters(i)(r, n); i += 1 }
+          n += 1
+        }
+        // dictionary (delta) batches FIRST — a batch may only reference
+        // values its readers have already seen
+        dictCols.foreach { c =>
+          val pend = pendingNew(c)
+          if (pend.nonEmpty) {
+            val dv = new VarCharVector(s"$c-dict", alloc)
+            dv.allocateNew(pend.size)
+            pend.zipWithIndex.foreach { case (v, j) => dv.setSafe(j, v.getBytes(UTF_8)) }
+            dv.setValueCount(pend.size)
+            val droot = new VectorSchemaRoot(
+              List(dv.getField).asJava, List[FieldVector](dv).asJava, pend.size)
+            val rb = new VectorUnloader(droot).getRecordBatch
+            val db = new ArrowDictionaryBatch(dictIds(c).toLong, rb,
+              /* isDelta = */ emittedOnce.contains(c))
+            try MessageSerializer.serialize(wch, db) finally db.close()
+            dv.close()
+            emittedOnce += c
+            pend.clear()
+          }
+        }
+        vroot.setRowCount(n)
+        val rb = new VectorUnloader(vroot).getRecordBatch
+        try MessageSerializer.serialize(wch, rb) finally rb.close()
+        vroot.allocateNew() // reset buffers for the next fill
+        rowsN += n
+        batches += 1
+      }
+      ArrowStreamWriter.writeEndOfStream(wch, IpcOption.DEFAULT)
+      out.flush()
+      (rowsN, batches, dictCols.map(c => c -> lookups(c).size).toMap)
+    } finally {
+      vroot.close()
+      provider.getDictionaryIds.asScala.foreach(id => provider.lookup(id).getVector.close())
+      alloc.close()
+    }
+  }
+
   private def makeWriteState(schema: StructType, out: OutputStream,
       opts: WriteOptions, alloc: BufferAllocator): WriteState = {
     {

@@ -63,6 +63,17 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     datasets.put(name, () => df)
   }
 
+  /** Per-dataset DELTA-dictionary columns: encoded single-pass against
+    * dictionaries that grow as values appear — no distinct() pre-scan,
+    * no up-front value collection (the scale shape for serving streams
+    * whose value set is unknown; see ArrowBridge.writeDeltaDict). */
+  private val deltaDictCols = scala.collection.concurrent.TrieMap[String, Seq[String]]()
+
+  def registerDictDelta(name: String, df: => DataFrame, columns: Seq[String]): Unit = {
+    deltaDictCols.put(name, columns)
+    register(name, df)
+  }
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newFixedThreadPool(8, r => {
     val t = new Thread(r, "arrow-http")
@@ -96,9 +107,14 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
             if (exchange.getRequestHeaders.containsKey("X-Arrow-Schema-Only")) {
               exchange.sendResponseHeaders(200, 0)
               val out = exchange.getResponseBody
-              // must reflect the dictionary layout of the real stream
-              out.write(ArrowBridge.schemaBytes(dfFn().schema,
-                ArrowBridge.WriteOptions(dictColumns = dictCols.getOrElse(name, Map.empty))))
+              // must reflect the dictionary layout of the real stream:
+              // one-dict streams prefix an (empty-tolerant) dictionary
+              // message; delta streams are schema-only until data flows
+              out.write(deltaDictCols.get(name) match {
+                case Some(cols) => ArrowBridge.deltaDictSchemaBytes(dfFn().schema, cols)
+                case None => ArrowBridge.schemaBytes(dfFn().schema,
+                  ArrowBridge.WriteOptions(dictColumns = dictCols.getOrElse(name, Map.empty)))
+              })
               out.write(ArrowBridge.EosBytes)
               out.close()
             } else {
@@ -113,9 +129,17 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
               }
               val df = dfFn()
               try {
-                ArrowBridge.writeParallel(df, out,
-                  ArrowBridge.WriteOptions(codec = strategy.ipcCodec,
-                    dictColumns = dictCols.getOrElse(name, Map.empty)))
+                deltaDictCols.get(name) match {
+                  case Some(cols) =>
+                    // single-pass growing-dictionary encode (no IPC body
+                    // codec on this path; HTTP coding still applies)
+                    ArrowBridge.writeDeltaDict(df.schema,
+                      ArrowBridge.internalRows(df), out, cols)
+                  case None =>
+                    ArrowBridge.writeParallel(df, out,
+                      ArrowBridge.WriteOptions(codec = strategy.ipcCodec,
+                        dictColumns = dictCols.getOrElse(name, Map.empty)))
+                }
               } finally { out.close() }
             }
         }

@@ -124,4 +124,55 @@ class ArrowBridgeSpec extends AnyFunSuite {
     assert(r.getLong(1) % 100 === 0L && r.getLong(2) % 100 === 0L)
     assert(r.getLong(3) >= 1L && r.getLong(4) <= 10000L)
   }
+
+  test("delta dictionaries: growing value set, no pre-scan, standard-reader decodable") {
+    import spark.implicits._
+    // three 4-row batches whose category sets grow: {A,B} -> +{C} -> +{D}
+    val cats = Seq("A", "B", "A", "B", "B", "C", "A", "C", "D", "A", "D", "B")
+    val df = cats.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("id", "cat")
+      .coalesce(1).sortWithinPartitions("id")
+    val out = new ByteArrayOutputStream()
+    val (nRows, nBatches, sizes) = ArrowBridge.writeDeltaDict(
+      df.schema, ArrowBridge.internalRows(df), out, Seq("cat"), batchSize = 4)
+    assert(nRows === 12 && nBatches === 3)
+    assert(sizes === Map("cat" -> 4))
+
+    // wire shape: exactly one full dictionary message then deltas, each
+    // arriving before the first record batch that references it
+    val bytes = out.toByteArray
+    var off = 0
+    def readIntLE(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    val kinds = scala.collection.mutable.ArrayBuffer[(Byte, Boolean)]()
+    var done = false
+    while (!done && off < bytes.length) {
+      assert(readIntLE(off) === -1)
+      val metaLen = readIntLE(off + 4)
+      if (metaLen == 0) done = true
+      else {
+        val buf = java.nio.ByteBuffer.wrap(bytes, off + 8, metaLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(buf)
+        val isDelta = msg.headerType() ==
+          org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch &&
+          msg.header(new org.apache.arrow.flatbuf.DictionaryBatch())
+            .asInstanceOf[org.apache.arrow.flatbuf.DictionaryBatch].isDelta
+        kinds += ((msg.headerType(), isDelta))
+        off += 8 + metaLen + msg.bodyLength().toInt
+      }
+    }
+    import org.apache.arrow.flatbuf.MessageHeader.{DictionaryBatch => DB, RecordBatch => RB, Schema => SC}
+    assert(kinds.toList === List(
+      (SC, false),          // schema
+      (DB, false), (RB, false),  // full dict {A,B} + batch 1
+      (DB, true), (RB, false),   // delta {C} + batch 2
+      (DB, true), (RB, false)))  // delta {D} + batch 3
+
+    // the STANDARD reader path decodes it (arrow-java appends deltas)
+    val res = ArrowBridge.read(new ByteArrayInputStream(bytes))
+    val back = res.rows.toVector.map(r => (r.getLong(0), r.getString(1)))
+    res.close()
+    assert(back === cats.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toVector)
+  }
 }

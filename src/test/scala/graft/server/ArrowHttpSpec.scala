@@ -199,6 +199,57 @@ class ArrowHttpSpec extends AnyFunSuite {
     assert(batchMsgs >= 2, s"expected parallel per-partition batches, saw $batchMsgs")
   }
 
+  test("delta-dictionary serving: growing dict, no pre-scan, DSv2-decodable") {
+    // batches see new tickers as the stream progresses, so the serve
+    // must emit delta dictionary messages mid-stream (one full + >= 1
+    // delta) — the single-pass path with no distinct() pre-scan
+    val df = Generators.ticker(spark, 5000, 2)
+      .orderBy("ticker").coalesce(1) // value set grows across batches
+    server.registerDictDelta("ticker_delta", df, Seq("ticker"))
+    val (code, _, body) = get("/q/ticker_delta")
+    assert(code === 200)
+
+    def readIntLE(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8) |
+        ((a(off + 2) & 0xff) << 16) | ((a(off + 3) & 0xff) << 24)
+    var off = 0
+    var fullDicts = 0
+    var deltaDicts = 0
+    var done = false
+    while (!done && off < body.length) {
+      assert(readIntLE(body, off) === -1)
+      val metaLen = readIntLE(body, off + 4)
+      if (metaLen == 0) done = true
+      else {
+        val header = java.nio.ByteBuffer.wrap(body, off + 8, metaLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(header)
+        if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch) {
+          val db = msg.header(new org.apache.arrow.flatbuf.DictionaryBatch())
+            .asInstanceOf[org.apache.arrow.flatbuf.DictionaryBatch]
+          if (db.isDelta) deltaDicts += 1 else fullDicts += 1
+        }
+        off += 8 + metaLen + msg.bodyLength().toInt
+      }
+    }
+    assert(fullDicts === 1, s"expected one full dictionary, saw $fullDicts")
+    assert(deltaDicts >= 1, s"expected mid-stream delta dictionaries, saw $deltaDicts")
+
+    // bridge reader decodes (arrow-java appends deltas)
+    val res = ArrowBridge.read(new java.io.ByteArrayInputStream(body))
+    val rows = res.rows.toVector
+    res.close()
+    assert(rows.size === 5000)
+    assert(rows.map(_.getString(0)).distinct.size === 60)
+
+    // DSv2 path decodes it too
+    val viaSource = spark.read.format("arrows")
+      .option("split", "false")
+      .option("url", s"${server.baseUrl}/q/ticker_delta").load()
+    assert(viaSource.select("ticker").distinct().count() === 60)
+    assert(viaSource.count() === 5000)
+  }
+
   test("POST /ingest round-trips a stream into a temp view") {
     val df = Generators.ticker(spark, 500, 1)
     val bytes = new ByteArrayOutputStream()
