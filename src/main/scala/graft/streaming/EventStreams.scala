@@ -98,6 +98,24 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Stream-static enrichment: the unbounded side joins a STATIC
+    * dimension snapshot — Spark re-plans the join per micro-batch
+    * (broadcast for a small dim), so there is NO stream-side join
+    * state at all, the scale shape for attaching slowly-changing
+    * dimensions to an event stream (vs stream-stream joins, whose
+    * state grows with the watermark horizon). Unmatched events keep
+    * an UNKNOWN segment; windowed counts follow the enrichment. */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+      .groupBy(window(col("ts"), "5 minutes"), col("segment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("segment"), col("n"))
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

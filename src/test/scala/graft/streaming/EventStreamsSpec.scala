@@ -77,6 +77,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(usersWithOpen.size === finalOpen.size) // one open session per user
   }
 
+  test("stream-static enrichment join matches the batch twin (no join state)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dim = graft.Tables.customer(spark, sf)
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.enrichedCounts(input.toDF(), dim)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enriched_out").start()
+
+    val events = EventStreams.eventsOf(spark, sf).collect().toSeq
+    val (a, b) = events.splitAt(events.size / 2)
+    input.addData(a); query.processAllAvailable()
+    input.addData(b); query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("enriched_out")
+      .select(unix_micros(col("win_start")).as("w"), col("segment"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val want = graft.Tables.events(spark, sf)
+      .withColumn("w", expr("unix_micros(ts) div 300000000 * 300000000"))
+      .join(dim.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
+      .groupBy(col("w"), col("segment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup (watermarked) matches batch distinct within horizon") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
