@@ -158,6 +158,55 @@ object EventsOps {
         |WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin),
 
+    // -- conversion funnel: first view -> first subsequent purchase ----
+    // The product-analytics funnel shape: a running seen-view flag per
+    // user (window, one shuffle on user_id) marks purchases that happen
+    // AFTER the first view; aggregation then takes first-touch times.
+    // No range join, no per-user event buffering — state is one flag.
+    QueryDef.sql("q33_funnel",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("seen_view",
+            max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("us"))).as("first_view_us"),
+            min(when(col("event_type") === "purchase" && col("seen_view") === 1,
+              col("us"))).as("conv_us"))
+          .filter(col("first_view_us").isNotNull)
+          .select(col("user_id"), col("first_view_us"),
+            col("conv_us"),
+            (col("conv_us") - col("first_view_us")).as("gap_us"),
+            col("conv_us").isNotNull.as("converted"))
+          .orderBy(col("user_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |f AS (
+        |  SELECT user_id, event_type, us,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_view
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN us END) AS first_view_us,
+        |    MIN(CASE WHEN event_type = 'purchase' AND seen_view = 1 THEN us END)
+        |      AS conv_us
+        |  FROM f GROUP BY user_id)
+        |SELECT user_id, first_view_us, conv_us,
+        |  conv_us - first_view_us AS gap_us,
+        |  conv_us IS NOT NULL AS converted
+        |FROM g
+        |WHERE first_view_us IS NOT NULL
+        |ORDER BY user_id""".stripMargin),
+
     // -- per-user event-type pivot (conditional aggregation) -----------
     QueryDef.sql("q20_event_type_pivot",
       (s, d) => Tables.events(s, d)
@@ -177,6 +226,20 @@ object EventsOps {
         |FROM events
         |GROUP BY user_id
         |HAVING COUNT(*) >= 20
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin),
+
+    // -- HyperLogLog++ distinct sketch (approximate, rows-only check) --
+    // The sketch tier of distinct counting (exact tier: q17): HLL++
+    // partials merge associatively, so a 100 TB count is one map-side
+    // sketch per partition + a tiny merge — no exact-distinct shuffle
+    // of the key universe. Sketches are engine-specific by nature, so
+    // the driver records the weaker rows-only check; EventsSketchSpec
+    // asserts the 2% rsd contract against the exact counts instead.
+    QueryDef.rowsOnly("q34_approx_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")))
   )
 }

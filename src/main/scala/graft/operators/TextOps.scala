@@ -244,6 +244,40 @@ object TextOps {
          |       THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
          |       ELSE 0.0 END AS dup_frac
          |FROM g
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- BPE-ish tokenization: GPT-2-style pre-tokenizer regex ---------
+    // The second tier of the token-counting mandate (whitespace counts
+    // are t01): contractions, space-prefixed letter runs, digit runs,
+    // and punctuation runs — the lookahead-free subset of the GPT-2
+    // pattern so Java regex (Spark) and RE2 (DuckDB) match identically.
+    // Punctuation/digits are appended deterministically since the corpus
+    // is bare lowercase words. Per-row, zero shuffle.
+    QueryDef.sql("t08_bpe_tokens", {
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      (s, d) => Tables.documents(s, d)
+        .withColumn("txt", concat(col("text"),
+          lit(" it's v2.0, cost: $3.50 (no-refund)! id#"),
+          col("doc_id").cast("string")))
+        .select(col("doc_id"),
+          size(split(trim(col("txt")), " +")).as("n_ws_tokens"),
+          size(regexp_extract_all(col("txt"), lit(pat), lit(0))).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+      }, {
+      // the contraction alternates start with an apostrophe — double it
+      // for the SQL string literal
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        .replace("'", "''")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' it''s v2.0, cost: $$3.50 (no-refund)! id#'
+         |      || CAST(doc_id AS VARCHAR) AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(string_split_regex(trim(txt), ' +')) AS n_ws_tokens,
+         |  len(regexp_extract_all(txt, '$pat')) AS n_bpe_tokens
+         |FROM p
+         |ORDER BY doc_id""".stripMargin
+      })
   )
 }
