@@ -18,6 +18,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * (lexicographic; pass a unique tiebreaker column to make the match
   * deterministic under time ties). Unmatched left rows keep nulls on
   * the right — the same contract as the window-composition q21 twin.
+  * Null keys group together (a null-key left row can match a null-key
+  * right row) — window-partitioning semantics, matching the q21
+  * composition, NOT SQL join equality where null != null.
   *
   * 100 TB shape: both sides hash-cluster on the key and sort within
   * partitions — one shuffle each, then a single-pass two-pointer merge

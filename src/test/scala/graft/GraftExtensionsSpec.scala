@@ -28,6 +28,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(r.getLong(1) === (97L * 31 + 98) % 1000000007L)
       assert(!r.isNullAt(2))
+
+      // the injected planner strategy plans the as-of join in this
+      // session too (no AsOfJoin.install call — extensions only)
+      import spark.implicits._
+      val l = Seq((1L, "A", 10L)).toDF("id", "sym", "t")
+      val r2 = Seq((9L, "A", 5L)).toDF("id", "sym", "t")
+      val lplan = l.queryExecution.analyzed
+      val rplan = r2.toDF("r_id", "r_sym", "r_t").queryExecution.analyzed
+      def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        plans.AsOfJoinPlan(lplan, rplan,
+          Seq(attr(lplan, "sym")), Seq(attr(rplan, "r_sym")),
+          Seq(attr(lplan, "t"), attr(lplan, "id")),
+          Seq(attr(rplan, "r_t"), attr(rplan, "r_id"))))
+      assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      assert(joined.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 9L)))
     } finally spark.stop()
   }
 }
