@@ -102,10 +102,12 @@ final case class AsOfJoinExec(
         val resultProj = UnsafeProjection.create(out, out)
 
         new Iterator[InternalRow] {
-          // lookahead right row; copies are O(1) state — projection
-          // buffers (and codegen'd UnsafeRows) are reused, so rows that
-          // outlive one iteration must be snapshotted
-          private var rRow: InternalRow = _
+          // lookahead right row: the iterator (and each projection)
+          // reuses ONE buffer, so the raw row/key/ord are valid only
+          // until the next advance — rows are snapshotted lazily, ONLY
+          // when they become the running best (skipped rows cost zero
+          // copies)
+          private var rRaw: InternalRow = _
           private var rKey: UnsafeRow = _
           private var rOrd: UnsafeRow = _
           private var best: InternalRow = _
@@ -113,10 +115,10 @@ final case class AsOfJoinExec(
 
           private def advanceRight(): Unit =
             if (rIter.hasNext) {
-              rRow = rIter.next().copy()
-              rKey = rKeyProj(rRow).copy()
-              rOrd = rOrdProj(rRow).copy()
-            } else { rRow = null; rKey = null; rOrd = null }
+              rRaw = rIter.next()
+              rKey = rKeyProj(rRaw)
+              rOrd = rOrdProj(rRaw)
+            } else { rRaw = null; rKey = null; rOrd = null }
 
           advanceRight()
 
@@ -126,12 +128,12 @@ final case class AsOfJoinExec(
             val l = lIter.next()
             val lKey = lKeyProj(l)
             val lOrdRow = lOrdProj(l)
-            var c = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
-            while (rRow != null &&
+            var c = if (rRaw == null) 1 else keyOrd.compare(rKey, lKey)
+            while (rRaw != null &&
                 (c < 0 || (c == 0 && ordOrd.compare(rOrd, lOrdRow) <= 0))) {
-              if (c == 0) { best = rRow; bestKey = rKey }
+              if (c == 0) { best = rRaw.copy(); bestKey = rKey.copy() }
               advanceRight()
-              c = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+              c = if (rRaw == null) 1 else keyOrd.compare(rKey, lKey)
             }
             val matched = best != null && keyOrd.compare(bestKey, lKey) == 0
             resultProj(joined(l, if (matched) best else nullRight))
