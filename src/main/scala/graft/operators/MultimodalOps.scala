@@ -190,6 +190,50 @@ object MultimodalOps {
       math.sqrt(sq.toDouble / n))
   }
 
+  /** Output schema of the frame-sampling extractor. */
+  val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sampled_frames", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** Deterministic multi-frame container for a doc id: [n_frames:4 LE]
+    * then per frame [len:4 LE][P6 PPM bytes]; frame f's image is
+    * ppmBytes(id·7 + f), 2..6 frames per doc. */
+  def framesBytes(docId: Long): Array[Byte] = {
+    val nf = 2 + (docId % 5).toInt
+    val frames = (0 until nf).map(f => ppmBytes(docId * 7 + f))
+    val bb = java.nio.ByteBuffer.allocate(4 + frames.map(4 + _.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(nf)
+    frames.foreach { fr => bb.putInt(fr.length); bb.put(fr) }
+    bb.array()
+  }
+
+  /** Walks the container by its length prefixes, decodes ONLY every
+    * `k`-th frame (others are skipped by seek, never parsed — what
+    * makes sparse sampling cheap), and folds sampled lumas in frame
+    * order. Returns (n_frames, sampled_count, mean_sampled_luma). */
+  def sampleFrames(b: Array[Byte], k: Int): (Int, Int, Double) = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nf = bb.getInt
+    var sum = 0.0
+    var sampled = 0
+    var f = 0
+    while (f < nf) {
+      val len = bb.getInt
+      if (f % k == 0) {
+        val frame = new Array[Byte](len)
+        bb.get(frame)
+        sum += decodePpm(frame)._6
+        sampled += 1
+      } else bb.position(bb.position() + len) // seek past, no decode
+      f += 1
+    }
+    (nf, sampled, sum / sampled)
+  }
+
   /** documents.text re-framed as an opaque binary payload column with a
     * metadata struct — the multimodal table shape. */
   def binaryTable(s: SparkSession, d: String): DataFrame =
@@ -336,6 +380,72 @@ object MultimodalOps {
         |  CAST(sm AS DOUBLE) / n AS mean_amp,
         |  sqrt(CAST(sq AS DOUBLE) / n) AS rms
         |FROM s
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- frame sampling over a multi-frame container -------------------
+    // The video-pipeline op the mandate names (decode / frame-sample):
+    // payloads are REAL multi-frame containers ([n:4 LE] then per frame
+    // [len:4 LE][P6 PPM bytes]); the extractor walks the container by
+    // its length prefixes, decodes ONLY every 3rd frame with the same
+    // P6 parser m03 uses (skip cost is a seek, not a decode — the
+    // property that makes sparse sampling cheap at scale), and folds
+    // sampled lumas. The oracle recomputes sampled frames analytically,
+    // so frame indexing or seek-offset bugs fail the hash.
+    QueryDef.sql("m05_frame_sample",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 300)
+        val feats = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val payload = framesBytes(id)
+            val (n, sampled, meanLuma) = sampleFrames(payload, 3)
+            Row(id, payload.length, n, sampled, meanLuma)
+          }
+        }
+        s.createDataFrame(feats, frameFeatureSchema).orderBy(col("doc_id"))
+      },
+      // frame f of doc id is ppmBytes(id*7 + f); sampled frames are
+      // f % 3 == 0; per-frame mean luma mirrors the m03 arithmetic
+      """WITH b AS (
+        |  SELECT doc_id, 2 + doc_id % 5 AS nf FROM documents WHERE doc_id < 300),
+        |f AS (
+        |  SELECT doc_id, nf, unnest(range(0, nf)) AS fi FROM b),
+        |dims AS (
+        |  SELECT doc_id, nf, fi, doc_id * 7 + fi AS fid,
+        |    4 + (doc_id * 7 + fi) % 13 AS w,
+        |    4 + ((doc_id * 7 + fi) * 3) % 11 AS h
+        |  FROM f),
+        |sz AS (
+        |  SELECT doc_id, nf, fi, fid, w, h, w * h AS n,
+        |    3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR)) + 5
+        |      + 3 * w * h AS frame_len
+        |  FROM dims),
+        |lum AS (
+        |  SELECT doc_id, nf, fi, frame_len,
+        |    0.299 * (CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, n),
+        |        p -> (fid * 31 + (3 * p) * 7) % 256), (a, x) -> a + x) AS DOUBLE) / n)
+        |    + 0.587 * (CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, n),
+        |        p -> (fid * 31 + (3 * p + 1) * 7) % 256), (a, x) -> a + x) AS DOUBLE) / n)
+        |    + 0.114 * (CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, n),
+        |        p -> (fid * 31 + (3 * p + 2) * 7) % 256), (a, x) -> a + x) AS DOUBLE) / n)
+        |      AS luma
+        |  FROM sz),
+        |agg AS (
+        |  SELECT doc_id, nf,
+        |    4 + CAST(SUM(4 + frame_len) AS BIGINT) AS byte_len,
+        |    COUNT(*) FILTER (WHERE fi % 3 = 0) AS sampled,
+        |    -- ordered left fold, not SUM: the decoder accumulates lumas
+        |    -- in frame order, and double addition must replay that exact
+        |    -- IEEE sequence to hash-match
+        |    list_reduce([CAST(0.0 AS DOUBLE)] ||
+        |      list(luma ORDER BY fi) FILTER (WHERE fi % 3 = 0),
+        |      (a, x) -> a + x)
+        |      / COUNT(*) FILTER (WHERE fi % 3 = 0) AS mean_luma
+        |  FROM lum GROUP BY doc_id, nf)
+        |SELECT doc_id, byte_len, nf AS n_frames,
+        |  CAST(sampled AS INTEGER) AS sampled_frames, mean_luma
+        |FROM agg
         |ORDER BY doc_id""".stripMargin)
   )
 }
