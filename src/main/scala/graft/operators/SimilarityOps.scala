@@ -300,6 +300,58 @@ object SimilarityOps {
          |  array_to_string(list_transform(v,
          |    x -> CAST(CAST(floor(x * scale + 0.5) AS BIGINT) AS VARCHAR)), '|') AS q
          |FROM s
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin),
+
+    // -- k-NN over int8-quantized vectors (the s06 vectors in use) -----
+    // The quantized search path: candidates rank by the INTEGER dot
+    // product of int8 codes — exact arithmetic, so the ranking is
+    // bit-stable under any partitioning/merge order (no FP reduction in
+    // the hot path at all); the exact cosine is computed only for the
+    // k winners. At 100 TB: 4x smaller vectors to scan and an
+    // integer-SIMD inner loop, with FP touched k times per query.
+    QueryDef.sql("s07_quantized_knn",
+      (s, d) => {
+        val e = vecs(s, d)
+          .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+          .filter(col("mx") > 0)
+          .withColumn("q8", transform(col("v"),
+            x => floor(x * (lit(127.0) / col("mx")) + lit(0.5)).cast("long")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("q8").as("qq"), col("v").as("qv"))
+        val c = e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("n_id"), col("q8"), col("v"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("dot8").desc, col("n_id"))
+        q.join(c)
+          .withColumn("dot8", aggregate(
+            zip_with(col("qq"), col("q8"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("n_id"), col("dot8"),
+            cosine(col("qv"), col("v")).as("cos_exact"), col("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      s"""WITH e0 AS ($oVecs),
+         |e AS (
+         |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+         |  FROM e0),
+         |k AS (
+         |  SELECT vec_id, v, list_transform(v,
+         |    x -> CAST(floor(x * (CAST(127.0 AS DOUBLE) / mx) + 0.5) AS BIGINT)) AS q8
+         |  FROM e WHERE mx > 0),
+         |q AS (SELECT vec_id AS q_id, q8 AS qq, v AS qv FROM k WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS n_id, q8, v FROM k WHERE vec_id >= 10),
+         |sc AS (
+         |  SELECT q.q_id, c.n_id,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(q.qq) + 1),
+         |      i -> (q.qq)[i] * (c.q8)[i]), (a, b) -> a + b) AS dot8,
+         |    ${oCosine("q.qv", "c.v")} AS cos_exact
+         |  FROM q CROSS JOIN c),
+         |r AS (
+         |  SELECT q_id, n_id, dot8, cos_exact,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot8 DESC, n_id) AS rnk
+         |  FROM sc)
+         |SELECT q_id, n_id, dot8, cos_exact, rnk FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin)
   )
 }
