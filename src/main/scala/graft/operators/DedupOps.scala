@@ -326,6 +326,65 @@ object DedupOps {
          |SELECT t.doc_id, t.n_grams, COALESCE(dd.n_dup, 0) AS n_dup,
          |  CAST(COALESCE(dd.n_dup, 0) AS DOUBLE) / t.n_grams AS dup_frac
          |FROM tot t LEFT JOIN dd USING (doc_id)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- SimHash near-dup pairs via hamming-LSH band blocking ----------
+    // The hamming-space analogue of d03's MinHash bands: the 16-bit
+    // simhash splits into 4 nibble bands; candidates share a band
+    // value at the same position (any pair within hamming distance 3
+    // has >= 1 intact band — pigeonhole), then exact verification by
+    // bit_count(xor). 100 TB shape: the join key is (band, nibble) —
+    // 4 rows of a few bytes per doc — and verification touches only
+    // same-bucket candidates, never all pairs.
+    QueryDef.sql("d09_simhash_band_pairs",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("hs", transform(words(col("text")), w => md5Val(w, 4)))
+          .withColumn("simhash", expr(
+            """aggregate(
+              |  transform(sequence(0, 15), j ->
+              |    IF(aggregate(hs, 0,
+              |         (acc, x) -> acc + IF((shiftright(x, j) & 1) = 1, 1, -1)) > 0,
+              |       shiftleft(1, j), 0)),
+              |  0, (a, b) -> a + b)""".stripMargin))
+          .select(col("doc_id"), col("simhash"))
+        val bands = sh.select(col("doc_id"), col("simhash"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("key", expr("shiftright(simhash, band * 4) & 15"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+          .distinct()
+          .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+          .filter(col("hamming") <= 3)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(${oWords("text")}, w -> ${oMd5Val("w", 4)}) AS hs
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_reduce([0] || list_transform(range(0, 16), j ->
+         |      CASE WHEN list_reduce([0] || list_transform(hs, x ->
+         |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+         |           THEN (1 << j) ELSE 0 END), (a, b) -> a + b) AS simhash
+         |  FROM h),
+         |k AS (
+         |  SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sh),
+         |kb AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS key FROM k),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM kb a JOIN kb b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM pairs
+         |WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin)
   )
 }

@@ -613,6 +613,36 @@ object Relational {
          |  ${oxsum("l_quantity")} AS sum_qty
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
+
+    // ---------------------------------------------------------------
+    // RANGE-frame window: trailing 30-DAY (value range, not row count)
+    // order activity per customer — the window feature rows-frames
+    // can't express (ties and gaps in the order key change the frame).
+    // One shuffle on o_custkey; the 30-day sum is an exact DECIMAL so
+    // RANGE peers accumulate order-independently in both engines.
+    QueryDef.sql("q35_trailing_window",
+      (s, d) => {
+        val dayI = datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_i"))
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("day_i", dayI)
+          .withColumn("n_30d", count(lit(1)).over(w))
+          .withColumn("sum_30d", sum(dec4(col("o_totalprice"))).over(w).cast("double"))
+          .select(col("o_orderkey"), col("o_custkey"), col("day_i"),
+            col("n_30d"), col("sum_30d"))
+          .orderBy(col("o_orderkey"))
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_i,
+        |  COUNT(*) OVER w AS n_30d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_30d
+        |FROM orders
+        |WINDOW w AS (
+        |  PARTITION BY o_custkey
+        |  ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }
