@@ -73,6 +73,12 @@ final case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -84,6 +90,8 @@ final case class AsOfJoinExec(
     val ordTypes = leftOrder.map(_.dataType)
     val (lk, rk, lo, ro) = (leftKeys, rightKeys, leftOrder, rightOrder)
     val out = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
@@ -136,6 +144,8 @@ final case class AsOfJoinExec(
               c = if (rRaw == null) 1 else keyOrd.compare(rKey, lKey)
             }
             val matched = best != null && keyOrd.compare(bestKey, lKey) == 0
+            numOutputRows += 1
+            if (matched) numMatched += 1
             resultProj(joined(l, if (matched) best else nullRight))
           }
         }
