@@ -643,6 +643,49 @@ object Relational {
         |  PARTITION BY o_custkey
         |  ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ---------------------------------------------------------------
+    // The TPC-H Q21 shape (sole-blame analysis) on available columns:
+    // suppliers whose RETURNED line is the ONLY return in a
+    // multi-supplier order — one EXISTS (another supplier participated)
+    // and one NOT EXISTS (no other supplier's line was returned), both
+    // expressed as LeftSemi/LeftAnti self-joins on the deduplicated
+    // (order, supplier) projection, never correlated per-row loops.
+    // Scale: the dedup + both joins shuffle on l_orderkey only.
+    QueryDef.sql("q36_sole_blame",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        val failed = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val all = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val multi = failed.as("a").join(all.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
+        val sole = multi.as("a").join(failed.as("c"),
+          col("a.l_orderkey") === col("c.l_orderkey") &&
+            col("a.l_suppkey") =!= col("c.l_suppkey"), "left_anti")
+        sole.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("l_suppkey"))
+          .limit(10)
+      },
+      """WITH f AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |c AS (
+        |  SELECT f.l_orderkey, f.l_suppkey FROM f
+        |  WHERE EXISTS (SELECT 1 FROM a
+        |                WHERE a.l_orderkey = f.l_orderkey
+        |                  AND a.l_suppkey != f.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM f f2
+        |                    WHERE f2.l_orderkey = f.l_orderkey
+        |                      AND f2.l_suppkey != f.l_suppkey))
+        |SELECT l_suppkey, COUNT(*) AS numwait
+        |FROM c GROUP BY l_suppkey
+        |ORDER BY numwait DESC, l_suppkey
+        |LIMIT 10""".stripMargin)
   )
 }

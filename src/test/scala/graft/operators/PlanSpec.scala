@@ -46,6 +46,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q10_anti_join").contains("LeftAnti"))
   }
 
+  test("q36: the Q21 shape plans as semi + anti self-joins on the order key") {
+    val p = plan("q36_sole_blame")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q06_revenue_scan")(spark, sf)
