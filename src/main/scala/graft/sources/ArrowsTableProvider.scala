@@ -198,7 +198,7 @@ final class ArrowsTable(tableSchema: StructType, options: CaseInsensitiveStringM
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
@@ -399,7 +399,41 @@ final class ArrowsWriteBuilder(schema: StructType, options: Map[String, String])
   override def truncate(): WriteBuilder = this
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new ArrowsBatchWrite(schema, options)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new ArrowsStreamingWrite(schema, options)
   }
+}
+
+/** Streaming sink: each micro-batch appends deterministic
+  * `part-e<epoch>-p<partition>.arrows` files, so a retried task
+  * overwrites its own file (idempotent per (epoch, partition)) and the
+  * micro-batch arrows SOURCE can tail the same directory — the
+  * stream-through-artifacts loop. */
+final class ArrowsStreamingWrite(schema: StructType, options: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val path = options.getOrElse("path",
+    throw new IllegalArgumentException("arrows streaming write needs a path"))
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    val opts = ArrowBridge.WriteOptions(
+      batchSize = options.get("batchsize").map(_.toInt).getOrElse(4096),
+      codec = options.get("codec").filter(_ != "identity"))
+    ArrowsStreamingWriterFactory(path, schema, opts)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class ArrowsStreamingWriterFactory(path: String, schema: StructType,
+    opts: ArrowBridge.WriteOptions)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new ArrowsDataWriter(path, partitionId, schema, opts,
+      fixedName = Some(f"part-e$epochId%05d-p$partitionId%05d"))
 }
 
 final class ArrowsBatchWrite(schema: StructType, options: Map[String, String])
@@ -426,9 +460,12 @@ final case class ArrowsWriterFactory(path: String, schema: StructType,
 }
 
 final class ArrowsDataWriter(dir: String, partitionId: Int, schema: StructType,
-    opts: ArrowBridge.WriteOptions) extends DataWriter[InternalRow] {
+    opts: ArrowBridge.WriteOptions, fixedName: Option[String] = None)
+    extends DataWriter[InternalRow] {
   private val ext = if (opts.fileFormat) "arrow" else "arrows"
-  private val file = new java.io.File(dir, f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}.$ext")
+  private val file = new java.io.File(dir,
+    fixedName.map(n => s"$n.$ext").getOrElse(
+      f"part-$partitionId%05d-${UUID.randomUUID().toString.take(8)}.$ext"))
   private val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file), 1 << 16)
   private val writer = new ArrowBridge.StreamingWriter(schema, out, opts)
 
