@@ -686,6 +686,37 @@ object Relational {
         |SELECT l_suppkey, COUNT(*) AS numwait
         |FROM c GROUP BY l_suppkey
         |ORDER BY numwait DESC, l_suppkey
-        |LIMIT 10""".stripMargin)
+        |LIMIT 10""".stripMargin),
+
+    // ---------------------------------------------------------------
+    // Robust statistics: median absolute deviation per group — the
+    // outlier-resistant spread measure. Two aggregation phases (group
+    // median, then median of |x − med|) with the group medians
+    // broadcast back via an equi-join on the tiny aggregate; Spark
+    // percentile == DuckDB quantile_cont bitwise (proven by q25).
+    QueryDef.sql("q37_robust_stats",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"))
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(percentile(col("l_quantity"), lit(0.5)).as("med"))
+        li.join(med, "l_returnflag")
+          .withColumn("dev", abs(col("l_quantity") - col("med")))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("med")).as("med"),
+            percentile(col("dev"), lit(0.5)).as("mad"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH m AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l.l_returnflag, m.med, abs(l.l_quantity - m.med) AS dev
+        |  FROM lineitem l JOIN m USING (l_returnflag))
+        |SELECT l_returnflag, MIN(med) AS med,
+        |  quantile_cont(dev, 0.5) AS mad, COUNT(*) AS n
+        |FROM d GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
   )
 }
