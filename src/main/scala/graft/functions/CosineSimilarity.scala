@@ -80,10 +80,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  // Sessions already registered — re-registering is harmless but spams
+  // "SimpleFunctionRegistry ... replaced" warnings into every bench/test
+  // log. Weak keys: the set must not pin stopped sessions.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
   /** Install graft's native expressions into a session's function
     * registry (GraftSession does this automatically): `cosine_sim` is
-    * then usable from SQL and via [[cosineSim]]. */
+    * then usable from SQL and via [[cosineSim]]. Idempotent and quiet:
+    * a session is only registered once. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

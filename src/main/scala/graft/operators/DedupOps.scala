@@ -123,10 +123,13 @@ object DedupOps {
   val all: Seq[QueryDef] = Seq(
 
     // -- exact dedup: hash-groupBy on normalized text ------------------
+    // unhex(md5(...)): the distinct key shuffles as 16-byte binary, not
+    // a 32-char hex string — half the shuffle bytes at 100 TB for the
+    // identical distinct-count (hex→binary is a bijection).
     QueryDef.sql("d01_exact_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .select(col("lang"), md5(trim(col("text"))).as("h"))
+          .select(col("lang"), unhex(md5(trim(col("text")))).as("h"))
         docs.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
                countDistinct(col("h")).as("n_unique"),
@@ -134,8 +137,8 @@ object DedupOps {
           .orderBy(col("lang"))
       },
       """SELECT lang, COUNT(*) AS n_docs,
-        |  COUNT(DISTINCT md5(trim(text))) AS n_unique,
-        |  COUNT(*) - COUNT(DISTINCT md5(trim(text))) AS n_dups
+        |  COUNT(DISTINCT unhex(md5(trim(text)))) AS n_unique,
+        |  COUNT(*) - COUNT(DISTINCT unhex(md5(trim(text)))) AS n_dups
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin),
@@ -285,8 +288,10 @@ object DedupOps {
     // The "Deduplicating Training Data Makes Language Models Better"
     // exact-substring operator re-expressed relationally: every word
     // 8-gram is hashed map-side; a gram duplicated across >= 2 docs
-    // marks all its occurrences. 100 TB shape: only 32-char md5s ever
-    // shuffle (never text), the dup set is a group-filter on the hash,
+    // marks all its occurrences. 100 TB shape: only 16-byte binary md5s
+    // ever shuffle (never text, never hex strings — unhex halves the
+    // gram frame, the biggest shuffle in the suite, at ~n_words rows
+    // per doc), the dup set is a group-filter on the hash,
     // and each doc's contamination fraction comes from one map-side
     // count + one hash join against the (small) dup-hash set. Docs
     // shorter than 8 words have no spans and drop out in both engines.
@@ -296,7 +301,7 @@ object DedupOps {
           .withColumn("ws", words(col("text")))
           .withColumn("g8", when(size(col("ws")) < 8, array().cast("array<string>"))
             .otherwise(transform(sequence(lit(1), size(col("ws")) - 7),
-              i => md5(concat_ws(" ", slice(col("ws"), i, lit(8)))))))
+              i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8))))))))
           .select(col("doc_id"), explode(col("g8")).as("h"))
         val dup = grams.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("nd"))
@@ -317,7 +322,7 @@ object DedupOps {
          |  SELECT doc_id, unnest(
          |    CASE WHEN len(ws) < 8 THEN []
          |         ELSE list_transform(range(1, len(ws) - 6),
-         |                i -> md5(array_to_string(ws[i:i+7], ' '))) END) AS h
+         |                i -> unhex(md5(array_to_string(ws[i:i+7], ' ')))) END) AS h
          |  FROM w),
          |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
          |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),

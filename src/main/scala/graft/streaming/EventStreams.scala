@@ -104,12 +104,17 @@ object EventStreams {
     * state at all, the scale shape for attaching slowly-changing
     * dimensions to an event stream (vs stream-stream joins, whose
     * state grows with the watermark horizon). Unmatched events keep
-    * an UNKNOWN segment; windowed counts follow the enrichment. */
+    * an UNKNOWN segment; windowed counts follow the enrichment.
+    *
+    * No broadcast hint: the dim (customer) grows with SF, and the join
+    * is re-planned per micro-batch, so size stats / AQE pick broadcast
+    * exactly when the snapshot is actually small — a forced hint would
+    * OOM the driver at 100× (PlanSpec guards this class of hint). */
   def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
     events
       .withColumn("ts", timestamp_micros(col("us")))
       .withWatermark("ts", "10 minutes")
-      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+      .join(dim.select(col("c_custkey"), col("c_mktsegment")),
         col("user_id") === col("c_custkey"), "left")
       .withColumn("segment", coalesce(col("c_mktsegment"), lit("UNKNOWN")))
       .groupBy(window(col("ts"), "5 minutes"), col("segment"))

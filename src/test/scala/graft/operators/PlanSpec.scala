@@ -133,20 +133,50 @@ class PlanSpec extends AnyFunSuite {
     // SF-sublinear cardinality), or the hinted subtree contains an
     // Aggregate (output bounded by its grouping keys, e.g. a 1-row max
     // or a k-centroid table).
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assertBoundedHints(name, fn(spark, sf).queryExecution.analyzed)
+    }
+  }
+
+  test("streaming builders carry no broadcast hints on unbounded frames") {
+    // The same scale rule applies to streaming plans — and a forced
+    // broadcast there is WORSE, because a stream-static join re-plans
+    // (and would re-broadcast) every micro-batch. These builders aren't
+    // in SparkEntry.queries, so they get their own guard.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = MemoryStream[EventStreams.Event].toDF()
+    val evDs = MemoryStream[EventStreams.Event].toDS()
+    val docs = MemoryStream[(Long, Long, String)].toDF()
+      .toDF("doc_id", "us", "text")
+    val plans = Seq(
+      "tumblingCounts" -> EventStreams.tumblingCounts(ev),
+      "sessionize" -> EventStreams.sessionize(evDs).toDF(),
+      "dedupStream" -> EventStreams.dedupStream(docs),
+      "enrichedCounts" -> EventStreams.enrichedCounts(
+        ev, graft.Tables.customer(spark, sf)))
+    plans.foreach { case (name, df) =>
+      assertBoundedHints(s"EventStreams.$name", df.queryExecution.analyzed)
+    }
+  }
+
+  private def assertBoundedHints(
+      name: String,
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
     val dimPrefixes = Seq("r_", "n_", "s_")
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val analyzed = fn(spark, sf).queryExecution.analyzed
-      analyzed.foreach {
-        case h: ResolvedHint =>
-          val hasAgg = h.child.collectFirst { case a: Aggregate => a }.isDefined
-          val leaves = h.child.collectLeaves()
-          val dimOnly = leaves.nonEmpty && leaves.forall(l =>
-            dimPrefixes.exists(p => l.schema.fieldNames.forall(_.startsWith(p))))
-          assert(hasAgg || dimOnly,
-            s"$name: broadcast hint on unbounded frame:\n${h.child.treeString}")
-        case _ =>
-      }
+    analyzed.foreach {
+      case h: ResolvedHint =>
+        val hasAgg = h.child.collectFirst { case a: Aggregate => a }.isDefined
+        val leaves = h.child.collectLeaves()
+        val dimOnly = leaves.nonEmpty && leaves.forall(l =>
+          dimPrefixes.exists(p => l.schema.fieldNames.forall(_.startsWith(p))))
+        assert(hasAgg || dimOnly,
+          s"$name: broadcast hint on unbounded frame:\n${h.child.treeString}")
+      case _ =>
     }
   }
 }
