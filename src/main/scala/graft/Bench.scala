@@ -8,8 +8,17 @@ import org.apache.spark.sql.SparkSession
   * over HTTP and read it back, reporting batches + seconds as
   * http/get_simple/README.md:37 mandates.
   *
+  * Noise defense: every headline query is timed REPS (default 3) times
+  * and the reported figure is the min — on a multi-tenant box a single
+  * timing can be 2-5× off (r2's d03 artifact read 24.3 s against a
+  * quiet-box 4.5 s). Per-run numbers are kept in the JSON under "runs"
+  * so a noisy round is diagnosable from the artifact alone. Failures
+  * propagate: a broken query must fail the bench loudly, not record a
+  * fast-but-empty timing.
+  *
   * Prints exactly one JSON line:
-  * {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...}
+  * {"metric":"total","value":S,"unit":"sec","queries":{name:minSec},
+  *  "runs":{name:[sec,...]},"sf":...}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,8 +33,9 @@ object Bench {
     // the steady-state shape at scale is signatures persisted to a
     // bucketed table, with dedup queries running against it, so the
     // measured d03 is the recurring cost, not the one-time build.
-    try fns(names.head)(spark, sfDir).count() catch { case _: Throwable => () }
-    try fns("d03_minhash_lsh_pairs")(spark, sfDir).count() catch { case _: Throwable => () }
+    // No exception guard: a broken warm-up query must fail the bench.
+    fns(names.head)(spark, sfDir).count()
+    fns("d03_minhash_lsh_pairs")(spark, sfDir).count()
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -33,41 +43,58 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     names.foreach { name =>
-      results(name) = timed {
-        try fns(name)(spark, sfDir).count() catch { case _: Throwable => () }
-      }
+      runs(name) = (1 to reps).map(_ => timed(fns(name)(spark, sfDir).count()))
     }
 
-    // get_simple loop: 10M rows x 4 int64 (scaled-down reference payload,
-    // same schema/batch size; 100M at full scale) served over localhost
-    // HTTP as one Arrow IPC stream, read back via the arrows source.
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
-    var batches = 0L
-    val arrowsSecs = timed {
-      val server = new graft.server.ArrowHttpServer(spark)
-      server.register("bench", graft.datagen.Generators.flightBench(spark, benchRows))
-      server.start()
-      try {
-        val df = spark.read.format("arrows")
-          .option("url", s"${server.baseUrl}/q/bench").load()
-        val n = df.count()
-        require(n == benchRows, s"arrows loop read $n rows")
-        // actual batch count of the stream that was read: sum each
-        // served part's /offsets index (not a derivation from row count)
-        val parts = graft.sources.ArrowsTableProvider
-          .probeSplits(s"${server.baseUrl}/q/bench")
-        batches = parts.map { u =>
-          val oj = new String(java.net.URI.create(u.replace("/files/", "/offsets/"))
-            .toURL.openStream().readAllBytes(), "UTF-8")
-          "\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(oj).size.toLong
-        }.sum
-      } finally server.stop()
+    /** get_simple loop: rows × 4 int64 (reference payload schema and
+      * 4096-row batches) served over localhost HTTP, read back through
+      * the arrows source's /qsplit parallel path. Returns (seconds,
+      * batches actually present in the served artifacts). */
+    def arrowsLoop(rows: Long): (Double, Long) = {
+      var batches = 0L
+      val secs = timed {
+        val server = new graft.server.ArrowHttpServer(spark)
+        server.register("bench", graft.datagen.Generators.flightBench(spark, rows))
+        server.start()
+        try {
+          val df = spark.read.format("arrows")
+            .option("url", s"${server.baseUrl}/q/bench").load()
+          val n = df.count()
+          require(n == rows, s"arrows loop read $n rows, expected $rows")
+          // actual batch count of the stream that was read: sum each
+          // served part's /offsets index (not a derivation from row count)
+          val parts = graft.sources.ArrowsTableProvider
+            .probeSplits(s"${server.baseUrl}/q/bench")
+          batches = parts.map { u =>
+            val oj = new String(java.net.URI.create(u.replace("/files/", "/offsets/"))
+              .toURL.openStream().readAllBytes(), "UTF-8")
+            "\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(oj).size.toLong
+          }.sum
+        } finally server.stop()
+      }
+      (secs, batches)
     }
-    results("arrows_http_loop_10m") = arrowsSecs
-    System.err.println(
-      f"arrows loop: $batches record batches received, $arrowsSecs%.2f seconds elapsed")
+
+    locally {
+      val (secs, batches) = arrowsLoop(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong)
+      runs("arrows_http_loop_10m") = Seq(secs)
+      System.err.println(
+        f"arrows loop: $batches record batches received, $secs%.2f seconds elapsed")
+    }
+
+    // The full-scale reference payload (http/get_simple: 100M rows,
+    // ~24.4k batches) — the one BASELINE.md throughput figure. Run once:
+    // it is a 3.2 GB serve+read loop, internally parallel on both sides.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "1") == "1") {
+      val (secs, batches) = arrowsLoop(100000000L)
+      runs("arrows_http_loop_100m") = Seq(secs)
+      System.err.println(
+        f"arrows loop 100M: $batches record batches received, $secs%.2f seconds elapsed")
+    }
 
     // client timing breakdown (time-to-schema / time-to-first-batch /
     // total), the get_compressed client's mandated metrics — measured
@@ -89,18 +116,100 @@ object Bench {
         while (reader.loadNextBatch()) nb += 1
         val tTotal = (System.nanoTime() - t0) / 1e9
         reader.close(); alloc.close()
-        results("arrows_time_to_schema") = tSchema
-        results("arrows_time_to_first_batch") = tFirst
-        results("arrows_client_total_1m") = tTotal
+        runs("arrows_time_to_schema") = Seq(tSchema)
+        runs("arrows_time_to_first_batch") = Seq(tFirst)
+        runs("arrows_client_total_1m") = Seq(tTotal)
         System.err.println(
           f"client metrics (1M rows): schema $tSchema%.3f s, first batch $tFirst%.3f s, total $tTotal%.2f s, $nb batches")
       } finally server.stop()
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Multipart parse overhead — the reference's one measured perf
+    // lesson (naive parse = 85% of total fetch time on a ~1 GB body,
+    // http/get_multipart/python/client/README.md:41-49). Same in-memory
+    // body through both parsers, isolating parse cost from transport:
+    //   naive     = buffer the whole body, scan, copy each part out
+    //               (readAllBytes + per-part slices — already kinder
+    //               than the reference's email-parser client)
+    //   streaming = MultipartStream, O(chunk) memory, zero part copies
+    locally {
+      val boundary = "bench0123456789benchBENCHbench0123456"
+      val bodySize = 1L << 30 // ~1 GiB binary middle part
+      val head = ("\r\n--" + boundary + "\r\nContent-Type: application/json\r\n\r\n" +
+        """{"name":"bench"}""" +
+        "\r\n--" + boundary + "\r\nContent-Type: application/vnd.apache.arrow.stream\r\n\r\n")
+        .getBytes("UTF-8")
+      val foot = ("\r\n--" + boundary + "\r\nContent-Type: text/plain\r\n\r\nok\r\n--" +
+        boundary + "--\r\n").getBytes("UTF-8")
+      val body = new Array[Byte](head.length + bodySize.toInt + foot.length)
+      System.arraycopy(head, 0, body, 0, head.length)
+      java.util.Arrays.fill(body, head.length, head.length + bodySize.toInt, 0x41.toByte)
+      // sprinkle \r so the delimiter first-byte check actually fires
+      var p = head.length
+      while (p < head.length + bodySize.toInt) { body(p) = '\r'; p += 4093 }
+      System.arraycopy(foot, 0, body, head.length + bodySize.toInt, foot.length)
+      val delim = ("\r\n--" + boundary).getBytes("UTF-8")
+
+      def naiveParse(): Long = {
+        // emulate a buffer-everything client: full-body copy stands in
+        // for readAllBytes, then boundary scan + per-part copy
+        val buf = java.util.Arrays.copyOf(body, body.length)
+        def find(from: Int): Int = {
+          var i = from
+          while (i <= buf.length - delim.length) {
+            if (buf(i) == delim(0)) {
+              var j = 1
+              while (j < delim.length && buf(i + j) == delim(j)) j += 1
+              if (j == delim.length) return i
+            }
+            i += 1
+          }
+          -1
+        }
+        var total = 0L
+        var at = find(0)
+        while (at >= 0) {
+          val next = find(at + delim.length)
+          if (next >= 0) {
+            var bodyStart = at + delim.length
+            // skip part headers: find \r\n\r\n
+            while (bodyStart < next && !(buf(bodyStart) == '\r' && buf(bodyStart + 1) == '\n'
+              && buf(bodyStart + 2) == '\r' && buf(bodyStart + 3) == '\n')) bodyStart += 1
+            bodyStart += 4
+            val part = java.util.Arrays.copyOfRange(buf, bodyStart, next)
+            total += part.length
+          }
+          at = next
+        }
+        total
+      }
+
+      def streamParse(): Long = {
+        var total = 0L
+        val chunk = new Array[Byte](64 * 1024)
+        graft.server.MultipartStream.parse(
+          new java.io.ByteArrayInputStream(body), boundary) { part =>
+          var n = part.body.read(chunk)
+          while (n != -1) { total += n; n = part.body.read(chunk) }
+        }
+        total
+      }
+
+      // warm both paths on a small prefix-shaped body, then time
+      val tNaive = (1 to 2).map(_ => timed { naiveParse() }).min
+      val tStream = (1 to 2).map(_ => timed { streamParse() }).min
+      runs("multipart_naive_parse_1g") = Seq(tNaive)
+      runs("multipart_stream_parse_1g") = Seq(tStream)
+      System.err.println(
+        f"multipart 1 GiB parse: naive $tNaive%.2f s, streaming $tStream%.2f s")
+    }
+
+    val mins = runs.map { case (k, v) => k -> v.min }
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rs = runs.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = mins.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
