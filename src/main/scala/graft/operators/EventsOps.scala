@@ -228,18 +228,34 @@ object EventsOps {
         |HAVING COUNT(*) >= 20
         |ORDER BY user_id""".stripMargin),
 
-    // -- HyperLogLog++ distinct sketch (approximate, rows-only check) --
+    // -- HyperLogLog++ distinct sketch (approximate, bounded check) ----
     // The sketch tier of distinct counting (exact tier: q17): HLL++
     // partials merge associatively, so a 100 TB count is one map-side
     // sketch per partition + a tiny merge — no exact-distinct shuffle
-    // of the key universe. Sketches are engine-specific by nature, so
-    // the driver records the weaker rows-only check; EventsSketchSpec
-    // asserts the 2% rsd contract against the exact counts instead.
-    QueryDef.rowsOnly("q34_approx_distinct",
+    // of the key universe. The estimate itself is engine-specific and
+    // can't hash-match an exact oracle, but its CONTRACT can: we emit
+    // the exact per-group count plus a deterministic within_tolerance
+    // boolean (|approx−exact|/exact ≤ 3×rsd, the same bound
+    // EventsSketchSpec asserts), and the oracle emits the same exact
+    // counts with within_tolerance literally TRUE — so an estimate
+    // drifting out of bound flips the boolean and fails the hash
+    // compare, making the approximation itself driver-checkable.
+    QueryDef.sql("q34_approx_distinct",
       (s, d) => Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
-        .orderBy(col("event_type")))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx_users") - col("exact_users")).cast("double")
+            / col("exact_users") <= lit(0.06)).as("within_tolerance"))
+        .orderBy(col("event_type")),
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  COUNT(*) AS n,
+        |  TRUE AS within_tolerance
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
   )
 }
