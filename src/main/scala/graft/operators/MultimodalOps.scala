@@ -8,40 +8,118 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, batched decode/feature-extract per partition.
   *
-  * Two decode tiers:
-  *  - [[decodePpm]] is a REAL image decoder — binary P6 PPM (magic,
-  *    comments, dims, maxval, interleaved RGB bytes) parsed from the
-  *    payload with channel-mean + Rec.601 luma features (m03). The
-  *    payloads are real image bytes synthesized deterministically, so
-  *    the DuckDB oracle can recompute every pixel.
-  *  - [[stubDecode]] remains the clearly-marked stand-in for formats
-  *    whose codecs the container lacks (JPEG/audio/video); the
-  *    surrounding plumbing — binary column, metadata struct,
-  *    partition-parallel batched transform — is identical, so swapping
-  *    in a JNI/ffmpeg decoder changes no plan shape.
+  * Three decode tiers, all REAL (no stubs remain):
+  *  - [[decodePpm]] — our own binary P6 PPM parser (magic, comments,
+  *    dims, maxval, interleaved RGB) with channel-mean + Rec.601 luma
+  *    features (m03, and per-frame in m05).
+  *  - [[decodeImage]] — the JDK's ImageIO codecs (zero external deps,
+  *    headless-safe): lossless BMP with a pixel-exact oracle (m02) and
+  *    lossy JPEG with a tolerance-contract oracle (m06).
+  *  - [[decodeWav]] — RIFF/WAV chunk walker + PCM stats (m04).
+  * Payloads are real file bytes synthesized deterministically, so the
+  * DuckDB oracle recomputes pixels/samples/container lengths exactly.
+  * Video codecs proper aren't in the container; m05's length-prefixed
+  * frame container stands in, with real per-frame image decode.
   */
 object MultimodalOps {
 
-  /** Output schema of the feature extractor. */
-  val featureSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("byte_len", IntegerType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("mean_luma", DoubleType, nullable = false)))
+  /** Deterministic 24-bpp bottom-up BMP payload for a doc id — REAL
+    * image-file bytes decodable by any BMP reader (m02 uses the JDK's
+    * ImageIO, zero external deps). Dims as [[ppmBytes]]; pixel (x,y)
+    * channel c ∈ {0=R,1=G,2=B} is byte (id·31 + (3·(y·w+x)+c)·7) mod
+    * 256 — the same recipe as the PPM tier, so the oracle arithmetic
+    * is shared. */
+  def bmpBytes(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 13).toInt
+    val h = 4 + ((docId * 3) % 11).toInt
+    val rowSize = (3 * w + 3) & ~3 // rows pad to 4-byte multiples
+    val imgSize = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up raster, BGR byte order
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        bb.put(((docId * 31 + (p + 2) * 7) % 256).toByte)
+        bb.put(((docId * 31 + (p + 1) * 7) % 256).toByte)
+        bb.put(((docId * 31 + p * 7) % 256).toByte)
+        x += 1
+      }
+      var pad = rowSize - 3 * w
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
 
-  /** STUB decoder: stands in for an image decode. Deterministic fake:
-    * derives "dimensions" and a "mean luma" from the payload bytes alone,
-    * so tests are stable. A real build would decode `payload` here.
-    */
-  def stubDecode(payload: Array[Byte]): (Int, Int, Double) = {
-    val n = payload.length
-    val w = math.max(1, n % 640)
-    val h = math.max(1, (n * 7) % 480)
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum += (payload(i) & 0xff); i += 1 }
-    (w, h, if (n == 0) 0.0 else sum.toDouble / n)
+  /** Decode any ImageIO-supported payload (BMP/JPEG/PNG/GIF) and fold
+    * per-channel means + Rec.601 luma. This is the JDK-native decoder
+    * tier: one ImageIO round per row inside mapPartitions, no external
+    * codec libraries. */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Double, Double, Double, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload not decodable by ImageIO")
+    val w = img.getWidth
+    val h = img.getHeight
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        rs += (rgb >> 16) & 0xff
+        gs += (rgb >> 8) & 0xff
+        bs += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w * h
+    val mr = rs.toDouble / n
+    val mg = gs.toDouble / n
+    val mb = bs.toDouble / n
+    (w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+  }
+
+  /** Deterministic JPEG payload for a doc id: a smooth two-axis
+    * gradient (r = baseR + x, g = baseG + y, b = baseB constant) JPEG-
+    * encoded at quality 0.9 through the JDK's own writer. Smooth
+    * content keeps lossy error ≈1 luma unit, so decoded channel means
+    * sit well inside the tolerance m06 asserts — while a decoder bug
+    * (channel swap, raster offset) lands tens of units out. */
+  def jpegBytes(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 17).toInt
+    val h = 16 + ((docId * 5) % 13).toInt
+    val baseR = 30 + ((docId * 7) % 150).toInt
+    val baseG = 60 + ((docId * 11) % 120).toInt
+    val baseB = 90 + ((docId * 13) % 100).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((baseR + x) << 16) | ((baseG + y) << 8) | baseB)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.9f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    ios.close()
+    out.toByteArray
   }
 
   /** Output schema of the real image feature extractor. */
@@ -245,22 +323,12 @@ object MultimodalOps {
         col("source").as("origin"),
         length(encode(col("text"), "UTF-8")).as("byte_len")).as("meta"))
 
-  /** Partition-parallel batched feature extraction over the binary
-    * column — the mapPartitions shape a real decoder would use (one
-    * decoder init per partition, row-batched inner loop). */
-  def extractFeatures(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val rdd = df.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
-      // decoder init would happen once per partition here
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val (w, h, luma) = stubDecode(payload)
-        Row(id, payload.length, w, h, luma)
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
-  }
+  /** Output schema of the JPEG tolerance-contract extractor (m06). */
+  val jpegFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("within_tolerance", BooleanType, nullable = false)))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -279,20 +347,85 @@ object MultimodalOps {
         |FROM documents
         |ORDER BY doc_id""".stripMargin),
 
-    // -- stub decode features: oracle mirrors the stub's arithmetic ----
+    // -- REAL ImageIO decode: BMP file bytes through the JDK decoder ---
+    // The stub tier is gone: payloads are genuine BMP files (file
+    // header, info header, bottom-up padded BGR raster) and the decode
+    // is the JDK's own ImageIO — a codec we didn't write — inside the
+    // same mapPartitions plumbing. The oracle recomputes every pixel
+    // (and the exact container byte length, padding included) from the
+    // generation recipe, so a raster-order, padding, or channel-order
+    // bug in either our encoder or our use of the decoder fails the
+    // hash pixel-exactly.
     QueryDef.sql("m02_decode_features",
-      (s, d) => extractFeatures(binaryTable(s, d)).orderBy(col("doc_id")),
-      // documents.text is pure ASCII (verified), so UTF-8 payload bytes
-      // == text chars and the oracle can do char arithmetic directly.
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 500)
+        val feats = ids.rdd.mapPartitions { it =>
+          // ImageIO reader lookup is per-call; per-partition init would
+          // hold a reusable reader here
+          it.map { r =>
+            val id = r.getLong(0)
+            val payload = bmpBytes(id)
+            val (w, h, mr, mg, mb, luma) = decodeImage(payload)
+            Row(id, payload.length, w, h, mr, mg, mb, luma)
+          }
+        }
+        s.createDataFrame(feats, imageFeatureSchema).orderBy(col("doc_id"))
+      },
       """WITH b AS (
-        |  SELECT doc_id, text AS t, octet_length(encode(text)) AS n
-        |  FROM documents)
-        |SELECT doc_id, n AS byte_len,
-        |  greatest(1, n % 640) AS width,
-        |  greatest(1, (n * 7) % 480) AS height,
-        |  CAST(list_reduce([0] || list_transform(range(1, n + 1),
-        |    i -> ascii(t[i:i])), (a, x) -> a + x) AS DOUBLE) / n AS mean_luma
-        |FROM b
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 3) % 11 AS h
+        |  FROM documents WHERE doc_id < 500),
+        |s AS (
+        |  SELECT doc_id, w, h, w * h AS n,
+        |    54 + ((3 * w + 3) // 4) * 4 * h AS byte_len,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, w * h),
+        |      p -> (doc_id * 31 + (3 * p) * 7) % 256), (a, x) -> a + x) AS rs,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, w * h),
+        |      p -> (doc_id * 31 + (3 * p + 1) * 7) % 256), (a, x) -> a + x) AS gs,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, w * h),
+        |      p -> (doc_id * 31 + (3 * p + 2) * 7) % 256), (a, x) -> a + x) AS bs
+        |  FROM b)
+        |SELECT doc_id, byte_len, w AS width, h AS height,
+        |  CAST(rs AS DOUBLE) / n AS mean_r,
+        |  CAST(gs AS DOUBLE) / n AS mean_g,
+        |  CAST(bs AS DOUBLE) / n AS mean_b,
+        |  0.299 * (CAST(rs AS DOUBLE) / n) + 0.587 * (CAST(gs AS DOUBLE) / n)
+        |    + 0.114 * (CAST(bs AS DOUBLE) / n) AS mean_luma
+        |FROM s
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- REAL lossy JPEG decode with a tolerance contract --------------
+    // The compressed-format tier: smooth-gradient images JPEG-encoded
+    // and decoded through the JDK codec. Lossy output can't hash-match
+    // an exact oracle, so like q34 the CONTRACT does: dimensions are
+    // lossless (exact), and decoded channel means must sit within 4
+    // luma units of the analytic means — true for a correct decode of
+    // smooth content (error ≈1), false for any channel-order or raster
+    // bug (error ≈30+). Oracle emits the analytic dims + literal TRUE.
+    QueryDef.sql("m06_jpeg_decode",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 300)
+        val feats = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val (w, h, mr, mg, mb, _) = decodeImage(jpegBytes(id))
+            val exR = 30 + ((id * 7) % 150).toInt + (w - 1) / 2.0
+            val exG = 60 + ((id * 11) % 120).toInt + (h - 1) / 2.0
+            val exB = 90 + ((id * 13) % 100).toInt.toDouble
+            val ok = math.abs(mr - exR) <= 4.0 && math.abs(mg - exG) <= 4.0 &&
+              math.abs(mb - exB) <= 4.0
+            Row(id, w, h, ok)
+          }
+        }
+        s.createDataFrame(feats, jpegFeatureSchema).orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 17 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id * 5) % 13 AS INTEGER) AS height,
+        |  TRUE AS within_tolerance
+        |FROM documents
+        |WHERE doc_id < 300
         |ORDER BY doc_id""".stripMargin),
 
     // -- REAL image decode: P6 PPM parse + channel means ---------------

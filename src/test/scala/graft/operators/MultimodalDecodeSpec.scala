@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decoder-level specs for the multimodal tier — these pin behaviors
+  * the oracle can't see directly (JPEG error margin, ImageIO round-trip
+  * identity) so a codec regression is caught before the driver gate. */
+class MultimodalDecodeSpec extends AnyFunSuite {
+
+  test("BMP bytes decode pixel-exactly via ImageIO to the generation recipe") {
+    (0L until 50L).foreach { id =>
+      val (w, h, mr, mg, mb, _) = MultimodalOps.decodeImage(MultimodalOps.bmpBytes(id))
+      assert(w == 4 + (id % 13).toInt && h == 4 + ((id * 3) % 11).toInt)
+      val n = w * h
+      def mean(c: Int): Double =
+        (0 until n).map(p => (id * 31 + (3 * p + c) * 7) % 256).sum.toDouble / n
+      assert(mr == mean(0) && mg == mean(1) && mb == mean(2),
+        s"doc $id channel means diverge from recipe")
+    }
+  }
+
+  test("JPEG decode error stays ~1 luma unit on smooth gradients, far under the 4.0 contract") {
+    var worst = 0.0
+    (0L until 50L).foreach { id =>
+      val (w, h, mr, mg, mb, _) = MultimodalOps.decodeImage(MultimodalOps.jpegBytes(id))
+      assert(w == 16 + (id % 17).toInt && h == 16 + ((id * 5) % 13).toInt)
+      val exR = 30 + ((id * 7) % 150).toInt + (w - 1) / 2.0
+      val exG = 60 + ((id * 11) % 120).toInt + (h - 1) / 2.0
+      val exB = 90 + ((id * 13) % 100).toInt.toDouble
+      worst = math.max(worst, math.abs(mr - exR))
+      worst = math.max(worst, math.abs(mg - exG))
+      worst = math.max(worst, math.abs(mb - exB))
+    }
+    // the m06 contract asserts <= 4.0; require real headroom here so
+    // environment drift surfaces as a spec failure, not an oracle flake
+    assert(worst <= 2.5, f"worst JPEG channel-mean error $worst%.2f")
+  }
+
+  test("a channel-swapped decode would violate the JPEG tolerance (contract is discriminating)") {
+    // swap R and B of the decoded means: must land far outside 4.0 for
+    // at least most docs — proves within_tolerance isn't vacuously true
+    val violations = (0L until 50L).count { id =>
+      val (w, h, mr, _, mb, _) = MultimodalOps.decodeImage(MultimodalOps.jpegBytes(id))
+      val exR = 30 + ((id * 7) % 150).toInt + (w - 1) / 2.0
+      val exB = 90 + ((id * 13) % 100).toInt.toDouble
+      math.abs(mb - exR) > 4.0 || math.abs(mr - exB) > 4.0
+    }
+    assert(violations >= 45, s"only $violations/50 channel-swapped docs violate tolerance")
+  }
+}
