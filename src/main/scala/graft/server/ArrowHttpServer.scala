@@ -54,10 +54,22 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   }
 
   /** Register with dictionary encoding on the given string columns;
-    * their distinct values are collected once, eagerly. */
+    * their distinct values are collected once, eagerly. The collect is
+    * CAPPED at [[ArrowHttpServer.MaxDictValues]] per column: an
+    * up-front dictionary only makes sense for genuinely low-cardinality
+    * columns (the reference's case is 60 tickers), and an unguarded
+    * collect() on an API surface is a driver-OOM hazard at scale —
+    * high-cardinality columns belong on [[registerDictDelta]], which
+    * streams the dictionary single-pass and never collects. */
   def registerDict(name: String, df: DataFrame, columns: Seq[String]): Unit = {
+    val max = ArrowHttpServer.MaxDictValues
     val dicts = columns.map { c =>
-      c -> df.select(c).distinct().orderBy(c).collect().map(_.getString(0))
+      val vals = df.select(c).distinct().orderBy(c).limit(max + 1)
+        .collect().map(_.getString(0))
+      require(vals.length <= max,
+        s"registerDict($name): column '$c' has more than $max distinct values; " +
+          "use registerDictDelta, which never collects the value set")
+      c -> vals
     }.toMap
     dictCols.put(name, dicts)
     datasets.put(name, () => df)
@@ -496,6 +508,13 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
 
   def start(): ArrowHttpServer = { server.start(); this }
   def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
+}
+
+object ArrowHttpServer {
+  /** Cap on eagerly-collected dictionary values per column in
+    * [[ArrowHttpServer.registerDict]]; beyond this the value set is no
+    * longer "small" and must stream via registerDictDelta. */
+  val MaxDictValues: Int = 4096
 }
 
 /** Coalesces writes to >= minSize before forwarding (the reference's

@@ -151,6 +151,19 @@ class ArrowHttpSpec extends AnyFunSuite {
     assert(footnotes.contains("seconds elapsed"))
   }
 
+  test("registerDict refuses high-cardinality columns, pointing at the delta path") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // one distinct value per row — far over MaxDictValues
+    val wide = Generators.flightBench(spark, ArrowHttpServer.MaxDictValues + 64, 2)
+      .select(concat(lit("v"), col("a")).as("k"))
+    val e = intercept[IllegalArgumentException] {
+      server.registerDict("too_wide", wide, Seq("k"))
+    }
+    assert(e.getMessage.contains("registerDictDelta"))
+    // the failed register must not leave a half-registered dataset
+    assert(get("/q/too_wide")._1 === 404)
+  }
+
   test("dictionary-encoded serving: smaller wire, decodes via bridge and DSv2") {
     val df = Generators.ticker(spark, 5000, 2)
     server.registerDict("ticker_dict", df, Seq("ticker"))
