@@ -3,10 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.DataType
 
 /** Event-time AS-OF join as a first-class Catalyst operator — the
   * SURVEY §2.5 custom-operator tier (c): a logical node, a planner
@@ -58,7 +61,7 @@ final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftOrder: Seq[Expression], rightOrder: Seq[Expression])
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -82,6 +85,175 @@ final case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ------------------------------------------------------------------
+  // Whole-stage codegen: the same two-pointer merge as doExecute, but
+  // emitted into the parent's generated loop — no per-row virtual
+  // calls, no JoinedRow, no interpreted comparator dispatch. Like
+  // SortMergeJoinExec this node is a two-input codegen stage root:
+  // inputRDDs feeds both (sorted, co-partitioned) children directly.
+  // ------------------------------------------------------------------
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows reference the reused left-row buffer and the bestRow
+  // snapshot; downstream buffering operators must copy
+  override def needCopyResult: Boolean = true
+
+  /** Member (value, isNull, type) triple per expression, persisted
+    * across produce-loop iterations. */
+  private def declareSideVars(ctx: CodegenContext, prefix: String,
+      exprs: Seq[Expression]): Seq[(String, String, DataType)] =
+    exprs.map { e =>
+      val v = ctx.addMutableState(CodeGenerator.javaType(e.dataType), prefix)
+      val n = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, s"${prefix}Null")
+      (v, n, e.dataType)
+    }
+
+  /** Code evaluating `exprs` against `row` (bound to `attrs`) and
+    * storing results into the member triples. */
+  private def genAssign(ctx: CodegenContext, row: String, exprs: Seq[Expression],
+      attrs: Seq[Attribute], vars: Seq[(String, String, DataType)]): String = {
+    ctx.INPUT_ROW = row
+    ctx.currentVars = null
+    exprs.zip(vars).map { case (e, (v, n, _)) =>
+      val ev = BindReferences.bindReference(e, attrs).genCode(ctx)
+      s"""
+         |${ev.code}
+         |$n = ${ev.isNull};
+         |$v = ${ev.value};
+       """.stripMargin
+    }.mkString("\n")
+  }
+
+  /** Lexicographic compare of two member-var tuples, nulls-first per
+    * column (RowOrdering natural ascending semantics — null == null,
+    * so null keys group together like the interpreted path). */
+  private def genCompareFn(ctx: CodegenContext, name: String,
+      a: Seq[(String, String, DataType)], b: Seq[(String, String, DataType)]): String = {
+    val body = a.zip(b).zipWithIndex.map { case (((av, an, dt), (bv, bn, _)), i) =>
+      s"""
+         |if ($an || $bn) {
+         |  if ($an && !$bn) return -1;
+         |  if (!$an && $bn) return 1;
+         |} else {
+         |  int comp$i = ${ctx.genComp(dt, av, bv)};
+         |  if (comp$i != 0) return comp$i;
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    ctx.addNewFunction(name,
+      s"""
+         |private int $name() {
+         |  $body
+         |  return 0;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "leftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "rightInput",
+      v => s"$v = inputs[1];")
+    val rightRow = ctx.addMutableState("InternalRow", "asofRightRow")
+    val bestRow = ctx.addMutableState("InternalRow", "asofBestRow")
+    val initialized = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofInit")
+
+    val rKeyVars = declareSideVars(ctx, "rKey", rightKeys)
+    val rOrdVars = declareSideVars(ctx, "rOrd", rightOrder)
+    val lKeyVars = declareSideVars(ctx, "lKey", leftKeys)
+    val lOrdVars = declareSideVars(ctx, "lOrd", leftOrder)
+    val bKeyVars = declareSideVars(ctx, "bKey", rightKeys)
+
+    // advance the right lookahead: extracted key/ord member vars point
+    // into the (reused) right-row buffer and stay valid exactly as long
+    // as rightRow itself — until the next advance, same contract as the
+    // interpreted path
+    val advanceRight = ctx.addNewFunction("asofAdvanceRight",
+      s"""
+         |private void asofAdvanceRight() {
+         |  if ($rightInput.hasNext()) {
+         |    $rightRow = (InternalRow) $rightInput.next();
+         |    ${genAssign(ctx, rightRow, rightKeys, right.output, rKeyVars)}
+         |    ${genAssign(ctx, rightRow, rightOrder, right.output, rOrdVars)}
+         |  } else {
+         |    $rightRow = null;
+         |  }
+         |}
+       """.stripMargin)
+
+    val compareKeys = genCompareFn(ctx, "asofCompareKeys", rKeyVars, lKeyVars)
+    val compareOrds = genCompareFn(ctx, "asofCompareOrds", rOrdVars, lOrdVars)
+
+    // best-match check re-derives the snapshot's key from bestRow (a
+    // private copy, safe across advances) instead of caching possibly
+    // buffer-backed key objects
+    val bestKeyCmp = genCompareFn(ctx, "asofCompareBestKey", bKeyVars, lKeyVars)
+    val bestMatches = ctx.addNewFunction("asofBestMatches",
+      s"""
+         |private boolean asofBestMatches() {
+         |  if ($bestRow == null) return false;
+         |  ${genAssign(ctx, bestRow, rightKeys, right.output, bKeyVars)}
+         |  return $bestKeyCmp() == 0;
+         |}
+       """.stripMargin)
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    val lAssign = genAssign(ctx, leftRow, leftKeys, left.output, lKeyVars) + "\n" +
+      genAssign(ctx, leftRow, leftOrder, left.output, lOrdVars)
+
+    // output columns: left side straight from the left row; right side
+    // guarded by the match flag (nulls when unmatched)
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftOutVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val matched = ctx.freshName("asofMatched")
+    val rightOutVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRIsNull")
+      val value = ctx.freshName("asofRValue")
+      val dt = a.dataType
+      val jt = CodeGenerator.javaType(dt)
+      val c = code"""
+        |boolean $isNull = true;
+        |$jt $value = ${CodeGenerator.defaultValue(dt)};
+        |if ($matched) {
+        |  $isNull = $bestRow.isNullAt($i);
+        |  if (!$isNull) { $value = ${CodeGenerator.getValue(bestRow, dt, i.toString)}; }
+        |}
+       """.stripMargin
+      ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, dt))
+    }
+
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+    val c = ctx.freshName("asofCmp")
+
+    s"""
+       |if (!$initialized) {
+       |  $initialized = true;
+       |  $advanceRight();
+       |}
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  $lAssign
+       |  int $c = ($rightRow == null) ? 1 : $compareKeys();
+       |  while ($rightRow != null && ($c < 0 || ($c == 0 && $compareOrds() <= 0))) {
+       |    if ($c == 0) { $bestRow = (InternalRow) $rightRow.copy(); }
+       |    $advanceRight();
+       |    $c = ($rightRow == null) ? 1 : $compareKeys();
+       |  }
+       |  boolean $matched = $bestMatches();
+       |  $numOutputRows.add(1);
+       |  if ($matched) $numMatched.add(1);
+       |  ${consume(ctx, leftOutVars ++ rightOutVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
