@@ -11,14 +11,15 @@ import org.apache.spark.sql.SparkSession
   * Noise defense: every headline query is timed REPS (default 3) times
   * and the reported figure is the min — on a multi-tenant box a single
   * timing can be 2-5× off (r2's d03 artifact read 24.3 s against a
-  * quiet-box 4.5 s). Per-run numbers are kept in the JSON under "runs"
-  * so a noisy round is diagnosable from the artifact alone. Failures
-  * propagate: a broken query must fail the bench loudly, not record a
+  * quiet-box 4.5 s). Per-run numbers go to STDERR as their own JSON
+  * line ({"runs":{name:[sec,...]}}) so a noisy round stays diagnosable
+  * without bloating the stdout line past the driver's tail capture
+  * (which truncated BENCH_r03 into parsed:null). Failures propagate:
+  * a broken query must fail the bench loudly, not record a
   * fast-but-empty timing.
   *
-  * Prints exactly one JSON line:
-  * {"metric":"total","value":S,"unit":"sec","queries":{name:minSec},
-  *  "runs":{name:[sec,...]},"sf":...}
+  * Prints exactly one compact JSON line on stdout (ms precision):
+  * {"metric":"total","value":S,"unit":"sec","queries":{name:minSec},"sf":...}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -89,11 +90,49 @@ object Bench {
     // The full-scale reference payload (http/get_simple: 100M rows,
     // ~24.4k batches) — the one BASELINE.md throughput figure. Run once:
     // it is a 3.2 GB serve+read loop, internally parallel on both sides.
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "1") == "1") {
+    val benchFull = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "1") == "1"
+    if (benchFull) {
       val (secs, batches) = arrowsLoop(100000000L)
       runs("arrows_http_loop_100m") = Seq(secs)
       System.err.println(
         f"arrows loop 100M: $batches record batches received, $secs%.2f seconds elapsed")
+    }
+
+    // get_compressed-scale throughput: the reference's second workload —
+    // the ~1 GB ticker payload (42M rows of ticker/price/volume,
+    // BASELINE.md), served with dictionary-encoded ticker column AND
+    // zstd HTTP content-coding actually negotiated by the client
+    // (Accept-Encoding: zstd → Content-Encoding: zstd asserted), read
+    // back through a raw Arrow client that decompresses and decodes.
+    if (benchFull) {
+      val tickerRows = 42000000L
+      var batches = 0L
+      val secs = timed {
+        val server = new graft.server.ArrowHttpServer(spark)
+        server.registerDict("ticker",
+          graft.datagen.Generators.ticker(spark, tickerRows), Seq("ticker"))
+        server.start()
+        try {
+          val conn = java.net.URI.create(s"${server.baseUrl}/q/ticker").toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestProperty("Accept-Encoding", "zstd")
+          val coding = conn.getHeaderField("Content-Encoding")
+          require(coding == "zstd", s"expected zstd negotiation, got $coding")
+          val in = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.BufferedInputStream(conn.getInputStream, 1 << 16))
+          val alloc = graft.arrow.ArrowBridge.newAllocator("bench-ticker")
+          val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+          var rows = 0L
+          while (reader.loadNextBatch()) {
+            rows += reader.getVectorSchemaRoot.getRowCount; batches += 1
+          }
+          reader.close(); alloc.close()
+          require(rows == tickerRows, s"ticker loop read $rows rows, expected $tickerRows")
+        } finally server.stop()
+      }
+      runs("ticker_compressed_loop_42m") = Seq(secs)
+      System.err.println(
+        f"ticker compressed loop 42M (zstd + dict): $batches record batches received, $secs%.2f seconds elapsed")
     }
 
     // client timing breakdown (time-to-schema / time-to-first-batch /
@@ -132,9 +171,14 @@ object Bench {
     //               (readAllBytes + per-part slices — already kinder
     //               than the reference's email-parser client)
     //   streaming = MultipartStream, O(chunk) memory, zero part copies
-    locally {
+    // Gated with the other heavy sections: the naive parse materializes
+    // ~3× the body transiently, so on a constrained heap set
+    // SPARK_GRAFT_BENCH_FULL=0 (or shrink SPARK_GRAFT_BENCH_MP_BYTES)
+    // and the bench still completes with a partial artifact.
+    if (benchFull) {
       val boundary = "bench0123456789benchBENCHbench0123456"
-      val bodySize = 1L << 30 // ~1 GiB binary middle part
+      val bodySize = // ~1 GiB binary middle part by default
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_MP_BYTES", (1L << 30).toString).toLong
       val head = ("\r\n--" + boundary + "\r\nContent-Type: application/json\r\n\r\n" +
         """{"name":"bench"}""" +
         "\r\n--" + boundary + "\r\nContent-Type: application/vnd.apache.arrow.stream\r\n\r\n")
@@ -204,12 +248,18 @@ object Bench {
         f"multipart 1 GiB parse: naive $tNaive%.2f s, streaming $tStream%.2f s")
     }
 
+    // stdout carries ONE compact JSON line — millisecond precision so
+    // the whole line fits the driver's tail capture (BENCH_r03's full-
+    // precision runs dict overflowed it → parsed:null). The per-run
+    // detail that makes noisy rounds diagnosable goes to stderr.
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val mins = runs.map { case (k, v) => k -> v.min }
-    val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val rs = runs.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val rs = runs.map { case (k, v) => "\"" + k + "\":" + v.map(ms).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = mins.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
+    System.err.println(s"""{"runs":$rs}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

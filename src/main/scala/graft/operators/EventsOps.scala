@@ -231,15 +231,21 @@ object EventsOps {
     // -- HyperLogLog++ distinct sketch (approximate, bounded check) ----
     // The sketch tier of distinct counting (exact tier: q17): HLL++
     // partials merge associatively, so a 100 TB count is one map-side
-    // sketch per partition + a tiny merge — no exact-distinct shuffle
-    // of the key universe. The estimate itself is engine-specific and
-    // can't hash-match an exact oracle, but its CONTRACT can: we emit
-    // the exact per-group count plus a deterministic within_tolerance
-    // boolean (|approx−exact|/exact ≤ 3×rsd, the same bound
-    // EventsSketchSpec asserts), and the oracle emits the same exact
-    // counts with within_tolerance literally TRUE — so an estimate
-    // drifting out of bound flips the boolean and fails the hash
-    // compare, making the approximation itself driver-checkable.
+    // sketch per partition + a tiny merge. The estimate itself is
+    // engine-specific and can't hash-match an exact oracle, but its
+    // CONTRACT can: we emit the exact per-group count plus a
+    // deterministic within_tolerance boolean (|approx−exact|/exact ≤
+    // 3×rsd, the same bound EventsSketchSpec asserts), and the oracle
+    // emits the same exact counts with within_tolerance literally TRUE —
+    // so an estimate drifting out of bound flips the boolean and fails
+    // the hash compare, making the approximation itself driver-checkable.
+    // NOTE: the countDistinct here exists for the verify gate ONLY — it
+    // pays the exact-distinct shuffle the sketch tier avoids, which is
+    // why q34 is deliberately absent from SparkEntry.benchQueries (a
+    // timing of this query would measure the exact path, not HLL).
+    // Groups whose user_id is entirely NULL have exact_users = 0; the
+    // contract defines them as in-tolerance (0 ≈ 0) rather than
+    // evaluating 0/0 into a null that would fail the oracle's TRUE.
     QueryDef.sql("q34_approx_distinct",
       (s, d) => Tables.events(s, d)
         .groupBy(col("event_type"))
@@ -247,8 +253,9 @@ object EventsOps {
           countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
         .select(col("event_type"), col("exact_users"), col("n"),
-          (abs(col("approx_users") - col("exact_users")).cast("double")
-            / col("exact_users") <= lit(0.06)).as("within_tolerance"))
+          when(col("exact_users") === 0, lit(true))
+            .otherwise(abs(col("approx_users") - col("exact_users")).cast("double")
+              / col("exact_users") <= lit(0.06)).as("within_tolerance"))
         .orderBy(col("event_type")),
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS exact_users,

@@ -58,10 +58,16 @@ object MultimodalOps {
   }
 
   /** Decode any ImageIO-supported payload (BMP/JPEG/PNG/GIF) and fold
-    * per-channel means + Rec.601 luma. This is the JDK-native decoder
-    * tier: one ImageIO round per row inside mapPartitions, no external
-    * codec libraries. */
-  def decodeImage(payload: Array[Byte]): (Int, Int, Double, Double, Double, Double) = {
+    * per-channel means + Rec.601 luma, plus the (0,0) pixel's luma.
+    * Channel means are invariant under any pixel permutation, so they
+    * alone can't catch a raster-order bug; the corner pixel is
+    * position-sensitive — a bottom-up/top-down or left-right flip in
+    * the encoder or decoder moves a different pixel to (0,0). This is
+    * the JDK-native decoder tier: one ImageIO round per row inside
+    * mapPartitions, no external codec libraries.
+    * Returns (w, h, mean_r, mean_g, mean_b, mean_luma, corner_luma). */
+  def decodeImage(payload: Array[Byte])
+      : (Int, Int, Double, Double, Double, Double, Double) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload not decodable by ImageIO")
     val w = img.getWidth
@@ -83,7 +89,10 @@ object MultimodalOps {
     val mr = rs.toDouble / n
     val mg = gs.toDouble / n
     val mb = bs.toDouble / n
-    (w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+    val c = img.getRGB(0, 0)
+    val cornerLuma = 0.299 * ((c >> 16) & 0xff) + 0.587 * ((c >> 8) & 0xff) +
+      0.114 * (c & 0xff)
+    (w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb, cornerLuma)
   }
 
   /** Deterministic JPEG payload for a doc id: a smooth two-axis
@@ -131,7 +140,8 @@ object MultimodalOps {
     StructField("mean_r", DoubleType, nullable = false),
     StructField("mean_g", DoubleType, nullable = false),
     StructField("mean_b", DoubleType, nullable = false),
-    StructField("mean_luma", DoubleType, nullable = false)))
+    StructField("mean_luma", DoubleType, nullable = false),
+    StructField("corner_luma", DoubleType, nullable = false)))
 
   /** Deterministic P6 PPM payload for a doc id — REAL image bytes:
     * ASCII header (magic, width, height, maxval) + interleaved RGB.
@@ -148,8 +158,11 @@ object MultimodalOps {
 
   /** Real P6 decoder: parses magic / `#` comments / dims / maxval, then
     * accumulates per-channel sums over the raster. Returns (width,
-    * height, mean_r, mean_g, mean_b, rec601_luma_of_means). */
-  def decodePpm(b: Array[Byte]): (Int, Int, Double, Double, Double, Double) = {
+    * height, mean_r, mean_g, mean_b, rec601_luma_of_means,
+    * corner_luma) — the last is the raster's FIRST pixel's luma, the
+    * position-sensitive check channel means (permutation-invariant)
+    * can't provide. */
+  def decodePpm(b: Array[Byte]): (Int, Int, Double, Double, Double, Double, Double) = {
     var pos = 0
     def skipWs(): Unit = {
       var go = true
@@ -183,7 +196,9 @@ object MultimodalOps {
     val mr = rs.toDouble / n
     val mg = gs.toDouble / n
     val mb = bs.toDouble / n
-    (w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+    val cornerLuma = 0.299 * (b(pos) & 0xff) + 0.587 * (b(pos + 1) & 0xff) +
+      0.114 * (b(pos + 2) & 0xff)
+    (w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb, cornerLuma)
   }
 
   /** Output schema of the real audio feature extractor. */
@@ -351,11 +366,13 @@ object MultimodalOps {
     // The stub tier is gone: payloads are genuine BMP files (file
     // header, info header, bottom-up padded BGR raster) and the decode
     // is the JDK's own ImageIO — a codec we didn't write — inside the
-    // same mapPartitions plumbing. The oracle recomputes every pixel
-    // (and the exact container byte length, padding included) from the
-    // generation recipe, so a raster-order, padding, or channel-order
-    // bug in either our encoder or our use of the decoder fails the
-    // hash pixel-exactly.
+    // same mapPartitions plumbing. The oracle recomputes channel sums,
+    // the exact container byte length (padding included), AND the (0,0)
+    // pixel's luma from the generation recipe. Channel means alone are
+    // permutation-invariant; corner_luma is the position-sensitive
+    // check, so a raster-order (bottom-up/top-down), padding, or
+    // channel-order bug in either our encoder or our use of the decoder
+    // fails the hash.
     QueryDef.sql("m02_decode_features",
       (s, d) => {
         val ids = Tables.documents(s, d)
@@ -366,8 +383,8 @@ object MultimodalOps {
           it.map { r =>
             val id = r.getLong(0)
             val payload = bmpBytes(id)
-            val (w, h, mr, mg, mb, luma) = decodeImage(payload)
-            Row(id, payload.length, w, h, mr, mg, mb, luma)
+            val (w, h, mr, mg, mb, luma, corner) = decodeImage(payload)
+            Row(id, payload.length, w, h, mr, mg, mb, luma, corner)
           }
         }
         s.createDataFrame(feats, imageFeatureSchema).orderBy(col("doc_id"))
@@ -390,7 +407,10 @@ object MultimodalOps {
         |  CAST(gs AS DOUBLE) / n AS mean_g,
         |  CAST(bs AS DOUBLE) / n AS mean_b,
         |  0.299 * (CAST(rs AS DOUBLE) / n) + 0.587 * (CAST(gs AS DOUBLE) / n)
-        |    + 0.114 * (CAST(bs AS DOUBLE) / n) AS mean_luma
+        |    + 0.114 * (CAST(bs AS DOUBLE) / n) AS mean_luma,
+        |  0.299 * CAST((doc_id * 31) % 256 AS DOUBLE)
+        |    + 0.587 * CAST((doc_id * 31 + 7) % 256 AS DOUBLE)
+        |    + 0.114 * CAST((doc_id * 31 + 14) % 256 AS DOUBLE) AS corner_luma
         |FROM s
         |ORDER BY doc_id""".stripMargin),
 
@@ -409,7 +429,7 @@ object MultimodalOps {
         val feats = ids.rdd.mapPartitions { it =>
           it.map { r =>
             val id = r.getLong(0)
-            val (w, h, mr, mg, mb, _) = decodeImage(jpegBytes(id))
+            val (w, h, mr, mg, mb, _, _) = decodeImage(jpegBytes(id))
             val exR = 30 + ((id * 7) % 150).toInt + (w - 1) / 2.0
             val exG = 60 + ((id * 11) % 120).toInt + (h - 1) / 2.0
             val exB = 90 + ((id * 13) % 100).toInt.toDouble
@@ -431,9 +451,11 @@ object MultimodalOps {
     // -- REAL image decode: P6 PPM parse + channel means ---------------
     // The payload is genuine image bytes; the decoder genuinely parses
     // them (magic, comments, dims, maxval, raster). The oracle
-    // recomputes every pixel from the generation recipe — header
-    // arithmetic included — so a parser bug (off-by-one into the
-    // raster, header length miscount) fails the hash.
+    // recomputes channel sums, the header byte arithmetic, and the
+    // first raster pixel's luma (corner_luma — the position-sensitive
+    // check; channel means are permutation-invariant), so a parser bug
+    // (off-by-one into the raster, header length miscount, raster
+    // reorder) fails the hash.
     QueryDef.sql("m03_image_decode",
       (s, d) => {
         val ids = Tables.documents(s, d)
@@ -443,8 +465,8 @@ object MultimodalOps {
           it.map { r =>
             val id = r.getLong(0)
             val payload = ppmBytes(id)
-            val (w, h, mr, mg, mb, luma) = decodePpm(payload)
-            Row(id, payload.length, w, h, mr, mg, mb, luma)
+            val (w, h, mr, mg, mb, luma, corner) = decodePpm(payload)
+            Row(id, payload.length, w, h, mr, mg, mb, luma, corner)
           }
         }
         s.createDataFrame(feats, imageFeatureSchema).orderBy(col("doc_id"))
@@ -468,7 +490,10 @@ object MultimodalOps {
         |  CAST(gs AS DOUBLE) / n AS mean_g,
         |  CAST(bs AS DOUBLE) / n AS mean_b,
         |  0.299 * (CAST(rs AS DOUBLE) / n) + 0.587 * (CAST(gs AS DOUBLE) / n)
-        |    + 0.114 * (CAST(bs AS DOUBLE) / n) AS mean_luma
+        |    + 0.114 * (CAST(bs AS DOUBLE) / n) AS mean_luma,
+        |  0.299 * CAST((doc_id * 31) % 256 AS DOUBLE)
+        |    + 0.587 * CAST((doc_id * 31 + 7) % 256 AS DOUBLE)
+        |    + 0.114 * CAST((doc_id * 31 + 14) % 256 AS DOUBLE) AS corner_luma
         |FROM s
         |ORDER BY doc_id""".stripMargin),
 

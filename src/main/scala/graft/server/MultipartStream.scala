@@ -15,12 +15,17 @@ object MultipartStream {
 
   final case class Part(headers: Map[String, String], body: InputStream)
 
+  /** Bulk-read chunk size — shared by BoundedBody's read cap and the
+    * pushback capacity below: unread(avail - delim.length) is only safe
+    * because the pushback buffer is sized for a whole chunk. */
+  private val ChunkSize = 64 * 1024
+
   /** Parse `in` with the given boundary, invoking `handler` per part in
     * order. Each part's body is drained after the handler returns. */
   def parse(in: InputStream, boundary: String)(handler: Part => Unit): Unit = {
     // pushback capacity covers a bulk-read chunk: BoundedBody.read(b,_,_)
     // may unread most of a chunk when a delimiter candidate sits inside it
-    val pb = new PushbackInputStream(in, 64 * 1024 + boundary.length + 8)
+    val pb = new PushbackInputStream(in, ChunkSize + boundary.length + 8)
     val delim = ("\r\n--" + boundary).getBytes(UTF_8)
     // preamble: everything before the first delimiter is discarded
     drain(new BoundedBody(pb, delim))
@@ -102,7 +107,7 @@ object MultipartStream {
       * (http/get_multipart/python/client/README.md:41-49). */
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       if (ended) return -1
-      val cap = math.min(len, 64 * 1024)
+      val cap = math.min(len, ChunkSize)
       val n = in.read(b, off, cap)
       if (n == -1) { ended = true; return -1 }
       var i = 0

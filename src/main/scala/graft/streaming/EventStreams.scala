@@ -33,9 +33,38 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Incremental per-event session fold shared by the streaming and
+    * batch paths: O(1) state (the open-session struct), emits a session
+    * row the moment an event's gap closes it. Requires events in
+    * (us, event_id) order. */
+  private def foldSessions(userId: Long, it: Iterator[Event], init: SessionState,
+      gapUs: Long, emit: SessionOut => Unit): SessionState = {
+    var st = init
+    it.foreach { e =>
+      st match {
+        case null => st = SessionState(e.us, e.us, 1)
+        case s if e.us - s.last > gapUs =>
+          emit(SessionOut(userId, s.n, s.start, s.last - s.start))
+          st = SessionState(e.us, e.us, 1)
+        case s => st = s.copy(last = e.us, n = s.n + 1)
+      }
+    }
+    st
+  }
+
   /** 30-minute-gap sessionization via flatMapGroupsWithState: emits a
     * session row when the gap closes it (processing-time independent —
-    * driven purely by event order within the group). */
+    * driven purely by event order within the group).
+    *
+    * The fold is INCREMENTAL: state is one open-session struct per user
+    * and each event updates it in O(1) — the group iterator is never
+    * buffered or sorted, so a hot key at 100× widens nothing but the
+    * rows flowing past. The contract this buys is in-order arrival per
+    * key within a micro-batch (the same per-key-ordered-delivery premise
+    * the watermark contract already rests on for replayable sources);
+    * an out-of-order event inside a batch would split a session, exactly
+    * as it would if it arrived a micro-batch late. EventStreamsSpec
+    * proves batch-equality under ordered replay. */
   def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000)
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -44,44 +73,28 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
           val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          var st = state.getOption.orNull
-          sorted.foreach { e =>
-            st match {
-              case null => st = SessionState(e.us, e.us, 1)
-              case s if e.us - s.last > gapUs =>
-                out += SessionOut(userId, s.n, s.start, s.last - s.start)
-                st = SessionState(e.us, e.us, 1)
-              case s => st = s.copy(last = e.us, n = s.n + 1)
-            }
-          }
+          val st = foldSessions(userId, it, state.getOption.orNull, gapUs, out += _)
           if (st != null) state.update(st)
           out.iterator
       }
   }
 
   /** Closes all residual sessions (batch-end flush helper for tests /
-    * bounded replays). */
+    * bounded replays). Ordering comes from flatMapSortedGroups — the
+    * sort rides Spark's spill-backed shuffle sort, so no whole-group
+    * heap buffer here either; the fold itself is the same O(1)-state
+    * incremental pass as the streaming path. */
   def residualSessions(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000)
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
-      val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-      var st: SessionState = null
-      sorted.foreach { e =>
-        st match {
-          case null => st = SessionState(e.us, e.us, 1)
-          case s if e.us - s.last > gapUs =>
-            out += SessionOut(userId, s.n, s.start, s.last - s.start)
-            st = SessionState(e.us, e.us, 1)
-          case s => st = s.copy(last = e.us, n = s.n + 1)
-        }
+    events.groupByKey(_.user_id)
+      .flatMapSortedGroups(col("us"), col("event_id")) { (userId, it) =>
+        val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+        val st = foldSessions(userId, it, null, gapUs, out += _)
+        if (st != null) out += SessionOut(userId, st.n, st.start, st.last - st.start)
+        out.iterator
       }
-      if (st != null) out += SessionOut(userId, st.n, st.start, st.last - st.start)
-      out.iterator
-    }
   }
 
   /** Streaming exact dedup — the unbounded twin of d01: drop

@@ -9,20 +9,27 @@ class MultimodalDecodeSpec extends AnyFunSuite {
 
   test("BMP bytes decode pixel-exactly via ImageIO to the generation recipe") {
     (0L until 50L).foreach { id =>
-      val (w, h, mr, mg, mb, _) = MultimodalOps.decodeImage(MultimodalOps.bmpBytes(id))
+      val (w, h, mr, mg, mb, _, corner) =
+        MultimodalOps.decodeImage(MultimodalOps.bmpBytes(id))
       assert(w == 4 + (id % 13).toInt && h == 4 + ((id * 3) % 11).toInt)
       val n = w * h
       def mean(c: Int): Double =
         (0 until n).map(p => (id * 31 + (3 * p + c) * 7) % 256).sum.toDouble / n
       assert(mr == mean(0) && mg == mean(1) && mb == mean(2),
         s"doc $id channel means diverge from recipe")
+      // position-sensitive: (0,0) must be recipe pixel p=0 — a bottom-up/
+      // top-down raster confusion in encode or decode moves pixel
+      // (0, h-1) here instead and fails (means alone can't see that)
+      val want = 0.299 * ((id * 31) % 256) + 0.587 * ((id * 31 + 7) % 256) +
+        0.114 * ((id * 31 + 14) % 256)
+      assert(corner == want, s"doc $id corner pixel not raster-first pixel")
     }
   }
 
   test("JPEG decode error stays ~1 luma unit on smooth gradients, far under the 4.0 contract") {
     var worst = 0.0
     (0L until 50L).foreach { id =>
-      val (w, h, mr, mg, mb, _) = MultimodalOps.decodeImage(MultimodalOps.jpegBytes(id))
+      val (w, h, mr, mg, mb, _, _) = MultimodalOps.decodeImage(MultimodalOps.jpegBytes(id))
       assert(w == 16 + (id % 17).toInt && h == 16 + ((id * 5) % 13).toInt)
       val exR = 30 + ((id * 7) % 150).toInt + (w - 1) / 2.0
       val exG = 60 + ((id * 11) % 120).toInt + (h - 1) / 2.0
@@ -40,7 +47,7 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     // swap R and B of the decoded means: must land far outside 4.0 for
     // at least most docs — proves within_tolerance isn't vacuously true
     val violations = (0L until 50L).count { id =>
-      val (w, h, mr, _, mb, _) = MultimodalOps.decodeImage(MultimodalOps.jpegBytes(id))
+      val (w, h, mr, _, mb, _, _) = MultimodalOps.decodeImage(MultimodalOps.jpegBytes(id))
       val exR = 30 + ((id * 7) % 150).toInt + (w - 1) / 2.0
       val exB = 90 + ((id * 13) % 100).toInt.toDouble
       math.abs(mb - exR) > 4.0 || math.abs(mr - exB) > 4.0
