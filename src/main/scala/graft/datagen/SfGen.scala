@@ -96,8 +96,9 @@ object SfGen {
         .as("o_orderstatus"),
       money(14, 1000.0, 500000.0).as("o_totalprice"),
       // uniform over 1995-01-01 .. 2001-08-01 (2404 days), midnight stamps
-      to_timestamp(date_add(lit(java.sql.Date.valueOf("1995-01-01")),
-        ub(15, 2405).cast("int"))).as("o_orderdate"),
+      // — NTZ, matching the driver's naive timestamp[ms] parquet type
+      date_add(lit(java.sql.Date.valueOf("1995-01-01")), ub(15, 2405).cast("int"))
+        .cast("timestamp_ntz").as("o_orderdate"),
       element_at(lit(Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
         "5-LOW")), (ub(16, 5) + 1).cast("int")).as("o_orderpriority"))
 
@@ -120,8 +121,8 @@ object SfGen {
         .as("l_returnflag"),
       element_at(lit(Array("F", "O")), (ub(26, 2) + 1).cast("int"))
         .as("l_linestatus"),
-      to_timestamp(date_add(lit(java.sql.Date.valueOf("1995-01-02")),
-        ub(27, 2499).cast("int"))).as("l_shipdate"))
+      date_add(lit(java.sql.Date.valueOf("1995-01-02")), ub(27, 2499).cast("int"))
+        .cast("timestamp_ntz").as("l_shipdate"))
 
   /** Events over one month (2024-01), values Exp(mean 50) rounded to 2dp
     * — the measured quantiles (14.7/34.7/69/114 at p25/50/75/90) are the

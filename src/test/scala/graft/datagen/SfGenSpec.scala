@@ -1,0 +1,86 @@
+package graft.datagen
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftSession, Tables}
+
+/** SfGen exists to scale-proof the engine past the driver's sf0.1 data
+  * ceiling; its only correctness obligation is that generated tables are
+  * drop-in replacements for the driver's — same schema, same value
+  * domains — so every `queries()` entry and its DuckDB oracle run
+  * unchanged. Schema identity is asserted column-for-column against the
+  * driver's sf0.001 files; domains via the invariants the queries
+  * actually select on. */
+class SfGenSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("sfgen-spec", "4").getOrCreate()
+  private val driverSf = "/root/testdata/sf0.001"
+
+  private def gen(name: String, n: Long) = name match {
+    case "region"     => SfGen.region(spark)
+    case "nation"     => SfGen.nation(spark)
+    case "customer"   => SfGen.customer(spark, n, 4)
+    case "supplier"   => SfGen.supplier(spark, n, 4)
+    case "part"       => SfGen.part(spark, n, 4)
+    case "orders"     => SfGen.orders(spark, n, n, 4)
+    case "lineitem"   => SfGen.lineitem(spark, n, n, n, n, 4)
+    case "events"     => SfGen.events(spark, n, 100, 4)
+    case "documents"  => SfGen.documents(spark, n, 4)
+    case "embeddings" => SfGen.embeddings(spark, n, 4)
+  }
+
+  test("every table is schema-identical to the driver's parquet") {
+    Tables.names.foreach { name =>
+      val driver = Tables.load(spark, driverSf, name)
+      val ours = gen(name, 100)
+      // the driver's events.ts lands as TIMESTAMP(NANOS) (read back as
+      // long under nanosAsLong); ours is written as micros. Tables.events
+      // normalizes both to TimestampType — compare through the loader's
+      // post-normalization schema for that one column.
+      val driverSchema = driver.schema.map(f => f.name -> f.dataType.typeName)
+      val ourSchema = ours.schema.map(f => f.name -> f.dataType.typeName)
+      val normalize = (s: Seq[(String, String)]) =>
+        s.map { case ("ts", "long" | "timestamp") => "ts" -> "timestamp"; case x => x }
+      assert(normalize(ourSchema) === normalize(driverSchema), s"table $name")
+    }
+  }
+
+  test("value domains match what the queries select on") {
+    val li = gen("lineitem", 2000).cache()
+    assert(li.filter(!col("l_returnflag").isin("A", "N", "R")).count() === 0)
+    assert(li.filter(col("l_discount") < 0 || col("l_discount") > 0.10).count() === 0)
+    assert(li.filter(col("l_quantity") < 1 || col("l_quantity") > 50).count() === 0)
+
+    val ev = gen("events", 2000).cache()
+    assert(ev.filter(!col("event_type").isin(
+      "click", "error", "purchase", "signup", "view")).count() === 0)
+    assert(ev.filter(col("value") < 0).count() === 0)
+    // props parses as JSON with an integer k — q13 extracts it
+    assert(ev.filter(get_json_object(col("props"), "$.k").isNull).count() === 0)
+
+    val cu = gen("customer", 1000)
+    assert(cu.filter(!col("c_mktsegment").isin("AUTOMOBILE", "BUILDING",
+      "FURNITURE", "HOUSEHOLD", "MACHINERY")).count() === 0)
+
+    // embeddings are unit-normalized 64-dim float vectors (ANN queries
+    // assume cosine == dot)
+    val em = gen("embeddings", 500)
+      .withColumn("n2", aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+    assert(em.filter(size(col("embedding")) =!= 64).count() === 0)
+    assert(em.filter(abs(col("n2") - 1.0) > 1e-3).count() === 0)
+  }
+
+  test("documents carry exact duplicates for the dedup tier to find") {
+    val docs = gen("documents", 20000)
+    val dups = docs.groupBy(col("text")).count().filter(col("count") > 1).count()
+    assert(dups > 0, "expected ~1-in-600 exact duplicate texts")
+  }
+
+  test("generation is deterministic across invocations") {
+    val a = gen("lineitem", 500).collect().map(_.toString).sorted
+    val b = gen("lineitem", 500).collect().map(_.toString).sorted
+    assert(a === b)
+  }
+}
