@@ -159,15 +159,21 @@ object SfGen {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
-  /** 64-dim unit-normalized embeddings clustered around 10 per-label
-    * centroids (the driver's near-dup/ANN structure: same-label vectors
-    * are close, cross-label far). */
+  /** 64-dim unit-normalized embeddings, iid random directions with a
+    * UNIFORM label in 0..9. Measured off the driver's sf0.1 data: the
+    * same-label and cross-label cosine distributions are identical
+    * (pass(cos>=0.30) = 0.73% vs 0.75% — the N(0, 1/64) tail of random
+    * unit vectors), i.e. label is a plain partition key, NOT a cluster
+    * id. An earlier draft clustered per label; that inflated d06's
+    * same-label pass rate from 0.7% to ~100% and its sf1 output from
+    * ~150k to 20M pairs — selectivity fidelity is the whole point of
+    * this generator, so the distribution is pinned by SfGenSpec. */
   def embeddings(s: SparkSession, n: Long, parts: Int): DataFrame = {
     val label = ub(38, 10).cast("int")
-    // component j: centroid(label, j) in [-1,1] plus noise in [-0.35,0.35]
+    // component j: iid uniform in [-1,1]; normalized below (CLT makes
+    // the cosine of two such vectors ~ N(0, 1/64), matching measurement)
     val raw = transform(sequence(lit(0), lit(63)), j =>
-      (pmod(xxhash64(col("label"), j, lit(39)), lit(2001)).cast("double") - 1000) / 1000.0 +
-        (pmod(xxhash64(col("id"), j, lit(40)), lit(2001)).cast("double") - 1000) / 1000.0 * 0.35)
+      (pmod(xxhash64(col("id"), j, lit(40)), lit(2001)).cast("double") - 1000) / 1000.0)
     s.range(0, n, 1, parts)
       .withColumn("label", label)
       .withColumn("raw", raw)

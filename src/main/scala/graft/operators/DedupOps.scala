@@ -101,23 +101,31 @@ object DedupOps {
   }
 
   /** Oracle CTE chain ending in `pairs(a_id, b_id, jaccard)` — the
-    * DuckDB mirror of [[candidatePairs]]. */
+    * DuckDB mirror of [[candidatePairs]]. Shapes mirror the Spark plan
+    * deliberately: `cand` carries ONLY id pairs through its DISTINCT,
+    * and per-doc distinct gram sets are computed once in `gsets` and
+    * joined back by id — an earlier draft recomputed the full shingle
+    * pipeline per candidate pair, which priced the sf1 gate (50k docs,
+    * ~1M band candidates) out of DuckDB entirely. */
   private val oPairCtes =
     s"""$oSignatures,
+       |gsets AS (
+       |  SELECT doc_id, list_distinct(${oGrams3(oWords("t"))}) AS gs FROM corpus),
        |bands AS (
-       |  SELECT doc_id, t, unnest(list_transform(range(0, 4),
+       |  SELECT doc_id, unnest(list_transform(range(0, 4),
        |    b -> b || '|' || array_to_string(list_transform(sig[b*4+1:b*4+4],
        |           x -> CAST(x AS VARCHAR)), '|'))) AS band
        |  FROM sigs),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.t AS ta, b.t AS tb
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
        |jac AS (
        |  SELECT a_id, b_id,
-       |    CAST(len(list_intersect(list_distinct(${oGrams3(oWords("ta"))}),
-       |                            list_distinct(${oGrams3(oWords("tb"))}))) AS DOUBLE) /
-       |    len(list_distinct(${oGrams3(oWords("ta"))} || ${oGrams3(oWords("tb"))})) AS jaccard
-       |  FROM cand),
+       |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+       |    len(list_distinct(ga.gs || gb.gs)) AS jaccard
+       |  FROM cand
+       |  JOIN gsets ga ON ga.doc_id = cand.a_id
+       |  JOIN gsets gb ON gb.doc_id = cand.b_id),
        |pairs AS (SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.5)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(

@@ -72,6 +72,26 @@ class SfGenSpec extends AnyFunSuite {
     assert(em.filter(abs(col("n2") - 1.0) > 1e-3).count() === 0)
   }
 
+  test("embedding cosine selectivity matches the driver's random-direction tail") {
+    // Driver sf0.1 measurement: pass(cos >= 0.30) = 0.73% same-label vs
+    // 0.75% cross-label — labels are partition keys, not clusters. An
+    // early clustered draft made d06 emit 20M pairs at sf1 instead of
+    // ~150k; pin the selectivity so that can't regress.
+    val e = gen("embeddings", 600)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label") === col("b.label"),
+        aggregate(zip_with(col("a.v"), col("b.v"), _ * _), lit(0.0d), _ + _) >= 0.30)
+      .collect()
+    def rate(sameLabel: Boolean): Double = {
+      val xs = pairs.filter(_.getBoolean(0) == sameLabel)
+      xs.count(_.getBoolean(1)).toDouble / xs.length
+    }
+    val (same, cross) = (rate(true), rate(false))
+    assert(same > 0.001 && same < 0.02, s"same-label pass rate $same")
+    assert(cross > 0.001 && cross < 0.02, s"cross-label pass rate $cross")
+  }
+
   test("documents carry exact duplicates for the dedup tier to find") {
     val docs = gen("documents", 20000)
     val dups = docs.groupBy(col("text")).count().filter(col("count") > 1).count()
