@@ -33,10 +33,19 @@ object Relational {
   private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
   private def mon(c: Column): Column = c.cast(DecimalType(12, 2))
   private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  /** Money sums round to CENTS (exact decimal round, ties away from
+    * zero in both engines) BEFORE the double cast. Why: once a sum's
+    * unscaled value passes 2^53 (first hits at sf1: q01 sum_charge =
+    * 2.8e10 at scale 6 = 17 digits), Spark's and DuckDB's
+    * decimal→double casts can disagree by 1 ulp (their fast paths
+    * double-round). Rounded to scale 2 the unscaled value stays ≤ 13
+    * digits for any plausible SF, where the cast is a single exact
+    * rounding in every engine — bitwise-identical doubles. */
+  private def cents(c: Column): Column = round(c, 2).cast(DoubleType)
   /** Exact sum of a 2-decimal double column, re-exposed as double. */
-  private def xsum(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+  private def xsum(c: Column): Column = cents(sum(dec4(c)))
   /** Exact sum of an already-decimal expression, re-exposed as double. */
-  private def dsum(c: Column): Column = sum(c).cast(DoubleType)
+  private def dsum(c: Column): Column = cents(sum(c))
   /** price*(1-discount), exact decimal. */
   private def revenue: Column =
     mon(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
@@ -44,10 +53,10 @@ object Relational {
 
   // DuckDB-side equivalents of the helpers above.
   private def oxsum(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+    s"CAST(ROUND(SUM(CAST($e AS DECIMAL(18,4))), 2) AS DOUBLE)"
   private val orev =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
-  private def odsum(e: String): String = s"CAST(SUM($e) AS DOUBLE)"
+  private def odsum(e: String): String = s"CAST(ROUND(SUM($e), 2) AS DOUBLE)"
 
   val all: Seq[QueryDef] = Seq(
 
