@@ -352,6 +352,45 @@ object SimilarityOps {
          |    row_number() OVER (PARTITION BY q_id ORDER BY dot8 DESC, n_id) AS rnk
          |  FROM sc)
          |SELECT q_id, n_id, dot8, cos_exact, rnk FROM r WHERE rnk <= 5
-         |ORDER BY q_id, rnk""".stripMargin)
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // -- embedding near-dup with label × LSH-cell blocking --------------
+    // d06 at the scale d06 can't reach: d06 blocks on label alone, and a
+    // FIXED label count means block sizes grow linearly with the corpus,
+    // the pair join quadratically (measured 40× work at 10× data at sf1,
+    // STATUS.md r4). Sharding the blocking key with the s02 hyperplane
+    // bucket multiplies the cell count by 256, capping expected block
+    // size — the scale-safe blocking rule: expected block size must stay
+    // O(1) as the corpus grows, so the blocking key must gain bits as
+    // the corpus does. The contract changes from d06's exact-within-
+    // label to LSH recall (a candidate must agree on all 8 hyperplane
+    // signs; for cos = 0.30 that's the standard (1 − θ/π)^k curve —
+    // this is the recall/cost dial, not a defect), which is why it is a
+    // VARIANT query rather than a replacement. k = 4 of the 8 bucket
+    // bits here (16 cells × label): the dial position where the driver's
+    // sf0.01 corpus still yields candidate pairs — at larger corpora the
+    // full 8 bits (or more planes) take over; integer masking keeps the
+    // cross-engine bucket agreement bit-exact.
+    QueryDef.sql("d10_embedding_neardup_lsh",
+      (s, d) => {
+        val e = vecs(s, d)
+          .withColumn("bucket", pmod(bucketCol(col("v")), lit(16)))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            cosine(col("a.v"), col("b.v")).as("cos"))
+          .filter(col("cos") >= 0.30)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, label, v, ($oBucketExpr) % 16 AS bucket FROM ($oVecs)),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${oCosine("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b
+         |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, cos FROM p
+         |WHERE cos >= 0.30
+         |ORDER BY a_id, b_id""".stripMargin)
   )
 }
