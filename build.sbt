@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line stdout JSON out of the sbt
+// invocation's output. sbt's default LoggedOutput strategy for forked
+// runs re-emits the child's stdout as "[info] {...}" and stderr as
+// "[error] ...", and appends "[success] Total time..." — decoration
+// that defeated the driver's parser in rounds 3 and 4 (BENCH_r0{3,4}
+// .json parsed:null). StdoutOutput passes the forked JVM's stdout and
+// stderr through verbatim, and showSuccess drops the trailing banner,
+// so the bench JSON is the LAST, undecorated stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -268,8 +268,21 @@ object Bench {
     val rs = runs.map { case (k, v) => "\"" + k + "\":" + v.map(ms).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = mins.values.sum
-    System.err.println(s"""{"runs":$rs}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "runs " prefix: with the raw-passthrough output strategy (see
+    // build.sbt) stderr may reach the driver's capture unmerged with
+    // stdout — this line must not be mistakable for the metric line by
+    // a first-"{"-line parser. Strip the prefix to recover the JSON.
+    System.err.println(s"""runs {"runs":$rs}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Sibling artifact: the same line on disk, immune to any launcher
+    // decoration, for rounds where the stdout capture degrades again.
+    try {
+      val p = java.nio.file.Paths.get("bench/last_bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () } // read-only cwd: stdout still carries it
+    println(line)
     spark.stop()
   }
 }
