@@ -51,7 +51,12 @@ object SparkEntry {
       "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
       "q07_window_topn_per_group", "q12_events_hourly", "q16_order_count_distribution",
       "q19_sessionization", "q21_asof_join", "q31_asof_native",
-      "d03_minhash_lsh_pairs", "d06_embedding_neardup", "d08_substring_dedup",
+      // d10 (label × LSH-cell blocking, corpus-derived cell count) is
+      // the headline near-dup path; d06 (label-only blocking) is its
+      // exactness reference — quadratic per block by construction
+      // (measured 40× work on 10× data at sf1), so it stays in the
+      // oracle gate but NOT in the timed set.
+      "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "t02_quality_score")
     val have = queries.keySet
     val picked = preferred.filter(have)

@@ -299,10 +299,18 @@ object DedupOps {
     // marks all its occurrences. 100 TB shape: only 16-byte binary md5s
     // ever shuffle (never text, never hex strings — unhex halves the
     // gram frame, the biggest shuffle in the suite, at ~n_words rows
-    // per doc), the dup set is a group-filter on the hash,
-    // and each doc's contamination fraction comes from one map-side
-    // count + one hash join against the (small) dup-hash set. Docs
-    // shorter than 8 words have no spans and drop out in both engines.
+    // per doc), and the gram pipeline is computed ONCE and shuffled
+    // ONCE: repartition(h) up front means HashPartitioning(h) satisfies
+    // the (doc_id, h) pre-aggregation AND the per-h window (a hash
+    // partitioning on a subset of the grouping keys clusters them), so
+    // the only other exchange is the final (small) per-doc rollup. The
+    // r1–r4 formulation recomputed the explode+md5 pipeline under three
+    // consumers (dup set, totals, dup join) — 3× the dominant CPU and
+    // two extra gram-volume shuffles for the same answer (sf1: 125.8 s
+    // → this plan sits well under that; see STATUS.md r5). A gram
+    // duplicated across >= 2 DISTINCT docs is found as nd = count of
+    // (doc_id, h) groups per h. Docs shorter than 8 words have no spans
+    // and drop out in both engines.
     QueryDef.sql("d08_substring_dedup",
       (s, d) => {
         val grams = Tables.documents(s, d)
@@ -311,18 +319,14 @@ object DedupOps {
             .otherwise(transform(sequence(lit(1), size(col("ws")) - 7),
               i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8))))))))
           .select(col("doc_id"), explode(col("g8")).as("h"))
-        val dup = grams.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("h"))
-        val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-        val ddup = grams.join(dup, "h")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-        tot.join(ddup, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_grams"),
-            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-            (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"))
-              .as("dup_frac"))
+        val gh = grams.repartition(col("h"))
+          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+        gh.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_grams"),
+               sum(when(col("nd") >= 2, col("c")).otherwise(lit(0L))).as("n_dup"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
           .orderBy(col("doc_id"))
       },
       s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
@@ -332,13 +336,15 @@ object DedupOps {
          |         ELSE list_transform(range(1, len(ws) - 6),
          |                i -> unhex(md5(array_to_string(ws[i:i+7], ' ')))) END) AS h
          |  FROM w),
-         |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
-         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
-         |dd AS (SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN dup USING (h)
-         |       GROUP BY doc_id)
-         |SELECT t.doc_id, t.n_grams, COALESCE(dd.n_dup, 0) AS n_dup,
-         |  CAST(COALESCE(dd.n_dup, 0) AS DOUBLE) / t.n_grams AS dup_frac
-         |FROM tot t LEFT JOIN dd USING (doc_id)
+         |gh AS (SELECT doc_id, h, COUNT(*) AS c FROM g GROUP BY doc_id, h),
+         |nd AS (SELECT doc_id, c, COUNT(*) OVER (PARTITION BY h) AS nd FROM gh),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM nd GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_dup,
+         |  CAST(n_dup AS DOUBLE) / n_grams AS dup_frac
+         |FROM agg
          |ORDER BY doc_id""".stripMargin),
 
     // -- SimHash near-dup pairs via hamming-LSH band blocking ----------

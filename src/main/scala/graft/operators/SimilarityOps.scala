@@ -359,22 +359,33 @@ object SimilarityOps {
     // FIXED label count means block sizes grow linearly with the corpus,
     // the pair join quadratically (measured 40× work at 10× data at sf1,
     // STATUS.md r4). Sharding the blocking key with the s02 hyperplane
-    // bucket multiplies the cell count by 256, capping expected block
-    // size — the scale-safe blocking rule: expected block size must stay
-    // O(1) as the corpus grows, so the blocking key must gain bits as
-    // the corpus does. The contract changes from d06's exact-within-
-    // label to LSH recall (a candidate must agree on all 8 hyperplane
-    // signs; for cos = 0.30 that's the standard (1 − θ/π)^k curve —
-    // this is the recall/cost dial, not a defect), which is why it is a
-    // VARIANT query rather than a replacement. k = 4 of the 8 bucket
-    // bits here (16 cells × label): the dial position where the driver's
-    // sf0.01 corpus still yields candidate pairs — at larger corpora the
-    // full 8 bits (or more planes) take over; integer masking keeps the
-    // cross-engine bucket agreement bit-exact.
+    // bucket caps expected block size — the scale-safe blocking rule:
+    // expected block size must stay O(1) as the corpus grows, so the
+    // blocking key must GAIN BITS as the corpus does. That rule is code
+    // here, not a hand-picked literal: the cell count is the integer-
+    // threshold form of 2^ceil(log2(n / (10 labels × 4 docs/block)))
+    // clamped to [1, 256], derived from a COUNT(*) computed inside the
+    // plan (1-row broadcast, no driver collect) and re-derived
+    // identically by the oracle — integer comparisons, so both engines
+    // agree bit-exactly. n=500 (sf0.01) → 16 cells (4 of the 8 sign
+    // bits, the r4 dial position); n=5,000 (sf0.1) → 128; n>5,120
+    // (sf1+) → all 256. The contract changes from d06's exact-within-
+    // label to LSH recall: a candidate must agree on the low
+    // log2(cells) hyperplane sign bits, the standard (1 − θ/π)^bits
+    // recall curve — the recall/cost dial, not a defect — which is why
+    // d10 is a VARIANT query rather than a replacement; d06 remains the
+    // exact-within-label reference.
     QueryDef.sql("d10_embedding_neardup_lsh",
       (s, d) => {
-        val e = vecs(s, d)
-          .withColumn("bucket", pmod(bucketCol(col("v")), lit(16)))
+        val e0 = vecs(s, d)
+        val nrows = e0.select(count(lit(1)).as("n"))
+        // cells = 2^k for the largest k in 0..8 with n > 40·2^(k-1)
+        val cells = (1 to 8).foldLeft(lit(1)) { (smaller, k) =>
+          when(col("n") > lit(40L << (k - 1)), lit(1 << k)).otherwise(smaller)
+        }
+        val e = e0.crossJoin(broadcast(nrows))
+          .withColumn("bucket", pmod(bucketCol(col("v")), cells))
+          .drop("n")
         e.as("a").join(e.as("b"),
             col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
               col("a.vec_id") < col("b.vec_id"))
@@ -383,8 +394,13 @@ object SimilarityOps {
           .filter(col("cos") >= 0.30)
           .orderBy(col("a_id"), col("b_id"))
       },
-      s"""WITH e AS (
-         |  SELECT vec_id, label, v, ($oBucketExpr) % 16 AS bucket FROM ($oVecs)),
+      s"""WITH nr AS (SELECT COUNT(*) AS n FROM embeddings),
+         |cl AS (SELECT ${(8 to 1 by -1).map(k =>
+             s"WHEN n > ${40L << (k - 1)} THEN ${1 << k}")
+             .mkString("CASE ", " ", " ELSE 1 END")} AS cells FROM nr),
+         |e AS (
+         |  SELECT vec_id, label, v, ($oBucketExpr) % cells AS bucket
+         |  FROM ($oVecs) CROSS JOIN cl),
          |p AS (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${oCosine("a.v", "b.v")} AS cos
          |  FROM e a JOIN e b
