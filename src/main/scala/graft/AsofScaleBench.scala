@@ -74,6 +74,11 @@ object AsofScaleBench {
         val fn = SparkEntry.queries(name)
         mat(fn(spark, dir)) // warm: codegen + footer caches, untimed
         val n = fn(spark, dir).count() // row count for the equality probe
+        // drain BEFORE reset too: task-end events from the warm-up and
+        // count() jobs above are delivered asynchronously and would
+        // otherwise be attributed to the timed run (spill especially —
+        // it accumulates)
+        org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark)
         listener.reset()
         val sec = timed { mat(fn(spark, dir)) }
         // listener events land asynchronously; drain before reading

@@ -89,6 +89,17 @@ object SimilarityOps {
       |                THEN v[j] ELSE -v[j] END), (a, b) -> a + b) > 0
       |         THEN (1 << p) ELSE 0 END), (a, b) -> a + b)""".stripMargin
 
+  /** d10's corpus-derived blocking granularity: cells = 2^k for the
+    * largest k in 0..8 with n > 40·2^(k-1) — the integer-threshold form
+    * of 2^ceil(log2(n / (10 labels × 4 docs/block))) clamped to
+    * [1, 256]. Integer comparisons only, so Spark and the oracle's CASE
+    * ladder agree bit-exactly at every n (BlockingCellsSpec pins the
+    * curve incl. the exact threshold edges). */
+  private[operators] def blockCells(n: Column): Column =
+    (1 to 8).foldLeft(lit(1)) { (smaller, k) =>
+      when(n > lit(40L << (k - 1)), lit(1 << k)).otherwise(smaller)
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     // -- brute-force cosine top-5 for the first 10 query vectors -------
@@ -379,12 +390,8 @@ object SimilarityOps {
       (s, d) => {
         val e0 = vecs(s, d)
         val nrows = e0.select(count(lit(1)).as("n"))
-        // cells = 2^k for the largest k in 0..8 with n > 40·2^(k-1)
-        val cells = (1 to 8).foldLeft(lit(1)) { (smaller, k) =>
-          when(col("n") > lit(40L << (k - 1)), lit(1 << k)).otherwise(smaller)
-        }
         val e = e0.crossJoin(broadcast(nrows))
-          .withColumn("bucket", pmod(bucketCol(col("v")), cells))
+          .withColumn("bucket", pmod(bucketCol(col("v")), blockCells(col("n"))))
           .drop("n")
         e.as("a").join(e.as("b"),
             col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&

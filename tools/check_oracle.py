@@ -73,7 +73,17 @@ def check_big(con, name, sql, spark_glob, n_spark):
     n_duck = con.execute("SELECT count(*) FROM __oracle").fetchone()[0]
     if n_spark != n_duck:
         return f"FAIL {name}: rowcount spark={n_spark} duck={n_duck}"
-    cols = ", ".join(f'"{c}"' for c in sorted(s_schema.names))
+    # Temporal columns: the small path normalizes through
+    # isoformat()[:26] (microseconds); mirror that here by casting both
+    # sides to microsecond TIMESTAMP, else a sub-microsecond precision
+    # difference (e.g. TIMESTAMP_NS vs TIMESTAMP) would flip the verdict
+    # between the two paths.
+    def sel(c):
+        if str(s_schema.field(c).type).startswith("timestamp") or \
+           str(d_schema.field(c).type).startswith("timestamp"):
+            return f'CAST("{c}" AS TIMESTAMP) AS "{c}"'
+        return f'"{c}"'
+    cols = ", ".join(sel(c) for c in sorted(s_schema.names))
     for a, b, tag in ((f"SELECT {cols} FROM read_parquet('{spark_glob}')",
                        f"SELECT {cols} FROM __oracle", "spark-not-in-oracle"),
                       (f"SELECT {cols} FROM __oracle",
