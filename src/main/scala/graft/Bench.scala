@@ -89,23 +89,31 @@ object Bench {
       (secs, batches)
     }
 
+    // Transport loops get the same noise defense as the queries: each
+    // loop runs LOOP_REPS times (default 2) and reports the min, all
+    // reps recorded in the stderr runs line. One-shot loop readings on
+    // a multi-tenant box have misread by 3-4× (r5 observed the 100M
+    // loop at 24.9 s against a same-hour 5.9 s, the ticker at 23.3 s
+    // against 6.7 s — different sections hit on different runs).
+    val loopReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOOP_REPS", "2").toInt
+
     locally {
-      val (secs, batches) = arrowsLoop(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong)
-      runs("arrows_http_loop_10m") = Seq(secs)
+      val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
+      val trials = (1 to loopReps).map(_ => arrowsLoop(rows))
+      runs("arrows_http_loop_10m") = trials.map(_._1)
       System.err.println(
-        f"arrows loop: $batches record batches received, $secs%.2f seconds elapsed")
+        f"arrows loop: ${trials.last._2} record batches received, ${trials.map(_._1).min}%.2f seconds elapsed")
     }
 
     // The full-scale reference payload (http/get_simple: 100M rows,
-    // ~24.4k batches) — the one BASELINE.md throughput figure. Run once:
-    // it is a 3.2 GB serve+read loop, internally parallel on both sides.
+    // ~24.4k batches) — the one BASELINE.md throughput figure: a 3.2 GB
+    // serve+read loop, internally parallel on both sides.
     val benchFull = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "1") == "1"
     if (benchFull) {
-      val (secs, batches) = arrowsLoop(100000000L)
-      runs("arrows_http_loop_100m") = Seq(secs)
+      val trials = (1 to loopReps).map(_ => arrowsLoop(100000000L))
+      runs("arrows_http_loop_100m") = trials.map(_._1)
       System.err.println(
-        f"arrows loop 100M: $batches record batches received, $secs%.2f seconds elapsed")
+        f"arrows loop 100M: ${trials.last._2} record batches received, ${trials.map(_._1).min}%.2f seconds elapsed")
     }
 
     // get_compressed-scale throughput: the reference's second workload —
@@ -117,7 +125,8 @@ object Bench {
     if (benchFull) {
       val tickerRows = 42000000L
       var batches = 0L
-      val secs = timed {
+      def tickerLoop(): Double = timed {
+        batches = 0L
         val server = new graft.server.ArrowHttpServer(spark)
         server.registerDict("ticker",
           graft.datagen.Generators.ticker(spark, tickerRows), Seq("ticker"))
@@ -140,9 +149,10 @@ object Bench {
           require(rows == tickerRows, s"ticker loop read $rows rows, expected $tickerRows")
         } finally server.stop()
       }
-      runs("ticker_compressed_loop_42m") = Seq(secs)
+      val trials = (1 to loopReps).map(_ => tickerLoop())
+      runs("ticker_compressed_loop_42m") = trials
       System.err.println(
-        f"ticker compressed loop 42M (zstd + dict): $batches record batches received, $secs%.2f seconds elapsed")
+        f"ticker compressed loop 42M (zstd + dict): $batches record batches received, ${trials.min}%.2f seconds elapsed")
     }
 
     // client timing breakdown (time-to-schema / time-to-first-batch /
