@@ -421,6 +421,65 @@ object DedupOps {
          |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
          |FROM pairs
          |WHERE bit_count(xor(sa, sb)) <= 3
-         |ORDER BY a_id, b_id""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // -- benchmark decontamination (broadcast semi vs eval 8-grams) ----
+    // The eval-set decontamination step of a training pipeline (the
+    // published GPT-3/PaLM-appendix shape): flag every corpus document
+    // sharing a word 8-gram with a benchmark. The benchmark here is
+    // built the way real ones leak — eval snippets extracted from web
+    // text that is ALSO in the corpus: docs with doc_id % 25 = 0
+    // contribute words 5..20 as an "eval question" (so their 8-grams
+    // 5..13 are contaminated by construction, plus any genuine
+    // cross-doc sharing). 100 TB shape: a benchmark is a FIXED-size
+    // set (MBs) while the corpus grows to TBs around it — modeled by
+    // the absolute doc_id < 5000 cap, which keeps the eval side
+    // constant at any SF — so the distinct eval gram set (16-byte
+    // binary md5s) is explicitly broadcast() and the corpus side
+    // reaches the join with NO shuffle of text or grams; the only
+    // exchanges after the map-side hash join carry matched (hit) rows,
+    // proportional to contamination, not corpus volume.
+    QueryDef.sql("d11_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+        val evalGrams = docs
+          .filter(col("doc_id") % 25 === 0 && col("doc_id") < 5000 &&
+            size(col("ws")) >= 20)
+          .select(explode(transform(sequence(lit(5), lit(13)),
+            i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8))))))).as("h"))
+          .distinct()
+        val corpusGrams = docs
+          .select(col("doc_id"),
+            greatest(size(col("ws")) - 7, lit(0)).cast("long").as("n_grams"),
+            explode(when(size(col("ws")) < 8, array().cast("array<binary>"))
+              .otherwise(transform(sequence(lit(1), size(col("ws")) - 7),
+                i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8)))))))).as("h"))
+        corpusGrams.join(broadcast(evalGrams), Seq("h"))
+          .groupBy(col("doc_id"), col("n_grams"))
+          .agg(countDistinct(col("h")).as("n_contam"))
+          .select(col("doc_id"), col("n_grams"), col("n_contam"),
+            (col("n_contam").cast("double") / col("n_grams")).as("contam_frac"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |eg AS (
+         |  SELECT DISTINCT unnest(list_transform(range(5, 14),
+         |    i -> unhex(md5(array_to_string(ws[i:i+7], ' '))))) AS h
+         |  FROM w WHERE doc_id % 25 = 0 AND doc_id < 5000 AND len(ws) >= 20),
+         |cg AS (
+         |  SELECT doc_id, greatest(len(ws) - 7, 0) AS n_grams,
+         |    unnest(CASE WHEN len(ws) < 8 THEN []
+         |         ELSE list_transform(range(1, len(ws) - 6),
+         |                i -> unhex(md5(array_to_string(ws[i:i+7], ' ')))) END) AS h
+         |  FROM w),
+         |hit AS (
+         |  SELECT cg.doc_id, cg.n_grams, COUNT(DISTINCT cg.h) AS n_contam
+         |  FROM cg JOIN eg USING (h)
+         |  GROUP BY cg.doc_id, cg.n_grams)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_contam AS BIGINT) AS n_contam,
+         |  CAST(n_contam AS DOUBLE) / n_grams AS contam_frac
+         |FROM hit ORDER BY doc_id""".stripMargin)
   )
 }

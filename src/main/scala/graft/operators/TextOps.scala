@@ -278,6 +278,48 @@ object TextOps {
          |  len(regexp_extract_all(txt, '$pat')) AS n_bpe_tokens
          |FROM p
          |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // -- corpus-frequency word rarity (LM-filter proxy) ----------------
+    // The exact-arithmetic analogue of a CCNet-style LM quality filter:
+    // score each document by how common its words are in THIS corpus
+    // (rare-word-heavy docs are the ones a perplexity filter drops).
+    // Words are reduced to 60-bit md5 values before the frequency count
+    // so the wide shuffle carries (doc_id, wh) longs, never strings
+    // (the d08 lesson), and both engines count the identical hashed
+    // key. All arithmetic stays integral until the two final divisions,
+    // so the oracle is bit-exact. 100 TB shape: repartition(wh) means
+    // HashPartitioning(wh) feeds the frequency window with no second
+    // exchange; the only other shuffle is the per-doc rollup.
+    QueryDef.sql("t09_word_rarity",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wh = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(transform(words(col("text")), w => md5Val(w, 15))).as("wh"))
+        val cnt = wh.repartition(col("wh"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("wh"))))
+        cnt.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+               sum(col("cnt")).as("sum_freq"),
+               sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("sum_freq").cast("double") / col("n_tokens")).as("avg_freq"),
+            (col("n_hapax").cast("double") / col("n_tokens")).as("hapax_frac"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(list_transform(${oWords("text")},
+         |    w -> ${oMd5Val("w", 15)})) AS wh
+         |  FROM documents),
+         |c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY wh) AS cnt FROM w),
+         |a AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(cnt) AS sum_freq,
+         |    SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(sum_freq AS DOUBLE) / n_tokens AS avg_freq,
+         |  CAST(n_hapax AS DOUBLE) / n_tokens AS hapax_frac
+         |FROM a ORDER BY doc_id""".stripMargin)
   )
 }

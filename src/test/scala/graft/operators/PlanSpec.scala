@@ -163,14 +163,54 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d11: eval grams broadcast — corpus side reaches the join unshuffled") {
+    // AQE off so executedPlan is the full exchange-inserted tree (no
+    // adaptive wrapper hiding the subtrees from collect)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ep = SparkEntry.queries("d11_decontaminate")(spark, sf)
+        .queryExecution.executedPlan
+      val bhj = ep.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"eval gram join is not broadcast:\n$ep")
+      // the corpus (streamed) side must hit the join with zero
+      // exchanges: every shuffle in the plan is above the join and so
+      // carries only matched rows (∝ contamination, not corpus volume)
+      val streamed = bhj.head.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.head.left
+        case _ => bhj.head.right
+      }
+      val streamedShuffles =
+        streamed.collect { case e: ShuffleExchangeLike => e }
+      assert(streamedShuffles.isEmpty,
+        s"corpus grams shuffled before the join:\n$ep")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("t09: repartition(wh) feeds the frequency window — two hash shuffles total") {
+    val p = plan("t09_word_rarity")
+    // 1 = repartition(wh) (reused by the window), 2 = per-doc rollup;
+    // a third would mean the window re-shuffled what repartition built
+    val shuffles = p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(shuffles === 2, s"window did not reuse the wh partitioning:\n$p")
+    assert(!p.contains("Join"), s"frequency lookup should be a window, not a join:\n$p")
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, LogicalPlan, ResolvedHint}
     val dimPrefixes = Seq("r_", "n_", "s_")
     analyzed.foreach {
       case h: ResolvedHint =>
-        val hasAgg = h.child.collectFirst { case a: Aggregate => a }.isDefined
+        // Deduplicate (distinct) is an aggregation over all columns —
+        // same cardinality-reduction justification as Aggregate
+        val hasAgg = h.child.collectFirst {
+          case a: Aggregate => a: LogicalPlan
+          case dd: Deduplicate => dd: LogicalPlan
+        }.isDefined
         val leaves = h.child.collectLeaves()
         val dimOnly = leaves.nonEmpty && leaves.forall(l =>
           dimPrefixes.exists(p => l.schema.fieldNames.forall(_.startsWith(p))))
