@@ -57,7 +57,9 @@ object SparkEntry {
       // (measured 40× work on 10× data at sf1), so it stays in the
       // oracle gate but NOT in the timed set.
       "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
-      "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "t02_quality_score")
+      "d11_decontaminate",
+      "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "t02_quality_score",
+      "t09_word_rarity")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)
