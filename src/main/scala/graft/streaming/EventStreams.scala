@@ -134,6 +134,44 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("segment"), col("n"))
 
+  /** Streaming as-of join — the unbounded twin of q21/q31: each
+    * purchase joins the most recent prior view by the same user WITHIN
+    * a bounded horizon. The horizon is the streaming contract (same
+    * spirit as dedupStream's): stream-stream join state must be
+    * finite, so "most recent prior view ever" becomes "within
+    * `horizon`". Both sides watermark; the two time-range conjuncts
+    * are what lets Spark evict view state older than the horizon
+    * (state ∝ horizon × rate, independent of stream length), and the
+    * (v_ts, view_id) < (p_ts, purchase_id) conjunct reproduces the
+    * batch twin's lexicographic tie-break exactly. The max-per-purchase
+    * reduction is a windowed streaming aggregation chained after the
+    * join (append mode finalizes a purchase's row once the watermark
+    * passes its 1-minute window) — the multi-stateful-operator shape.
+    */
+  def asofStream(events: DataFrame, horizon: String = "2 hours"): DataFrame = {
+    val base = events.withColumn("ts", timestamp_micros(col("us")))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"), col("us").as("view_us"))
+      .withWatermark("v_ts", horizon)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("us").as("purchase_us"))
+      .withWatermark("p_ts", horizon)
+    purchases.join(views,
+        col("v_user") === col("user_id") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"interval $horizon") &&
+          (col("v_ts") < col("p_ts") || col("view_id") < col("purchase_id")),
+        "inner")
+      .groupBy(window(col("p_ts"), "1 minute"), col("purchase_id"),
+        col("user_id"), col("purchase_us"))
+      .agg(max(struct(col("view_us"), col("view_id"))).as("best"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("best.view_id").as("last_view_id"),
+        (col("purchase_us") - col("best.view_us")).as("gap_us"))
+  }
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

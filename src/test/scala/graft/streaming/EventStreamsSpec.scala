@@ -136,4 +136,49 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.toSet === docs.map(_.text).distinct.toSet)
     assert(got.size === 200) // 300 rows, every third a duplicate
   }
+
+  test("streaming as-of join matches the batch q21 twin within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val horizonUs = 2L * 3600 * 1000000
+
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.asofStream(input.toDF(), "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+
+    val ordered = EventStreams.eventsOf(spark, sf).collect()
+      .sortBy(e => (e.us, e.event_id)).toSeq
+    ordered.grouped(math.max(1, ordered.size / 3)).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    // advance BOTH side watermarks past every real event so append mode
+    // finalizes all windows: one far-future sentinel per filtered side
+    val far = ordered.last.us + 10L * horizonUs
+    input.addData(Seq(
+      EventStreams.Event(-1L, far, -1L, "view", 0.0),
+      EventStreams.Event(-2L, far, -1L, "purchase", 0.0)))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("asof_out").filter(col("user_id") >= 0)
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("last_view_id"), col("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    // batch twin restricted to the horizon contract: purchases whose
+    // most recent prior view is within 2 hours (inner-join semantics)
+    val want = EventsOps.all.find(_.name == "q21_asof_join").get.fn(spark, sf)
+      .filter(col("gap_us").isNotNull && col("gap_us") <= horizonUs)
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("last_view_id"), col("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    assert(got.nonEmpty, "horizon filtered out every purchase-view pair")
+    assert(got === want)
+  }
 }
