@@ -94,7 +94,10 @@ object DedupOps {
     * Jaccard only via md5 collisions inside one doc's ~10²-gram set
     * (odds ~1e-5 per doc); both engines compute the identical hashed
     * value, and d04 remains the string-exact Jaccard reference. */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate pairs joined back to their hashed gram sets:
+    * (a_id, b_id, ga, gb). Shared by d03 (Jaccard) and d12
+    * (containment) — same candidates, different score projections. */
+  private def candidateGramSets(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(s, d)
     val bands = sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(3)), b =>
@@ -109,11 +112,14 @@ object DedupOps {
     candIds
       .join(gsets.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
       .join(gsets.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
+  }
+
+  private def candidatePairs(s: SparkSession, d: String): DataFrame =
+    candidateGramSets(s, d)
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb")))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-  }
 
   /** Oracle CTE chain ending in `pairs(a_id, b_id, jaccard)` — the
     * DuckDB mirror of [[candidatePairs]]. Shapes mirror the Spark plan
@@ -124,7 +130,7 @@ object DedupOps {
     * recomputed the full shingle pipeline per candidate pair, which
     * priced the sf1 gate (50k docs, ~1M band candidates) out of DuckDB
     * entirely. */
-  private val oPairCtes =
+  private val oCandCtes =
     s"""$oSignatures,
        |gsets AS (
        |  SELECT doc_id, list_distinct(gvs) AS gs FROM gv),
@@ -135,7 +141,10 @@ object DedupOps {
        |  FROM sigs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val oPairCtes =
+    s"""$oCandCtes,
        |jac AS (
        |  SELECT a_id, b_id,
        |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
@@ -480,6 +489,41 @@ object DedupOps {
          |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
          |  CAST(n_contam AS BIGINT) AS n_contam,
          |  CAST(n_contam AS DOUBLE) / n_grams AS contam_frac
-         |FROM hit ORDER BY doc_id""".stripMargin)
+         |FROM hit ORDER BY doc_id""".stripMargin),
+
+    // -- asymmetric containment scoring over LSH candidates ------------
+    // Jaccard misses the commonest web-dedup shape: a small document
+    // embedded in a larger one (article + boilerplate) has high
+    // CONTAINMENT |A∩B|/|A| but low Jaccard. d12 scores both
+    // directions over the same hashed gram sets d03 verifies with, and
+    // keeps pairs where either side is ≥ 0.8 contained. Recall
+    // contract: candidates come from the Jaccard-tuned MinHash bands,
+    // so extreme-size-ratio pairs (tiny A inside huge B) may not
+    // band-collide — at 100 TB the containment-complete candidate
+    // source is d08's duplicated-gram buckets; this operator is the
+    // scoring stage, sharing d03's (band, id)-only shuffle shape and
+    // the persisted gram store (no extra text pass).
+    QueryDef.sql("d12_containment",
+      (s, d) => candidateGramSets(s, d)
+        .select(col("a_id"), col("b_id"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(col("ga"))).as("cont_a"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(col("gb"))).as("cont_b"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+        .orderBy(col("a_id"), col("b_id")),
+      s"""WITH $oCandCtes,
+         |ctn AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+         |      len(ga.gs) AS cont_a,
+         |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+         |      len(gb.gs) AS cont_b
+         |  FROM cand
+         |  JOIN gsets ga ON ga.doc_id = cand.a_id
+         |  JOIN gsets gb ON gb.doc_id = cand.b_id)
+         |SELECT a_id, b_id, cont_a, cont_b FROM ctn
+         |WHERE greatest(cont_a, cont_b) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin)
   )
 }
