@@ -90,19 +90,22 @@ object Bench {
     }
 
     // Transport loops get the same noise defense as the queries: each
-    // loop runs LOOP_REPS times (default 2) and reports the min, all
+    // loop runs LOOP_REPS times (default 3) and reports the min, all
     // reps recorded in the stderr runs line. One-shot loop readings on
     // a multi-tenant box have misread by 3-4× (r5 observed the 100M
     // loop at 24.9 s against a same-hour 5.9 s, the ticker at 23.3 s
-    // against 6.7 s — different sections hit on different runs).
-    val loopReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOOP_REPS", "2").toInt
+    // against 6.7 s — different sections hit on different runs), and
+    // r5's min-of-2 still recorded a 7.5× inter-rep spread — a third
+    // rep makes the min robust to a single bad pair.
+    val loopReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOOP_REPS", "3").toInt
 
     locally {
       val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
       val trials = (1 to loopReps).map(_ => arrowsLoop(rows))
       runs("arrows_http_loop_10m") = trials.map(_._1)
+      val best = trials.minBy(_._1) // batches + seconds from the SAME (min) trial
       System.err.println(
-        f"arrows loop: ${trials.last._2} record batches received, ${trials.map(_._1).min}%.2f seconds elapsed")
+        f"arrows loop: ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
     }
 
     // The full-scale reference payload (http/get_simple: 100M rows,
@@ -112,8 +115,9 @@ object Bench {
     if (benchFull) {
       val trials = (1 to loopReps).map(_ => arrowsLoop(100000000L))
       runs("arrows_http_loop_100m") = trials.map(_._1)
+      val best = trials.minBy(_._1)
       System.err.println(
-        f"arrows loop 100M: ${trials.last._2} record batches received, ${trials.map(_._1).min}%.2f seconds elapsed")
+        f"arrows loop 100M: ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
     }
 
     // get_compressed-scale throughput: the reference's second workload —
@@ -124,35 +128,38 @@ object Bench {
     // back through a raw Arrow client that decompresses and decodes.
     if (benchFull) {
       val tickerRows = 42000000L
-      var batches = 0L
-      def tickerLoop(): Double = timed {
-        batches = 0L
-        val server = new graft.server.ArrowHttpServer(spark)
-        server.registerDict("ticker",
-          graft.datagen.Generators.ticker(spark, tickerRows), Seq("ticker"))
-        server.start()
-        try {
-          val conn = java.net.URI.create(s"${server.baseUrl}/q/ticker").toURL
-            .openConnection().asInstanceOf[java.net.HttpURLConnection]
-          conn.setRequestProperty("Accept-Encoding", "zstd")
-          val coding = conn.getHeaderField("Content-Encoding")
-          require(coding == "zstd", s"expected zstd negotiation, got $coding")
-          val in = new com.github.luben.zstd.ZstdInputStream(
-            new java.io.BufferedInputStream(conn.getInputStream, 1 << 16))
-          val alloc = graft.arrow.ArrowBridge.newAllocator("bench-ticker")
-          val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
-          var rows = 0L
-          while (reader.loadNextBatch()) {
-            rows += reader.getVectorSchemaRoot.getRowCount; batches += 1
-          }
-          reader.close(); alloc.close()
-          require(rows == tickerRows, s"ticker loop read $rows rows, expected $tickerRows")
-        } finally server.stop()
+      def tickerLoop(): (Double, Long) = {
+        var batches = 0L
+        val secs = timed {
+          val server = new graft.server.ArrowHttpServer(spark)
+          server.registerDict("ticker",
+            graft.datagen.Generators.ticker(spark, tickerRows), Seq("ticker"))
+          server.start()
+          try {
+            val conn = java.net.URI.create(s"${server.baseUrl}/q/ticker").toURL
+              .openConnection().asInstanceOf[java.net.HttpURLConnection]
+            conn.setRequestProperty("Accept-Encoding", "zstd")
+            val coding = conn.getHeaderField("Content-Encoding")
+            require(coding == "zstd", s"expected zstd negotiation, got $coding")
+            val in = new com.github.luben.zstd.ZstdInputStream(
+              new java.io.BufferedInputStream(conn.getInputStream, 1 << 16))
+            val alloc = graft.arrow.ArrowBridge.newAllocator("bench-ticker")
+            val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+            var rows = 0L
+            while (reader.loadNextBatch()) {
+              rows += reader.getVectorSchemaRoot.getRowCount; batches += 1
+            }
+            reader.close(); alloc.close()
+            require(rows == tickerRows, s"ticker loop read $rows rows, expected $tickerRows")
+          } finally server.stop()
+        }
+        (secs, batches)
       }
       val trials = (1 to loopReps).map(_ => tickerLoop())
-      runs("ticker_compressed_loop_42m") = trials
+      runs("ticker_compressed_loop_42m") = trials.map(_._1)
+      val best = trials.minBy(_._1)
       System.err.println(
-        f"ticker compressed loop 42M (zstd + dict): $batches record batches received, ${trials.min}%.2f seconds elapsed")
+        f"ticker compressed loop 42M (zstd + dict): ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
     }
 
     // client timing breakdown (time-to-schema / time-to-first-batch /

@@ -80,6 +80,34 @@ object DedupOps {
        |sigs AS (
        |  SELECT doc_id, t, ${oMinhashSigFromGvs("gvs")} AS sig FROM gv)""".stripMargin
 
+  /** LSH candidate pairs joined back to their hashed gram sets:
+    * (a_id, b_id, ga, gb). Shared by d03 (Jaccard) and d12
+    * (containment) — same candidates, different score projections.
+    * Empty gram sets (docs under 3 words) are filtered on BOTH sides:
+    * such docs share an all-null MinHash signature and so band-collide
+    * with each other, and a 0-sized set makes every score a 0/0 —
+    * which Spark's Divide maps to NULL (row filtered) but DuckDB's
+    * IEEE division maps to NaN (compares GREATER than any number, so
+    * a `>= threshold` KEEPS the row). Excluding the degenerate sets
+    * up front gives both engines the same well-defined answer. */
+  private def candidateGramSets(s: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(s, d)
+    val bands = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)), b =>
+          concat(b.cast("string"), lit("|"), concat_ws("|",
+            transform(slice(col("sig"), b * 4 + 1, lit(4)), x => x.cast("string")))))).as("band"))
+    val candIds = bands.as("a").join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val gsets = gramFrame(s, d)
+      .select(col("doc_id"), array_distinct(col("gvs")).as("gs"))
+      .filter(size(col("gs")) > 0)
+    candIds
+      .join(gsets.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
+      .join(gsets.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
+  }
+
   /** LSH candidate pairs with Jaccard verification (jaccard ≥ 0.5)
     * over the HASHED gram sets (the 30-bit [[OpUtils.gramVals]] values
     * the MinHash build already materialized). Scale shape: the band
@@ -94,26 +122,6 @@ object DedupOps {
     * Jaccard only via md5 collisions inside one doc's ~10²-gram set
     * (odds ~1e-5 per doc); both engines compute the identical hashed
     * value, and d04 remains the string-exact Jaccard reference. */
-  /** LSH candidate pairs joined back to their hashed gram sets:
-    * (a_id, b_id, ga, gb). Shared by d03 (Jaccard) and d12
-    * (containment) — same candidates, different score projections. */
-  private def candidateGramSets(s: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(s, d)
-    val bands = sigs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(3)), b =>
-          concat(b.cast("string"), lit("|"), concat_ws("|",
-            transform(slice(col("sig"), b * 4 + 1, lit(4)), x => x.cast("string")))))).as("band"))
-    val candIds = bands.as("a").join(bands.as("b"), col("a.band") === col("b.band") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    val gsets = gramFrame(s, d)
-      .select(col("doc_id"), array_distinct(col("gvs")).as("gs"))
-    candIds
-      .join(gsets.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
-      .join(gsets.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
-  }
-
   private def candidatePairs(s: SparkSession, d: String): DataFrame =
     candidateGramSets(s, d)
       .select(col("a_id"), col("b_id"),
@@ -133,7 +141,8 @@ object DedupOps {
   private val oCandCtes =
     s"""$oSignatures,
        |gsets AS (
-       |  SELECT doc_id, list_distinct(gvs) AS gs FROM gv),
+       |  SELECT doc_id, list_distinct(gvs) AS gs FROM gv
+       |  WHERE len(list_distinct(gvs)) > 0),
        |bands AS (
        |  SELECT doc_id, unnest(list_transform(range(0, 4),
        |    b -> b || '|' || array_to_string(list_transform(sig[b*4+1:b*4+4],
