@@ -57,7 +57,7 @@ object SparkEntry {
       // (measured 40× work on 10× data at sf1), so it stays in the
       // oracle gate but NOT in the timed set.
       "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
-      "d11_decontaminate",
+      "d11_decontaminate", "d13_containment_complete",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "t02_quality_score",
       "t09_word_rarity")
     val have = queries.keySet

@@ -90,23 +90,43 @@ object DedupOps {
     * IEEE division maps to NaN (compares GREATER than any number, so
     * a `>= threshold` KEEPS the row). Excluding the degenerate sets
     * up front gives both engines the same well-defined answer. */
-  private def candidateGramSets(s: SparkSession, d: String): DataFrame = {
+  private def bandCandidates(s: SparkSession, d: String): DataFrame = {
     val sigs = signatures(s, d)
     val bands = sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(3)), b =>
           concat(b.cast("string"), lit("|"), concat_ws("|",
             transform(slice(col("sig"), b * 4 + 1, lit(4)), x => x.cast("string")))))).as("band"))
-    val candIds = bands.as("a").join(bands.as("b"), col("a.band") === col("b.band") &&
+    bands.as("a").join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** Join (a_id, b_id) candidate pairs to their hashed 3-gram sets:
+    * (a_id, b_id, ga, gb). */
+  private def withGramSets(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     val gsets = gramFrame(s, d)
       .select(col("doc_id"), array_distinct(col("gvs")).as("gs"))
       .filter(size(col("gs")) > 0)
-    candIds
+    cand
       .join(gsets.select(col("doc_id").as("a_id"), col("gs").as("ga")), "a_id")
       .join(gsets.select(col("doc_id").as("b_id"), col("gs").as("gb")), "b_id")
   }
+
+  private def candidateGramSets(s: SparkSession, d: String): DataFrame =
+    withGramSets(s, d, bandCandidates(s, d))
+
+  /** Both-direction containment projection over (a_id, b_id, ga, gb) —
+    * the scoring stage shared by d12 and d13. */
+  private def containment(cands: DataFrame): DataFrame =
+    cands
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(col("ga"))).as("cont_a"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(col("gb"))).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+      .orderBy(col("a_id"), col("b_id"))
 
   /** LSH candidate pairs with Jaccard verification (jaccard ≥ 0.5)
     * over the HASHED gram sets (the 30-bit [[OpUtils.gramVals]] values
@@ -553,19 +573,13 @@ object DedupOps {
     // keeps pairs where either side is ≥ 0.8 contained. Recall
     // contract: candidates come from the Jaccard-tuned MinHash bands,
     // so extreme-size-ratio pairs (tiny A inside huge B) may not
-    // band-collide — at 100 TB the containment-complete candidate
-    // source is d08's duplicated-gram buckets; this operator is the
-    // scoring stage, sharing d03's (band, id)-only shuffle shape and
-    // the persisted gram store (no extra text pass).
+    // band-collide — d13 below wires the containment-complete source
+    // (duplicated-gram buckets from the shared 8-gram store, unioned
+    // with these bands); d12 stays the band-only scoring stage,
+    // sharing d03's (band, id)-only shuffle shape and the persisted
+    // gram store (no extra text pass).
     QueryDef.sql("d12_containment",
-      (s, d) => candidateGramSets(s, d)
-        .select(col("a_id"), col("b_id"),
-          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-            size(col("ga"))).as("cont_a"),
-          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-            size(col("gb"))).as("cont_b"))
-        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
-        .orderBy(col("a_id"), col("b_id")),
+      (s, d) => containment(candidateGramSets(s, d)),
       s"""WITH $oCandCtes,
          |ctn AS (
          |  SELECT a_id, b_id,
@@ -577,6 +591,65 @@ object DedupOps {
          |  JOIN gsets ga ON ga.doc_id = cand.a_id
          |  JOIN gsets gb ON gb.doc_id = cand.b_id)
          |SELECT a_id, b_id, cont_a, cont_b FROM ctn
+         |WHERE greatest(cont_a, cont_b) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // -- containment-COMPLETE pair finding (gram buckets ∪ bands) ------
+    // d12's recall gap, closed: a tiny document embedded in a huge one
+    // rarely band-collides (MinHash bands are Jaccard-tuned), but its
+    // word 8-grams appear verbatim in both docs, so the SHARED gram
+    // store already holds the evidence. Candidate source B: grams
+    // duplicated across 2..16 docs (the >16 cap drops boilerplate
+    // stop-phrases and bounds per-gram fan-out at 16²/2 pairs — at
+    // 100 TB a cap is mandatory or one viral sentence yields 10¹⁰
+    // pairs), self-joined per h INSIDE the store's HashPartitioning(h)
+    // — no exchange (PlanSpec pins it) — and reduced to pairs sharing
+    // >= 2 such grams, so only (a_id, b_id) pairs ever leave the
+    // bucket join. Unioned with d03's band candidates, then the same
+    // containment projection as d12 over the same persisted 3-gram
+    // sets. ContainmentRecallSpec constructs the small-in-large pair
+    // d12 provably misses and this query catches.
+    QueryDef.sql("d13_containment_complete",
+      (s, d) => {
+        val dup = gram8Agg(s, d)
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .filter(col("nd").between(2, 16))
+          .select(col("doc_id"), col("h"))
+        val bucketPairs = dup.as("a").join(dup.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("ns"))
+          .filter(col("ns") >= 2)
+          .select(col("a_id"), col("b_id"))
+        val cand = bandCandidates(s, d).unionAll(bucketPairs).distinct()
+        containment(withGramSets(s, d, cand))
+      },
+      s"""WITH $oCandCtes,
+         |w8 AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |g8 AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(ws) < 8 THEN []
+         |         ELSE list_transform(range(1, len(ws) - 6),
+         |                i -> unhex(md5(array_to_string(ws[i:i+7], ' ')))) END) AS h
+         |  FROM w8),
+         |g8h AS (SELECT doc_id, h FROM g8 GROUP BY doc_id, h),
+         |g8d AS (SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS nd FROM g8h),
+         |gdup AS (SELECT doc_id, h FROM g8d WHERE nd BETWEEN 2 AND 16),
+         |bpairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM gdup a JOIN gdup b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |acand AS (SELECT a_id, b_id FROM cand UNION SELECT a_id, b_id FROM bpairs),
+         |actn AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+         |      len(ga.gs) AS cont_a,
+         |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+         |      len(gb.gs) AS cont_b
+         |  FROM acand
+         |  JOIN gsets ga ON ga.doc_id = acand.a_id
+         |  JOIN gsets gb ON gb.doc_id = acand.b_id)
+         |SELECT a_id, b_id, cont_a, cont_b FROM actn
          |WHERE greatest(cont_a, cont_b) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin)
   )

@@ -235,6 +235,31 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("d13: the gram-bucket self-join runs inside the store's h-partitioning") {
+    // Candidate source B self-joins the (doc_id, h) store per h. Both
+    // sides read the SAME cached frame, already HashPartitioning(h) —
+    // a query-side exchange on h would mean the gram volume (the
+    // dominant shuffle at 100 TB) moves again for the join. Everything
+    // that's allowed to shuffle here is pair-sized: bands, candidate
+    // ids, the gsets joins.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ep = SparkEntry.queries("d13_containment_complete")(spark, sf)
+        .queryExecution.executedPlan
+      val hShuffles = ep.collect {
+        case e: ShuffleExchangeLike if (e.outputPartitioning match {
+          case hp: HashPartitioning =>
+            hp.expressions.exists(_.references.exists(_.name == "h"))
+          case _ => false
+        }) => e
+      }
+      assert(hShuffles.isEmpty,
+        s"gram volume re-shuffled on h for the bucket join:\n$ep")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("t09: repartition(wh) feeds the frequency window — two hash shuffles total") {
     val p = plan("t09_word_rarity")
     // 1 = repartition(wh) (reused by the window), 2 = per-doc rollup;
