@@ -149,6 +149,26 @@ object DedupOps {
           size(array_union(col("ga"), col("gb")))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
 
+  /** Connected-component labels over the verified near-dup pairs:
+    * (src, cluster) where cluster = min doc_id reachable within <= 4
+    * hops (two doubling self-joins — the log-diameter closure d07
+    * documents). Shared by d07 (cluster report) and d14 (corpus
+    * materialization). Only docs that appear in some pair get a row;
+    * singleton docs are implicitly their own cluster. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val p = candidatePairs(s, d).select(col("a_id"), col("b_id"))
+    val e = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .unionAll(p.select(col("a_id").as("src"), col("a_id").as("dst")))
+      .unionAll(p.select(col("b_id").as("src"), col("b_id").as("dst")))
+      .distinct()
+    def dbl(r: DataFrame): DataFrame =
+      r.as("x").join(r.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .distinct()
+    dbl(dbl(e)).groupBy(col("src")).agg(min(col("dst")).as("cluster"))
+  }
+
   /** Shared word-8-gram store over `documents` — ONE gram pipeline for
     * every exact-substring-family operator (d08 duplication profile,
     * d11 decontamination, d13 containment-complete candidates). Two
@@ -238,6 +258,19 @@ object DedupOps {
        |  JOIN gsets gb ON gb.doc_id = cand.b_id),
        |pairs AS (SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.5)""".stripMargin
 
+  /** DuckDB mirror of [[clusterLabels]] — CTE chain ending in
+    * `labels(src, cluster)`. */
+  private val oLabelCtes =
+    s"""$oPairCtes,
+       |e AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |  UNION SELECT a_id, a_id FROM pairs
+       |  UNION SELECT b_id, b_id FROM pairs),
+       |r2 AS (SELECT DISTINCT x.src, y.dst FROM e x JOIN e y ON x.dst = y.src),
+       |r4 AS (SELECT DISTINCT x.src, y.dst FROM r2 x JOIN r2 y ON x.dst = y.src),
+       |labels AS (SELECT src, MIN(dst) AS cluster FROM r4 GROUP BY src)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // -- exact dedup: hash-groupBy on normalized text ------------------
@@ -293,33 +326,14 @@ object DedupOps {
     // low-diameter dup graphs without per-vertex iteration state.
     QueryDef.sql("d07_neardup_clusters",
       (s, d) => {
-        val p = candidatePairs(s, d).select(col("a_id"), col("b_id"))
-        val e = p.select(col("a_id").as("src"), col("b_id").as("dst"))
-          .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-          .unionAll(p.select(col("a_id").as("src"), col("a_id").as("dst")))
-          .unionAll(p.select(col("b_id").as("src"), col("b_id").as("dst")))
-          .distinct()
-        def dbl(r: DataFrame): DataFrame =
-          r.as("x").join(r.as("y"), col("x.dst") === col("y.src"))
-            .select(col("x.src").as("src"), col("y.dst").as("dst"))
-            .distinct()
-        val labels = dbl(dbl(e)).groupBy(col("src"))
-          .agg(min(col("dst")).as("cluster"))
+        val labels = clusterLabels(s, d)
         val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, "cluster")
           .select(col("src").as("doc_id"), col("cluster"),
             (col("src") === col("cluster")).as("canonical"), col("cluster_size"))
           .orderBy(col("doc_id"))
       },
-      s"""WITH $oPairCtes,
-         |e AS (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION SELECT b_id, a_id FROM pairs
-         |  UNION SELECT a_id, a_id FROM pairs
-         |  UNION SELECT b_id, b_id FROM pairs),
-         |r2 AS (SELECT DISTINCT x.src, y.dst FROM e x JOIN e y ON x.dst = y.src),
-         |r4 AS (SELECT DISTINCT x.src, y.dst FROM r2 x JOIN r2 y ON x.dst = y.src),
-         |labels AS (SELECT src, MIN(dst) AS cluster FROM r4 GROUP BY src),
+      s"""WITH $oLabelCtes,
          |sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
          |SELECT l.src AS doc_id, l.cluster, l.src = l.cluster AS canonical, z.cluster_size
          |FROM labels l JOIN sizes z USING (cluster)
@@ -651,6 +665,89 @@ object DedupOps {
          |  JOIN gsets gb ON gb.doc_id = acand.b_id)
          |SELECT a_id, b_id, cont_a, cont_b FROM actn
          |WHERE greatest(cont_a, cont_b) >= 0.8
-         |ORDER BY a_id, b_id""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // -- dedup materialization: the corpus a user actually keeps -------
+    // The step every pipeline runs after pair finding + clustering:
+    // drop the non-canonical member of every near-dup cluster and emit
+    // the surviving corpus. 100 TB shape: the drop set is only the
+    // cluster members (dup_rate x corpus, typically a few %), so the
+    // left-anti join hash-partitions on doc_id with a small right side
+    // (AQE broadcasts it when it fits); the corpus side is projected to
+    // (doc_id, n_chars) BEFORE the join, so no text bodies ride the
+    // exchange. In the real layout the labels frame is the output of a
+    // nightly d07 run persisted next to the corpus — this query is the
+    // read side of that contract.
+    QueryDef.sql("d14_dedup_materialize",
+      (s, d) => {
+        val removed = clusterLabels(s, d)
+          .filter(col("src") =!= col("cluster"))
+          .select(col("src").as("doc_id"))
+        corpus(s, d)
+          .select(col("doc_id"), length(col("t")).cast("long").as("n_chars"))
+          .join(removed, Seq("doc_id"), "left_anti")
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $oLabelCtes,
+         |removed AS (SELECT src AS doc_id FROM labels WHERE src <> cluster)
+         |SELECT c.doc_id, length(c.t) AS n_chars
+         |FROM corpus c
+         |WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = c.doc_id)
+         |ORDER BY c.doc_id""".stripMargin),
+
+    // -- incremental snapshot dedup: new batch vs existing corpus ------
+    // At 100 TB nobody re-dedups the whole corpus per snapshot: the
+    // corpus signature store is written once (bucketed by doc_id —
+    // BucketedStoreSpec proves its id-joins run exchange-free) and each
+    // incoming batch is deduped AGAINST it. Modeled here with the demo
+    // corpus's two generations: originals (doc_id < 1e6) are the
+    // existing corpus, perturbed twins (>= 1e6) are the new batch. Per
+    // new doc: exact duplicate of any existing doc (16-byte md5
+    // semi-join), count + best Jaccard of verified MinHash near-dup
+    // matches in the corpus (band join restricted to old x new — the
+    // candidate generator and the persisted gram/signature stores are
+    // shared with d03, so the batch pays only its own probe, never a
+    // corpus recompute), and the resulting keep/drop decision. Only
+    // old-x-new pairs are scored: in-batch dups are a separate (d01)
+    // concern.
+    QueryDef.sql("d15_incremental_dedup",
+      (s, d) => {
+        val inc = candidatePairs(s, d)
+          .filter(col("a_id") < 1000000L && col("b_id") >= 1000000L)
+          .groupBy(col("b_id"))
+          .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"))
+          .withColumnRenamed("b_id", "doc_id")
+        val newDocs = corpus(s, d).filter(col("doc_id") >= 1000000L)
+          .select(col("doc_id"), unhex(md5(col("t"))).as("h"))
+        val oldHashes = corpus(s, d).filter(col("doc_id") < 1000000L)
+          .select(unhex(md5(col("t"))).as("h")).distinct()
+        val exact = newDocs.join(oldHashes, Seq("h"), "left_semi")
+          .select(col("doc_id"), lit(true).as("exact_dup"))
+        newDocs.select(col("doc_id"))
+          .join(exact, Seq("doc_id"), "left")
+          .join(inc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+          .withColumn("keep", !col("exact_dup") && col("n_matches") === 0)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $oPairCtes,
+         |inc AS (
+         |  SELECT b_id AS doc_id, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard
+         |  FROM pairs WHERE a_id < 1000000 AND b_id >= 1000000 GROUP BY b_id),
+         |oh AS (SELECT DISTINCT unhex(md5(t)) AS h FROM corpus WHERE doc_id < 1000000),
+         |nd AS (SELECT doc_id, unhex(md5(t)) AS h FROM corpus WHERE doc_id >= 1000000),
+         |ex AS (SELECT nd.doc_id FROM nd WHERE EXISTS (SELECT 1 FROM oh WHERE oh.h = nd.h))
+         |SELECT n.doc_id,
+         |  (ex.doc_id IS NOT NULL) AS exact_dup,
+         |  COALESCE(i.n_matches, 0) AS n_matches,
+         |  COALESCE(i.best_jaccard, 0.0) AS best_jaccard,
+         |  (ex.doc_id IS NULL AND COALESCE(i.n_matches, 0) = 0) AS keep
+         |FROM nd n
+         |LEFT JOIN ex ON ex.doc_id = n.doc_id
+         |LEFT JOIN inc i ON i.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin)
   )
 }

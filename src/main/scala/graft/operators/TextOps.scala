@@ -320,6 +320,51 @@ object TextOps {
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(sum_freq AS DOUBLE) / n_tokens AS avg_freq,
          |  CAST(n_hapax AS DOUBLE) / n_tokens AS hapax_frac
-         |FROM a ORDER BY doc_id""".stripMargin)
+         |FROM a ORDER BY doc_id""".stripMargin),
+
+    // -- per-source corpus profile (domain-level filtering input) ------
+    // Web-scale pipelines filter by SOURCE before they filter by
+    // document: a crawl domain with a high duplicate rate or degenerate
+    // length profile is dropped wholesale (the C4/RefinedWeb move).
+    // This emits the per-source health sheet those decisions read from:
+    // doc count, exact-dup rate (16-byte md5 distinct), length profile,
+    // language spread, and the fraction of docs under the 50-word
+    // Gopher floor. 100 TB shape: ONE hash shuffle keyed by source with
+    // full map-side partial aggregation — every metric here (count,
+    // avg, distinct-within-group over compact keys, conditional sum)
+    // folds into Spark's two-phase agg; text reduces to a 16-byte hash
+    // and a word count map-side, so the shuffle carries fixed-width
+    // rows regardless of document size. Sources are few (domains, not
+    // docs), so the reduce side is trivially small.
+    QueryDef.sql("t10_source_profile",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          unhex(md5(trim(col("text")))).as("h"),
+          size(words(col("text"))).as("n_words"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique"),
+          countDistinct(col("lang")).as("n_langs"),
+          avg(col("n_chars")).as("avg_chars"),
+          avg(when(col("n_words") < 50, 1.0).otherwise(0.0)).as("short_frac"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs")).as("dup_rate"),
+          col("n_langs"), col("avg_chars"), col("short_frac"))
+        .orderBy(col("source")),
+      s"""WITH m AS (
+         |  SELECT source, lang, n_chars, unhex(md5(trim(text))) AS h,
+         |    len(${oWords("text")}) AS n_words
+         |  FROM documents),
+         |a AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT h) AS n_unique,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    AVG(n_chars) AS avg_chars,
+         |    AVG(CASE WHEN n_words < 50 THEN 1 ELSE 0 END) AS short_frac
+         |  FROM m GROUP BY source)
+         |SELECT source, n_docs, n_unique,
+         |  CAST(n_docs - n_unique AS DOUBLE) / n_docs AS dup_rate,
+         |  n_langs, avg_chars, short_frac
+         |FROM a ORDER BY source""".stripMargin)
   )
 }

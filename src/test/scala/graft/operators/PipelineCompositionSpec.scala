@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftSession, SparkEntry}
+
+/** The dedup pipeline's composition contract, pinned across operators:
+  * d14 (materialized corpus) must agree row-for-row with d07's cluster
+  * labels, d15's keep/drop decisions must follow from its own match
+  * columns, and t10's per-source totals must tile the corpus. These are
+  * invariants BETWEEN queries — the oracle gate checks each one alone.
+  */
+class PipelineCompositionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession =
+    GraftSession.builder("pipeline-composition", "4").getOrCreate()
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("d14 keeps exactly one doc per d07 cluster and every singleton") {
+    val clusters = SparkEntry.queries("d07_neardup_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val kept = SparkEntry.queries("d14_dedup_materialize")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+
+    val clustered = clusters.map(_._1).toSet
+    val canonical = clusters.filter(_._3).map(_._1).toSet
+    // every canonical member survives, every non-canonical is dropped
+    assert(canonical.subsetOf(kept))
+    assert((clustered -- canonical).intersect(kept).isEmpty)
+    // exactly one survivor per cluster
+    val survivorsPerCluster = clusters.filter(c => kept.contains(c._1))
+      .groupBy(_._2).view.mapValues(_.length).toMap
+    assert(survivorsPerCluster.values.forall(_ == 1),
+      s"clusters with != 1 survivor: ${survivorsPerCluster.filter(_._2 != 1)}")
+    // corpus = kept ∪ dropped (docs outside any cluster are all kept):
+    // 2n corpus docs (originals + perturbed twins), n = documents rows
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(kept.size + (clustered -- canonical).size == 2 * n)
+  }
+
+  test("d15 decisions follow from its match columns and catch the perturbed twins") {
+    val rows = SparkEntry.queries("d15_incremental_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == n, "one verdict row per new-batch doc")
+    rows.foreach { case (id, exact, nMatches, bestJac, keep) =>
+      assert(id >= 1000000L)
+      assert(keep == (!exact && nMatches == 0), s"doc $id: inconsistent verdict")
+      if (nMatches > 0) assert(bestJac >= 0.5, s"doc $id: match below threshold")
+      else assert(bestJac == 0.0, s"doc $id: jaccard without a match")
+    }
+    // the new batch is near-dups of the corpus by construction (last
+    // word dropped): the overwhelming majority must be flagged
+    val dropped = rows.count(!_._5)
+    assert(dropped > rows.length * 0.8,
+      s"only $dropped/${rows.length} perturbed twins flagged as dups")
+  }
+
+  test("t10 per-source rows tile the documents table") {
+    val prof = SparkEntry.queries("t10_source_profile")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(prof.map(_._2).sum == docs.count(), "source doc counts must tile the corpus")
+    assert(prof.map(_._1).distinct.length == prof.length, "one row per source")
+    prof.foreach { case (src, nDocs, nUniq, dupRate, nLangs) =>
+      assert(nUniq >= 1 && nUniq <= nDocs, s"$src: n_unique out of range")
+      assert(dupRate >= 0.0 && dupRate < 1.0, s"$src: dup_rate out of range")
+      assert(nLangs >= 1 && nLangs <= 5, s"$src: n_langs out of range")
+    }
+  }
+}
