@@ -14,7 +14,8 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
-      operators.MultimodalOps.all
+      operators.MultimodalOps.all ++
+      operators.PipelineOps.all
 
   /** Flagship: the SURVEY §7 minimum end-to-end slice. q01 computed by
     * Catalyst, served by our HTTP server as a chunked Arrow IPC stream,
@@ -57,9 +58,9 @@ object SparkEntry {
       // (measured 40× work on 10× data at sf1), so it stays in the
       // oracle gate but NOT in the timed set.
       "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
-      "d11_decontaminate", "d13_containment_complete",
+      "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "t02_quality_score",
-      "t09_word_rarity")
+      "t09_word_rarity", "p01_curated_corpus")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)

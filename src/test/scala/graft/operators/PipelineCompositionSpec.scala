@@ -57,6 +57,29 @@ class PipelineCompositionSpec extends AnyFunSuite {
       s"only $dropped/${rows.length} perturbed twins flagged as dups")
   }
 
+  test("p01 verdict precedence: quality beats dup; one survivor per passing group") {
+    import spark.implicits._
+    // short no-stopword text fails the t02 score (~0.125); a 120-word
+    // text passes on length alone (0.5 floor from the n/100 term)
+    val short = (1 to 5).map(i => s"zz$i").mkString(" ")
+    val long1 = (1 to 120).map(i => s"aa$i").mkString(" ")
+    val long2 = (1 to 120).map(i => s"bb$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("p01spec").toString
+    Seq((1L, "en", "s0", short), (2L, "en", "s0", short),
+        (3L, "en", "s1", long1), (4L, "en", "s1", long1),
+        (5L, "en", "s1", long2))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val stages = SparkEntry.queries("p01_curated_corpus")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    // the whole short group fails quality — the dup rank never fires
+    assert(stages(1L) == "quality" && stages(2L) == "quality", stages.toString)
+    // the surviving group keeps exactly its min-id copy
+    assert(stages(3L) == "kept" && stages(4L) == "exact_dup", stages.toString)
+    assert(stages(5L) == "kept", stages.toString)
+  }
+
   test("t10 per-source rows tile the documents table") {
     val prof = SparkEntry.queries("t10_source_profile")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

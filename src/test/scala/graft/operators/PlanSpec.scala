@@ -119,6 +119,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!shuffled.exists(_.contains("text#")), p)
   }
 
+  test("p01: the whole curation pipeline is one pass + one hash shuffle, no joins") {
+    val p = plan("p01_curated_corpus")
+    assert(!p.contains("Join"), s"p01 joins:\n$p")
+    // quality computes map-side; the only hash exchange is the 16-byte
+    // md5 partitioning the dedup window runs in
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 1, s"expected exactly one hash shuffle:\n$p")
+    assert(shuffled.head.contains("h#"), s"dedup shuffle not keyed on the hash:\n$p")
+    assert(!shuffled.head.contains("text#"), s"text rides the shuffle:\n$p")
+  }
+
   test("q32: grouping sets expand map-side with partial aggregation") {
     val p = plan("q32_grouping_sets")
     assert(p.contains("Expand"), p)
