@@ -28,7 +28,7 @@ object DedupOps {
     * word dropped, doc_id offset by 1,000,000) — gives the pipeline known
     * near-dup pairs to find; word-3-gram Jaccard(orig, perturbed) ≈ 0.97.
     */
-  private def corpus(s: SparkSession, d: String): DataFrame = {
+  private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     docs.select(col("doc_id"), trim(col("text")).as("t"))
       .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -155,7 +155,7 @@ object DedupOps {
     * documents). Shared by d07 (cluster report) and d14 (corpus
     * materialization). Only docs that appear in some pair get a row;
     * singleton docs are implicitly their own cluster. */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val p = candidatePairs(s, d).select(col("a_id"), col("b_id"))
     val e = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -260,7 +260,7 @@ object DedupOps {
 
   /** DuckDB mirror of [[clusterLabels]] — CTE chain ending in
     * `labels(src, cluster)`. */
-  private val oLabelCtes =
+  private[operators] val oLabelCtes =
     s"""$oPairCtes,
        |e AS (
        |  SELECT a_id AS src, b_id AS dst FROM pairs

@@ -71,6 +71,84 @@ object PipelineOps {
          |SELECT doc_id, lang, source, n_words, quality,
          |  CASE WHEN quality < 0.5 THEN 'quality'
          |       WHEN rn > 1 THEN 'exact_dup' ELSE 'kept' END AS stage
-         |FROM st ORDER BY doc_id""".stripMargin)
+         |FROM st ORDER BY doc_id""".stripMargin),
+
+    // -- token packing: concatenate-and-chunk into training blocks -----
+    // The GPT-style data-prep step after curation: documents are
+    // concatenated in shard order and cut into fixed 2048-token
+    // blocks; a document may straddle a boundary, so each doc reports
+    // its token offset and first/last block id. 100 TB shape: packing
+    // is PER SHARD (source here), exactly how real pipelines do it —
+    // each shard packs independently with shard-local block ids, so
+    // the job is one hash shuffle by shard + an in-partition sort +
+    // one running-sum window; shards pack in parallel across
+    // executors and no global coordination exists. Token counts are
+    // whitespace words (the t01 convention); offsets stay integral so
+    // the block arithmetic is bit-exact cross-engine.
+    QueryDef.sql("p02_token_packing",
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(words(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("start_off", col("cum") - col("n_tokens"))
+          .withColumn("first_seq", floor(col("start_off") / 2048.0).cast("long"))
+          .withColumn("last_seq",
+            when(col("n_tokens") === 0, col("first_seq"))
+              .otherwise(floor((col("cum") - 1) / 2048.0).cast("long")))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("start_off"), col("first_seq"), col("last_seq"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(${oWords("text")}) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(cum - n_tokens AS BIGINT) AS start_off,
+         |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS first_seq,
+         |  CASE WHEN n_tokens = 0 THEN CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
+         |       ELSE CAST(floor((cum - 1) / 2048.0) AS BIGINT) END AS last_seq
+         |FROM c ORDER BY doc_id""".stripMargin),
+
+    // -- leakage-safe train/val split (cluster-aware) ------------------
+    // Hash-mod splitting on raw doc_id leaks: two near-duplicate
+    // documents can land on opposite sides of the train/val fence, and
+    // the model is then evaluated on paraphrases of its training data.
+    // The unit of assignment must be the NEAR-DUP CLUSTER, not the
+    // document: every member of a d07 cluster shares its cluster id's
+    // hash bucket (singletons hash their own id), so duplicates can
+    // never straddle the split. Deterministic by construction — a
+    // content-derived md5 bucket, stable across reruns and cluster
+    // sizes. 100 TB shape: the labels frame is small (cluster members
+    // only), so the left join broadcasts under AQE; the hash and
+    // verdict are map-side projections; over the demo corpus (docs +
+    // perturbed twins) the twins give the split something real to keep
+    // together.
+    QueryDef.sql("p03_leakage_safe_split",
+      (s, d) => {
+        val labels = DedupOps.clusterLabels(s, d)
+          .withColumnRenamed("src", "doc_id")
+        DedupOps.corpus(s, d).select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
+          .withColumn("bucket", md5Val(col("grp").cast("string"), 7) % 10)
+          .select(col("doc_id"), col("grp"),
+            when(col("bucket") === 0, lit("val")).otherwise(lit("train")).as("split"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH ${DedupOps.oLabelCtes},
+         |g AS (
+         |  SELECT c.doc_id, COALESCE(l.cluster, c.doc_id) AS grp
+         |  FROM corpus c LEFT JOIN labels l ON l.src = c.doc_id)
+         |SELECT doc_id, grp,
+         |  CASE WHEN ${oMd5Val("CAST(grp AS VARCHAR)", 7)} % 10 = 0
+         |       THEN 'val' ELSE 'train' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin)
   )
 }

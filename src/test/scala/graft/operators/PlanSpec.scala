@@ -130,6 +130,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!shuffled.head.contains("text#"), s"text rides the shuffle:\n$p")
   }
 
+  test("p02: shard-parallel packing is one shuffle by shard, no joins") {
+    val p = plan("p02_token_packing")
+    assert(!p.contains("Join"), s"p02 joins:\n$p")
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 1, s"expected exactly one hash shuffle:\n$p")
+    assert(shuffled.head.contains("source#"), s"packing shuffle not keyed on shard:\n$p")
+  }
+
   test("q32: grouping sets expand map-side with partial aggregation") {
     val p = plan("q32_grouping_sets")
     assert(p.contains("Expand"), p)
