@@ -60,7 +60,7 @@ object SparkEntry {
       "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "t02_quality_score",
-      "t09_word_rarity", "p01_curated_corpus")
+      "t09_word_rarity", "p01_curated_corpus", "p02_token_packing")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)
