@@ -59,8 +59,10 @@ object SparkEntry {
       // oracle gate but NOT in the timed set.
       "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
+      "d16_semantic_dedup", "d17_line_dedup",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "t02_quality_score",
-      "t09_word_rarity", "p01_curated_corpus", "p02_token_packing")
+      "t09_word_rarity", "t11_dsir_weights", "p01_curated_corpus", "p02_token_packing",
+      "p04_domain_mixture")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)

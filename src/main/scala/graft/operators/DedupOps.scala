@@ -748,6 +748,74 @@ object DedupOps {
          |FROM nd n
          |LEFT JOIN ex ON ex.doc_id = n.doc_id
          |LEFT JOIN inc i ON i.doc_id = n.doc_id
-         |ORDER BY n.doc_id""".stripMargin)
+         |ORDER BY n.doc_id""".stripMargin),
+
+    // -- corpus-wide line dedup (the C4 move) --------------------------
+    // C4 removed every repeated occurrence of any line that appears
+    // more than once in the corpus — finer than d01 (whole-doc) and
+    // coarser than d08 (8-gram spans): the granularity at which web
+    // boilerplate actually repeats. The corpus is bare words, so
+    // "lines" are fixed 10-word chunks (deterministic in both
+    // engines); each line keeps exactly its first occurrence
+    // (min (doc_id, position) — the C4 keep-first rule). Per doc:
+    // line count, lines duplicated corpus-wide, lines this doc keeps,
+    // and an order-independent fingerprint of the kept lines (sum of
+    // 44-bit prefixes of the line hashes — 44 bits so a 1000-line doc
+    // sums below 2^63 in both engines' BIGINT). 100 TB shape: the d08
+    // lesson verbatim — lines reduce to 16-byte binary md5s map-side,
+    // repartition(h) feeds BOTH windows (occurrence count + keep-first
+    // rank share the h partitioning, no second gram-volume exchange),
+    // and only the small per-doc rollup shuffles after that. Line
+    // volume is ~n_words/10 — an order cheaper than d08's gram volume.
+    QueryDef.sql("d17_line_dedup",
+      (s, d) => {
+        val lines = corpus(s, d)
+          .withColumn("ws", words(col("t")))
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), ((size(col("ws")) - 1) / lit(10)).cast("int")),
+            k => struct((k * 10 + 1).as("pos"),
+              unhex(md5(concat_ws(" ", slice(col("ws"), k * 10 + 1, lit(10))))).as("h"))))
+            .as("ln"))
+          .select(col("doc_id"), col("ln.pos").as("pos"), col("ln.h").as("h"))
+        val byH = Window.partitionBy(col("h"))
+        val cnt = lines.repartition(col("h"))
+          .withColumn("n_occ", count(lit(1)).over(byH))
+          .withColumn("rn", row_number().over(byH.orderBy(col("doc_id"), col("pos"))))
+        cnt.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") === 1,
+              conv(substring(hex(col("h")), 1, 11), 16, 10).cast("long"))
+              .otherwise(lit(0L))).as("kept_fp"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $oCorpus,
+         |lw AS (SELECT doc_id, ${oWords("t")} AS ws FROM corpus),
+         |lx AS (
+         |  SELECT doc_id, l['pos'] AS pos, l['h'] AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, (len(ws) - 1) // 10 + 1),
+         |      k -> {'pos': k * 10 + 1,
+         |            'h': unhex(md5(array_to_string(ws[k*10+1:k*10+10], ' ')))})) AS l
+         |    FROM lw)),
+         |c AS (
+         |  SELECT doc_id,
+         |    COUNT(*) OVER (PARTITION BY h) AS n_occ,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    h
+         |  FROM lx),
+         |a AS (
+         |  SELECT doc_id, COUNT(*) AS n_lines,
+         |    SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup_lines,
+         |    SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+         |    SUM(CASE WHEN rn = 1 THEN list_reduce([0] || list_transform(range(1, 12),
+         |        i -> instr('0123456789ABCDEF', hex(h)[i:i]) - 1),
+         |        (acc, x) -> acc * 16 + x) ELSE 0 END) AS kept_fp
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+         |  CAST(n_kept AS BIGINT) AS n_kept,
+         |  CAST(kept_fp AS BIGINT) AS kept_fp
+         |FROM a ORDER BY doc_id""".stripMargin)
   )
 }

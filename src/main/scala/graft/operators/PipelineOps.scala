@@ -149,6 +149,59 @@ object PipelineOps {
          |SELECT doc_id, grp,
          |  CASE WHEN ${oMd5Val("CAST(grp AS VARCHAR)", 7)} % 10 = 0
          |       THEN 'val' ELSE 'train' END AS split
-         |FROM g ORDER BY doc_id""".stripMargin)
+         |FROM g ORDER BY doc_id""".stripMargin),
+
+    // -- domain mixture rebalancing (per-source downsampling) ----------
+    // The mixture step after t10's per-source health sheet: real
+    // pipelines don't train on the crawl's natural source mix — they
+    // set target shares and DOWN-SAMPLE over-represented domains (the
+    // C4/Pile/RefinedWeb reweighting move). Target here: a balanced
+    // mix (each source an equal share), so keep_ppm(source) =
+    // min(1e6, (total/n_sources)·1e6 / source_count) — all INTEGER
+    // arithmetic (DIV), bit-exact cross-engine. Each doc is kept by a
+    // deterministic content-independent coin: md5(doc_id) % 1e6 <
+    // keep_ppm — stable across reruns, no RNG state to coordinate
+    // across executors. 100 TB shape: the per-source count is a tiny
+    // hash agg (sources are domains, not docs), the rate table
+    // broadcasts, the keep decision is a map-side projection —
+    // document rows never shuffle; the per-source rollup that reports
+    // the achieved mix is the only other (tiny) exchange.
+    QueryDef.sql("p04_domain_mixture",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
+        val tot = docs.agg(count(lit(1)).as("total"),
+          countDistinct(col("source")).as("n_sources"))
+        val rates = stats.crossJoin(broadcast(tot))
+          .withColumn("keep_ppm", least(lit(1000000L),
+            expr("(total * 1000000) DIV (n_sources * src_docs)")))
+          .select(col("source"), col("keep_ppm"))
+        docs.select(col("doc_id"), col("source"))
+          .join(broadcast(rates), Seq("source"))
+          .withColumn("kept",
+            pmod(md5Val(col("doc_id").cast("string"), 7), lit(1000000L)) < col("keep_ppm"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("keep_ppm")).as("keep_ppm"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("kept_frac", col("n_kept").cast("double") / col("n_docs"))
+          .orderBy(col("source"))
+      },
+      s"""WITH st AS (SELECT source, COUNT(*) AS src_docs FROM documents GROUP BY source),
+         |tt AS (SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS n_sources
+         |       FROM documents),
+         |r AS (
+         |  SELECT source,
+         |    least(1000000, (total * 1000000) // (n_sources * src_docs)) AS keep_ppm
+         |  FROM st CROSS JOIN tt),
+         |k AS (
+         |  SELECT d.source, r.keep_ppm,
+         |    (${oMd5Val("CAST(d.doc_id AS VARCHAR)", 7)} % 1000000) < r.keep_ppm AS kept
+         |  FROM documents d JOIN r USING (source))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(MAX(keep_ppm) AS BIGINT) AS keep_ppm,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_frac
+         |FROM k GROUP BY source ORDER BY source""".stripMargin)
   )
 }

@@ -414,6 +414,81 @@ object SimilarityOps {
          |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, cos FROM p
          |WHERE cos >= 0.30
-         |ORDER BY a_id, b_id""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    // -- SemDeDup: semantic dedup over k-means-style cells --------------
+    // The embedding-space dedup DECISION operator (the SemDeDup shape:
+    // cluster, compare within clusters, keep one representative):
+    // unlike d06/d10, which emit pair lists over the TRUE label column,
+    // d16 runs the actual k-means assignment step — every vector is
+    // assigned to its nearest centroid from the persisted IVF codebook
+    // (s03's fixed-point table) — and emits a per-vector KEEP/DROP
+    // verdict: drop iff a lower-id vector within cosine >= 0.30 shares
+    // the cell (greedy min-id representative, the d03 convention).
+    // 100 TB shape: assignment is a broadcast of the (bounded) codebook
+    // folded map-side — NO corpus shuffle, no per-vector window (the
+    // argmax fold is order-independent: total order on (cos, cell)) —
+    // and the within-cell pair join is sub-blocked by the d10 LSH cell
+    // ladder, so expected block size stays O(1) as the corpus grows
+    // (the paper's cluster count k ∝ n, expressed as in-plan blocking
+    // bits). The verdict join's build side is only vectors WITH dups.
+    QueryDef.sql("d16_semantic_dedup",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = centroids(s, d, e)
+          .select(col("label").cast("long").as("cell"), col("cv"))
+        val centArr = cents.agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+        val nrows = e.select(count(lit(1)).as("n"))
+        val assigned = e.crossJoin(broadcast(centArr)).crossJoin(broadcast(nrows))
+          .withColumn("best", aggregate(col("cents"),
+            struct(lit(-2.0).as("s"), lit(-1L).as("c")),
+            (acc, x) => {
+              val sc = cosine(col("v"), x.getField("cv"))
+              when(sc > acc.getField("s") ||
+                  (sc === acc.getField("s") && x.getField("cell") < acc.getField("c")),
+                struct(sc.as("s"), x.getField("cell").as("c")))
+                .otherwise(acc)
+            }))
+          .select(col("vec_id"), col("v"), col("best").getField("c").as("cell"),
+            pmod(bucketCol(col("v")), blockCells(col("n"))).as("sub"))
+        val dups = assigned.as("x").join(assigned.as("y"),
+            col("x.cell") === col("y.cell") && col("x.sub") === col("y.sub") &&
+              col("x.vec_id") > col("y.vec_id"))
+          .filter(cosine(col("x.v"), col("y.v")) >= 0.30)
+          .groupBy(col("x.vec_id").as("vec_id"))
+          .agg(count(lit(1)).as("n_dups"))
+        assigned.select(col("vec_id"), col("cell"))
+          .join(dups, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+          .withColumn("keep", col("n_dups") === 0)
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents0 AS ($oCents),
+         |cents AS (SELECT CAST(label AS BIGINT) AS cell, cv FROM cents0),
+         |nr AS (SELECT COUNT(*) AS n FROM e),
+         |cl AS (SELECT ${(8 to 1 by -1).map(k =>
+             s"WHEN n > ${40L << (k - 1)} THEN ${1 << k}")
+             .mkString("CASE ", " ", " ELSE 1 END")} AS cells FROM nr),
+         |ass0 AS (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCosine("e.v", "c.cv")} DESC, c.cell) AS r
+         |  FROM e CROSS JOIN cents c),
+         |ass AS (
+         |  SELECT vec_id, v, cell, ($oBucketExpr) % cells AS sub
+         |  FROM (SELECT vec_id, v, cell FROM ass0 WHERE r = 1) CROSS JOIN cl),
+         |dups AS (
+         |  SELECT x.vec_id, COUNT(*) AS n_dups
+         |  FROM ass x JOIN ass y
+         |    ON x.cell = y.cell AND x.sub = y.sub AND x.vec_id > y.vec_id
+         |  WHERE ${oCosine("x.v", "y.v")} >= 0.30
+         |  GROUP BY x.vec_id)
+         |SELECT a.vec_id, a.cell,
+         |  CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+         |  COALESCE(d.n_dups, 0) = 0 AS keep
+         |FROM ass a LEFT JOIN dups d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin)
   )
 }

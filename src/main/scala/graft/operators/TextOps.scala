@@ -365,6 +365,75 @@ object TextOps {
          |SELECT source, n_docs, n_unique,
          |  CAST(n_docs - n_unique AS DOUBLE) / n_docs AS dup_rate,
          |  n_langs, avg_chars, short_frac
-         |FROM a ORDER BY source""".stripMargin)
+         |FROM a ORDER BY source""".stripMargin),
+
+    // -- DSIR-style importance weighting (hashed n-gram features) ------
+    // The data-selection move of "Data Selection for Language Models
+    // via Importance Resampling" (DSIR): score every corpus document
+    // by how much its hashed n-gram feature mass looks like a TARGET
+    // distribution vs the raw corpus. Features are word bigrams hashed
+    // into 4096 buckets; the target is a fixed-size doc subset
+    // (doc_id % 25 = 1 under an absolute cap — the d11 "benchmark is
+    // MBs while the corpus is TBs" shape). DSIR's log-ratio product
+    // needs transcendental logs the two engines don't round
+    // identically, so the score is the exact ratio-of-sums surrogate:
+    // importance = Σ target_count(b_i) / Σ corpus_count(b_i) over the
+    // doc's bigram instances — two BIGINT sums and ONE IEEE division,
+    // bit-exact cross-engine. 100 TB shape: both feature tables are
+    // bounded at 4096 rows no matter the corpus (the whole point of
+    // feature hashing), so they fold into 1-row broadcast MAPS and the
+    // scoring pass is entirely map-side — document rows NEVER shuffle;
+    // the only exchanges are the two 4096-key count-aggregations.
+    QueryDef.sql("t11_dsir_weights",
+      (s, d) => {
+        val bg = Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .select(col("doc_id"),
+            when(size(col("ws")) < 2, array().cast("array<long>"))
+              .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
+                i => pmod(md5Val(concat_ws(" ", slice(col("ws"), i, lit(2))), 15),
+                  lit(4096L)))).as("bks"))
+        def bucketCounts(df: org.apache.spark.sql.DataFrame) = df
+          .select(explode(col("bks")).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("c"))
+          .agg(map_from_entries(collect_list(struct(col("b"), col("c")))))
+        val cmap = bucketCounts(bg).toDF("cm")
+        val tmap = bucketCounts(bg.filter(col("doc_id") % 25 === 1 && col("doc_id") < 5000))
+          .toDF("tm")
+        bg.crossJoin(broadcast(cmap)).crossJoin(broadcast(tmap))
+          .select(col("doc_id"), size(col("bks")).cast("long").as("n_bigrams"),
+            aggregate(col("bks"), lit(0L),
+              (acc, b) => acc + coalesce(element_at(col("tm"), b), lit(0L))).as("t_mass"),
+            aggregate(col("bks"), lit(0L),
+              (acc, b) => acc + coalesce(element_at(col("cm"), b), lit(0L))).as("c_mass"))
+          .withColumn("importance",
+            when(col("n_bigrams") > 0, col("t_mass").cast("double") / col("c_mass"))
+              .otherwise(lit(0.0)))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |bg AS (
+         |  -- outer lambda var must NOT be `i`: oMd5Val's digit fold binds
+         |  -- `i` internally and would capture the slice index (shadowing)
+         |  SELECT doc_id, CASE WHEN len(ws) < 2 THEN []
+         |    ELSE list_transform(range(1, len(ws)), bi ->
+         |      ${oMd5Val("array_to_string(ws[bi:bi+1], ' ')", 15)} % 4096) END AS bks
+         |  FROM w),
+         |cb AS (SELECT doc_id, unnest(bks) AS b FROM bg),
+         |cc AS (SELECT b, COUNT(*) AS c FROM cb GROUP BY b),
+         |tc AS (SELECT b, COUNT(*) AS c FROM cb
+         |       WHERE doc_id % 25 = 1 AND doc_id < 5000 GROUP BY b),
+         |m AS (
+         |  SELECT cb.doc_id, COUNT(*) AS n_bigrams,
+         |    SUM(COALESCE(tc.c, 0)) AS t_mass, SUM(cc.c) AS c_mass
+         |  FROM cb JOIN cc USING (b) LEFT JOIN tc USING (b)
+         |  GROUP BY cb.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(m.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(m.t_mass, 0) AS BIGINT) AS t_mass,
+         |  CAST(COALESCE(m.c_mass, 0) AS BIGINT) AS c_mass,
+         |  CASE WHEN COALESCE(m.n_bigrams, 0) > 0
+         |       THEN CAST(m.t_mass AS DOUBLE) / m.c_mass ELSE 0.0 END AS importance
+         |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
   )
 }

@@ -128,6 +128,76 @@ class PipelineCompositionSpec extends AnyFunSuite {
     assert(split.length == 2 * n)
   }
 
+  test("d17 line dedup: a shared 10-word chunk is counted and kept exactly once") {
+    import spark.implicits._
+    // doc 1 and doc 2 share their first line (10 words) verbatim; doc 2's
+    // second line is unique; doc 3 is 5 words (one short line, unique).
+    // The corpus doubles docs with perturbed twins (last word dropped), so
+    // assert on the ORIGINAL ids only and just the shared-line relation.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("d17spec").toString
+    Seq((1L, "en", "s0", shared),
+        (2L, "en", "s0", shared + " " + (1 to 10).map(i => s"u$i").mkString(" ")),
+        (3L, "en", "s0", "a b c d e"))
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("d17_line_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1's single line duplicates (doc 2 carries it too) and doc 1
+    // keeps it (first occurrence by (doc_id, pos))
+    assert(rows(1L) == ((1L, 1L, 1L)), s"doc 1: ${rows(1L)}")
+    // doc 2: two lines, the shared one is a dup it does NOT keep, the
+    // unique one it keeps
+    assert(rows(2L) == ((2L, 1L, 1L)), s"doc 2: ${rows(2L)}")
+    // doc 3: one short unique line, kept
+    assert(rows(3L)._1 == 1L && rows(3L)._3 == 1L, s"doc 3: ${rows(3L)}")
+  }
+
+  test("p04 mixture: under-represented sources keep everything, rates hit the target") {
+    val rows = SparkEntry.queries("p04_domain_mixture")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val nSources = rows.length.toLong
+    rows.foreach { case (src, nDocs, keepPpm, nKept) =>
+      val expected = math.min(1000000L, (total * 1000000L) / (nSources * nDocs))
+      assert(keepPpm == expected, s"$src: keep_ppm $keepPpm != $expected")
+      if (nDocs * nSources <= total) assert(keepPpm == 1000000L, s"$src not kept whole")
+      assert(nKept <= nDocs)
+      if (keepPpm == 1000000L) assert(nKept == nDocs, s"$src: full-keep source sampled")
+    }
+  }
+
+  test("t11 importance: target docs carry positive target mass; masses bound each other") {
+    val rows = SparkEntry.queries("t11_dsir_weights")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    rows.foreach { case (id, nBg, tMass, cMass, imp) =>
+      // every bigram instance counts itself in the corpus table
+      assert(cMass >= nBg, s"doc $id: corpus mass below own bigram count")
+      assert(tMass <= cMass, s"doc $id: target mass exceeds corpus mass")
+      if (id % 25 == 1 && id < 5000 && nBg > 0) {
+        assert(tMass >= nBg, s"target doc $id: own bigrams missing from target mass")
+        assert(imp > 0.0, s"target doc $id: zero importance")
+      }
+    }
+  }
+
+  test("d16 verdicts: the min-id vector of every cell is kept") {
+    val rows = SparkEntry.queries("d16_semantic_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // keep == (n_dups == 0) by definition
+    rows.foreach { case (id, _, n, keep) => assert(keep == (n == 0L), s"vec $id") }
+    // a cell's smallest vec_id has no lower-id neighbor anywhere, so it
+    // must always survive (the greedy representative)
+    rows.groupBy(_._2).foreach { case (cell, vs) =>
+      val minVec = vs.minBy(_._1)
+      assert(minVec._4, s"cell $cell: min vector ${minVec._1} dropped")
+    }
+    assert(rows.map(_._2).distinct.length > 1, "assignment collapsed to one cell")
+  }
+
   test("t10 per-source rows tile the documents table") {
     val prof = SparkEntry.queries("t10_source_profile")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -279,6 +279,56 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("d17: line dedup shuffles line hashes, and both windows share one h exchange") {
+    val p = plan("d17_line_dedup")
+    assert(!p.contains("Join"), s"line dedup should be windows, not joins:\n$p")
+    // 1 = repartition(h) (shared by the occurrence-count AND keep-first
+    // windows), 2 = per-doc rollup; a third would mean the line volume
+    // — the biggest frame in this plan — moved twice
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 2, s"windows did not share the h partitioning:\n$p")
+    assert(!shuffled.exists(l => l.contains("text#") || l.contains("t#")),
+      s"text rides a shuffle:\n$p")
+  }
+
+  test("t11: scoring is map-side — document rows never shuffle") {
+    val p = plan("t11_dsir_weights")
+    // the only hash exchanges are the two bounded (4096-key) feature
+    // count aggregations; the per-doc score folds over broadcast maps
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 2, s"expected only the two bucket-count aggs:\n$p")
+    assert(shuffled.forall(_.contains("b#")), s"a doc-row column rides a shuffle:\n$p")
+    assert(!shuffled.exists(l => l.contains("doc_id#") || l.contains("text#")),
+      s"doc rows shuffled:\n$p")
+  }
+
+  test("p04: the keep decision is a projection — doc rows reach the rollup unshuffled") {
+    val p = plan("p04_domain_mixture")
+    // exchanges: per-source count agg + final per-source rollup (both
+    // keyed on source, both tiny); the rate table joins via broadcast
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"doc rows shuffled for the rate join:\n$p")
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.forall(_.contains("source#")),
+      s"a non-source exchange moves doc rows:\n$p")
+  }
+
+  test("d16: centroid codebook folds map-side — no per-vector window or argmax shuffle") {
+    val p = plan("d16_semantic_dedup")
+    // assignment must NOT plan as crossJoin+window (that shuffles
+    // corpus × k rows); the fold over the broadcast codebook keeps the
+    // corpus side flat until the within-cell pair join
+    assert(!p.contains("Window"), s"assignment planned as a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // every hash exchange is pair-join or verdict machinery on
+    // (cell, sub) or vec_id — never an unblocked corpus self-join key.
+    // label# is the centroid STORE build (20-row agg, runs once per
+    // session, rendered inside the InMemoryRelation subtree).
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && shuffled.forall(l =>
+      l.contains("cell#") || l.contains("vec_id#") || l.contains("label#")), p)
+  }
+
   test("t09: repartition(wh) feeds the frequency window — two hash shuffles total") {
     val p = plan("t09_word_rarity")
     // 1 = repartition(wh) (reused by the window), 2 = per-doc rollup;
