@@ -201,6 +201,50 @@ object MultimodalOps {
     (w, h, mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb, cornerLuma)
   }
 
+  /** 56-bit dHash of a P6 PPM payload — a REAL perceptual hash over
+    * really-decoded bytes: parse the header, nearest-neighbor-sample an
+    * 8×8 grid of integer gray sums (r+g+b — integral, no luma weights,
+    * so the oracle recomputes it bit-exactly), then 7 adjacent-column
+    * comparison bits per row × 8 rows. 56 bits keeps the fold inside a
+    * non-negative BIGINT in both engines (bit 63 would overflow
+    * DuckDB's `<<`). */
+  def dhashPpm(b: Array[Byte]): Long = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos)
+        if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else go = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val s0 = pos
+      while (pos < b.length && !Character.isWhitespace(b(pos).toChar)) pos += 1
+      new String(b, s0, pos - s0, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM (P6) payload")
+    val w = token().toInt
+    val h = token().toInt
+    require(token().toInt == 255, "unsupported maxval")
+    pos += 1
+    def gray(x: Int, y: Int): Int = {
+      val p = 3 * ((y * h / 8) * w + (x * w / 8))
+      (b(pos + p) & 0xff) + (b(pos + p + 1) & 0xff) + (b(pos + p + 2) & 0xff)
+    }
+    var hsh = 0L
+    var j = 0
+    while (j < 56) {
+      val y = j / 7
+      val x = j % 7
+      if (gray(x + 1, y) > gray(x, y)) hsh |= 1L << j
+      j += 1
+    }
+    hsh
+  }
+
   /** Output schema of the real audio feature extractor. */
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -604,6 +648,70 @@ object MultimodalOps {
         |SELECT doc_id, byte_len, nf AS n_frames,
         |  CAST(sampled AS INTEGER) AS sampled_frames, mean_luma
         |FROM agg
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- perceptual image dedup: dHash over REALLY-decoded bytes -------
+    // The multimodal twin of d01: a corpus where the same image rides
+    // many documents (payload = ppmBytes(doc_id % 40) — the web shape:
+    // one logo/stock photo embedded in thousands of pages). Each
+    // payload is REALLY parsed (header walk + raster sampling, no
+    // metadata shortcut) into a 56-bit dHash — a genuine perceptual
+    // hash (sample grid + adjacent-comparison bits), kept integral so
+    // the oracle recomputes it bit-exactly from the generation recipe.
+    // Dedup is then d01's shape on the hash: one 8-byte-key shuffle,
+    // per-group copy count + canonical (min doc_id) flag. 100 TB
+    // shape: decode is mapPartitions (per-partition codec init), the
+    // shuffle carries (doc_id, dhash) longs only — image bytes never
+    // move — and groups are bounded by content repetition, not corpus
+    // size.
+    QueryDef.sql("m07_image_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val hashes = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            Row(id, dhashPpm(ppmBytes(id % 40)))
+          }
+        }
+        val df = s.createDataFrame(hashes, StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("dhash", LongType, nullable = false))))
+        val byH = Window.partitionBy(col("dhash"))
+        df.withColumn("n_copies", count(lit(1)).over(byH))
+          .withColumn("canonical", col("doc_id") === min(col("doc_id")).over(byH))
+          .orderBy(col("doc_id"))
+      }, {
+      // gray(x, y) of group image gid: r+g+b at the sampled raster
+      // pixel (x·w//8, y·h//8), each channel (gid·31 + (3·(sy·w+sx)+c)·7)
+      // mod 256 — the ppmBytes recipe
+      def oGray(sx: String, sy: String): String =
+        s"""((gid*31 + (3*(($sy)*w+($sx)))*7) % 256
+           | + (gid*31 + (3*(($sy)*w+($sx))+1)*7) % 256
+           | + (gid*31 + (3*(($sy)*w+($sx))+2)*7) % 256)""".stripMargin
+      val sy = "((j // 7) * h) // 8"
+      val sx0 = "((j % 7) * w) // 8"
+      val sx1 = "(((j % 7) + 1) * w) // 8"
+      s"""WITH b AS (
+         |  SELECT doc_id, doc_id % 40 AS gid,
+         |    4 + (doc_id % 40) % 13 AS w, 4 + ((doc_id % 40) * 3) % 11 AS h
+         |  FROM documents WHERE doc_id < 1000),
+         |hsh AS (
+         |  SELECT doc_id,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 56), j ->
+         |      CASE WHEN ${oGray(sx1, sy)} > ${oGray(sx0, sy)}
+         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+         |      (acc, bit) -> acc + bit) AS dhash
+         |  FROM b),
+         |g AS (
+         |  SELECT doc_id, dhash,
+         |    COUNT(*) OVER (PARTITION BY dhash) AS n_copies,
+         |    MIN(doc_id) OVER (PARTITION BY dhash) AS mn
+         |  FROM hsh)
+         |SELECT doc_id, dhash, CAST(n_copies AS BIGINT) AS n_copies,
+         |  doc_id = mn AS canonical
+         |FROM g ORDER BY doc_id""".stripMargin
+      })
   )
 }

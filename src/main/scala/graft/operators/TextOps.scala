@@ -12,6 +12,26 @@ import OpUtils._
   */
 object TextOps {
 
+  /** t11's hashed-bigram feature frame (doc_id, bks), cached per
+    * (session, dir) — the session-local analogue of a persisted feature
+    * store: the corpus-count pass, the target-count pass, and the
+    * scoring pass all read ONE tokenize+hash pipeline instead of each
+    * re-deriving it (the d08/d11 gram-store lesson; at 100 TB this
+    * frame is a bucketed table written once per corpus snapshot). */
+  private val bgCache =
+    scala.collection.concurrent.TrieMap[(Int, String), org.apache.spark.sql.DataFrame]()
+
+  private def bigramFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    bgCache.getOrElseUpdate((System.identityHashCode(s), d),
+      Tables.documents(s, d)
+        .withColumn("ws", words(col("text")))
+        .select(col("doc_id"),
+          when(size(col("ws")) < 2, array().cast("array<long>"))
+            .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
+              i => pmod(md5Val(concat_ws(" ", slice(col("ws"), i, lit(2))), 15),
+                lit(4096L)))).as("bks"))
+        .persist())
+
   /** Stopword profiles for the language-ID heuristic (public stopword
     * lists, truncated). Scores are hit counts of profile words. */
   private val profiles: Seq[(String, Seq[String])] = Seq(
@@ -386,13 +406,7 @@ object TextOps {
     // the only exchanges are the two 4096-key count-aggregations.
     QueryDef.sql("t11_dsir_weights",
       (s, d) => {
-        val bg = Tables.documents(s, d)
-          .withColumn("ws", words(col("text")))
-          .select(col("doc_id"),
-            when(size(col("ws")) < 2, array().cast("array<long>"))
-              .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
-                i => pmod(md5Val(concat_ws(" ", slice(col("ws"), i, lit(2))), 15),
-                  lit(4096L)))).as("bks"))
+        val bg = bigramFrame(s, d)
         def bucketCounts(df: org.apache.spark.sql.DataFrame) = df
           .select(explode(col("bks")).as("b"))
           .groupBy(col("b")).agg(count(lit(1)).as("c"))

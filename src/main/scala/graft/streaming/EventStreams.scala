@@ -111,6 +111,26 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Streaming ingest dedup against a STATIC corpus snapshot — the
+    * unbounded twin of d15's exact tier: every incoming document probes
+    * the persisted corpus hash store (16-byte binary md5) and only
+    * never-before-seen content flows downstream. A stream-static LEFT
+    * ANTI join re-plans per micro-batch with ZERO stream-side join
+    * state (contrast dedupStream, which bounds WITHIN-stream dups by
+    * watermark — the two compose: anti-join for "vs the corpus",
+    * watermark dedup for "vs the stream itself"). The sustainable
+    * ingest shape at 100 TB: the corpus store is bucketed on disk and
+    * never recomputed; each micro-batch pays exactly one probe.
+    *
+    * No broadcast hint, same reason as [[enrichedCounts]]: the hash
+    * store grows with the corpus, and the per-micro-batch re-plan picks
+    * broadcast only while the snapshot actually fits. */
+  def ingestDedupStream(docs: DataFrame, corpusHashes: DataFrame): DataFrame =
+    docs
+      .withColumn("h", unhex(md5(trim(col("text")))))
+      .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("us"), col("text"))
+
   /** Stream-static enrichment: the unbounded side joins a STATIC
     * dimension snapshot — Spark re-plans the join per micro-batch
     * (broadcast for a small dim), so there is NO stream-side join

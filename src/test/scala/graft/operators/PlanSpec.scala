@@ -176,7 +176,13 @@ class PlanSpec extends AnyFunSuite {
       "sessionize" -> EventStreams.sessionize(evDs).toDF(),
       "dedupStream" -> EventStreams.dedupStream(docs),
       "enrichedCounts" -> EventStreams.enrichedCounts(
-        ev, graft.Tables.customer(spark, sf)))
+        ev, graft.Tables.customer(spark, sf)),
+      "ingestDedupStream" -> EventStreams.ingestDedupStream(
+        docs, graft.Tables.documents(spark, sf)
+          .select(org.apache.spark.sql.functions.unhex(
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.trim(
+                org.apache.spark.sql.functions.col("text")))).as("h"))))
     plans.foreach { case (name, df) =>
       assertBoundedHints(s"EventStreams.$name", df.queryExecution.analyzed)
     }

@@ -137,6 +137,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.size === 200) // 300 rows, every third a duplicate
   }
 
+  test("streaming ingest dedup drops exactly the corpus-known docs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // static corpus: the even-numbered bodies; stream: 0..99 where the
+    // even half repeats corpus content and the odd half is new
+    val corpus = (0 until 100 by 2).map(i => s"known body $i").toDF("text")
+      .withColumn("h", unhex(md5(trim(col("text")))))
+    val input = MemoryStream[(Long, Long, String)]
+    val stream = EventStreams.ingestDedupStream(
+      input.toDF().toDF("doc_id", "us", "text"), corpus)
+    val query = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out").start()
+    val docs = (0 until 100).map { i =>
+      val body = if (i % 2 == 0) s"known body $i" else s"fresh body $i"
+      (i.toLong, 1700000000000000L + i * 1000000L, body)
+    }
+    docs.grouped(40).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    query.stop()
+
+    val got = spark.table("ingest_out").select(col("doc_id")).as[Long].collect().toSet
+    // exactly the odd (fresh) docs survive — the batch anti-join answer
+    assert(got === (1 until 100 by 2).map(_.toLong).toSet)
+  }
+
   test("streaming as-of join matches the batch q21 twin within the horizon") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
