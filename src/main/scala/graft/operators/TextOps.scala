@@ -407,19 +407,26 @@ object TextOps {
     QueryDef.sql("t11_dsir_weights",
       (s, d) => {
         val bg = bigramFrame(s, d)
+        // counts fold into a DENSE 4096-slot array (position = bucket):
+        // element_at on an ARRAY is O(1) positional access, where a
+        // MapType lookup is a linear scan of all 4096 entries per
+        // bigram instance (measured 10× the whole query's cost). The
+        // map→array densify runs once on the 1-row frame.
         def bucketCounts(df: org.apache.spark.sql.DataFrame) = df
           .select(explode(col("bks")).as("b"))
           .groupBy(col("b")).agg(count(lit(1)).as("c"))
-          .agg(map_from_entries(collect_list(struct(col("b"), col("c")))))
+          .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+          .select(transform(sequence(lit(0L), lit(4095L)),
+            i => coalesce(element_at(col("m"), i), lit(0L))))
         val cmap = bucketCounts(bg).toDF("cm")
         val tmap = bucketCounts(bg.filter(col("doc_id") % 25 === 1 && col("doc_id") < 5000))
           .toDF("tm")
         bg.crossJoin(broadcast(cmap)).crossJoin(broadcast(tmap))
           .select(col("doc_id"), size(col("bks")).cast("long").as("n_bigrams"),
             aggregate(col("bks"), lit(0L),
-              (acc, b) => acc + coalesce(element_at(col("tm"), b), lit(0L))).as("t_mass"),
+              (acc, b) => acc + element_at(col("tm"), (b + 1).cast("int"))).as("t_mass"),
             aggregate(col("bks"), lit(0L),
-              (acc, b) => acc + coalesce(element_at(col("cm"), b), lit(0L))).as("c_mass"))
+              (acc, b) => acc + element_at(col("cm"), (b + 1).cast("int"))).as("c_mass"))
           .withColumn("importance",
             when(col("n_bigrams") > 0, col("t_mass").cast("double") / col("c_mass"))
               .otherwise(lit(0.0)))
@@ -448,6 +455,80 @@ object TextOps {
          |  CASE WHEN COALESCE(m.n_bigrams, 0) > 0
          |       THEN CAST(m.t_mass AS DOUBLE) / m.c_mass ELSE 0.0 END AS importance
          |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin),
+
+    // -- Gopher rule battery (hard document filters + failure mask) ----
+    // The HARD-rule companion to t02's soft score — the published
+    // Gopher/MassiveText filter battery, adapted to this corpus's
+    // shape: (bit 0) 50 <= word count <= 100000, (bit 1) 3 <= mean
+    // word length <= 10, (bit 2) at least 2 stopword hits, (bit 3)
+    // symbol-bearing word fraction <= 0.1, (bit 4) duplicate-bigram
+    // fraction <= 0.3 (t07's repetition signal as a hard gate). A doc
+    // passes iff every rule passes; fail_mask says exactly WHICH rules
+    // fired — the provenance a curation run audits. All signals are
+    // integer counts with at most one final division each, so the mask
+    // is bit-exact cross-engine. Entirely map-side (no shuffle before
+    // the final sort) — linear at 100 TB like t02/t07.
+    QueryDef.sql("t12_gopher_rules",
+      (s, d) => {
+        val ws = col("ws")
+        Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .withColumn("n", size(ws))
+          .withColumn("sum_len",
+            aggregate(transform(ws, w => length(w)), lit(0), (a, b) => a + b))
+          .withColumn("stop_hits",
+            size(filter(ws, w => w.isin("the", "a", "of", "and", "to"))))
+          .withColumn("n_sym",
+            size(filter(ws, w => w.rlike("[^a-z0-9]"))))
+          .withColumn("g2", when(size(ws) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(ws) - 1),
+              i => concat_ws(" ", slice(ws, i, lit(2))))))
+          .withColumn("n_dup_bg", size(col("g2")) - size(array_distinct(col("g2"))))
+          .withColumn("fail_mask",
+            when(col("n") < 50 || col("n") > 100000, lit(1)).otherwise(lit(0)) +
+            when(col("sum_len") < col("n") * 3 || col("sum_len") > col("n") * 10,
+              lit(2)).otherwise(lit(0)) +
+            when(col("stop_hits") < 2, lit(4)).otherwise(lit(0)) +
+            when(col("n_sym") * 10 > col("n"), lit(8)).otherwise(lit(0)) +
+            when(size(col("g2")) > 0 && col("n_dup_bg") * 10 > size(col("g2")) * 3,
+              lit(16)).otherwise(lit(0)))
+          .select(col("doc_id"), col("n").as("n_words"),
+            (col("sum_len").cast("double") / col("n")).as("mean_word_len"),
+            col("stop_hits"), col("n_sym"),
+            col("fail_mask"), (col("fail_mask") === 0).as("pass"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ws) AS n,
+         |    list_reduce([0] || list_transform(ws, x -> length(x)), (a, b) -> a + b)
+         |      AS sum_len,
+         |    len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits,
+         |    len(list_filter(ws, x -> regexp_matches(x, '[^a-z0-9]'))) AS n_sym,
+         |    CASE WHEN len(ws) < 2 THEN []
+         |         ELSE list_transform(range(1, len(ws)),
+         |                i -> array_to_string(ws[i:i+1], ' ')) END AS g2
+         |  FROM w),
+         |f AS (
+         |  SELECT doc_id, n, sum_len, stop_hits, n_sym,
+         |    len(g2) AS n_bg, len(g2) - len(list_distinct(g2)) AS n_dup_bg
+         |  FROM m),
+         |k AS (
+         |  SELECT doc_id, n, sum_len, stop_hits, n_sym,
+         |    (CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN sum_len < 3 * n OR sum_len > 10 * n THEN 2 ELSE 0 END) +
+         |    (CASE WHEN stop_hits < 2 THEN 4 ELSE 0 END) +
+         |    (CASE WHEN n_sym * 10 > n THEN 8 ELSE 0 END) +
+         |    (CASE WHEN n_bg > 0 AND n_dup_bg * 10 > n_bg * 3 THEN 16 ELSE 0 END)
+         |      AS fail_mask
+         |  FROM f)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+         |  CAST(sum_len AS DOUBLE) / n AS mean_word_len,
+         |  CAST(stop_hits AS INTEGER) AS stop_hits,
+         |  CAST(n_sym AS INTEGER) AS n_sym,
+         |  CAST(fail_mask AS INTEGER) AS fail_mask,
+         |  fail_mask = 0 AS pass
+         |FROM k ORDER BY doc_id""".stripMargin)
   )
 }

@@ -185,7 +185,11 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
 
         part(Negotiation.ArrowMime)
         val counting = new CountingOutputStream(out)
-        val (rows, batches, _) = ArrowBridge.writeParallel(df, counting)
+        // digest computed WHILE streaming (no second pass, no buffering):
+        // feeds the integrity part below
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        val (rows, batches, _) = ArrowBridge.writeParallel(df,
+          new java.security.DigestOutputStream(counting, digest))
         counting.flush()
 
         part("text/plain")
@@ -196,6 +200,13 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
              |rows sent: $rows%d
              |seconds elapsed: $secs%.2f
              |""".stripMargin.getBytes(UTF_8))
+
+        // 4th part kind (beyond the reference's three): an integrity
+        // digest of the Arrow part's exact bytes, so a client can
+        // verify the payload it just decoded without re-reading it
+        part("application/vnd.graft.digest")
+        out.write((digest.digest().map("%02x".format(_)).mkString("sha256:", "", "") +
+          s" bytes:${counting.count}\n").getBytes(UTF_8))
         out.write(s"\r\n--$boundary--\r\n".getBytes(UTF_8))
         out.close()
     }

@@ -123,7 +123,7 @@ class ArrowHttpSpec extends AnyFunSuite {
     assert(new String(body, UTF_8).contains("no acceptable"))
   }
 
-  test("multipart/mixed: three parts parse by streaming scanner") {
+  test("multipart/mixed: four parts parse by streaming scanner; digest verifies") {
     val (code, headers, body) = get("/multipart/ticker")
     assert(code === 200)
     val ct = headers("content-type")
@@ -133,22 +133,33 @@ class ArrowHttpSpec extends AnyFunSuite {
     var arrowRows = -1
     var json = ""
     var footnotes = ""
+    var digestLine = ""
+    var arrowSha = ""
     MultipartStream.parse(new java.io.ByteArrayInputStream(body), boundary) { part =>
       val ct = part.headers("content-type")
       kinds :+= ct
       if (ct == "application/json")
         json = new String(part.body.readAllBytes(), UTF_8)
       else if (ct == Negotiation.ArrowMime) {
-        val res = ArrowBridge.read(part.body)
+        // hash the part's exact bytes AND decode them (tee via buffer)
+        val raw = part.body.readAllBytes()
+        arrowSha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(raw).map("%02x".format(_)).mkString
+        val res = ArrowBridge.read(new java.io.ByteArrayInputStream(raw))
         arrowRows = res.rows.size
         res.close()
-      } else footnotes = new String(part.body.readAllBytes(), UTF_8)
+      } else if (ct == "application/vnd.graft.digest")
+        digestLine = new String(part.body.readAllBytes(), UTF_8)
+      else footnotes = new String(part.body.readAllBytes(), UTF_8)
     }
-    assert(kinds === Vector("application/json", Negotiation.ArrowMime, "text/plain"))
+    assert(kinds === Vector("application/json", Negotiation.ArrowMime, "text/plain",
+      "application/vnd.graft.digest"))
     assert(json.contains(""""name":"ticker""""))
     assert(arrowRows === 5000)
     assert(footnotes.contains("record batches sent"))
     assert(footnotes.contains("seconds elapsed"))
+    // the digest part names the sha256 of the Arrow part's exact bytes
+    assert(digestLine.startsWith(s"sha256:$arrowSha bytes:"), digestLine)
   }
 
   test("registerDict refuses high-cardinality columns, pointing at the delta path") {
