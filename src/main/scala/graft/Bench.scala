@@ -50,9 +50,10 @@ object Bench {
     // bucketed tables written once per corpus snapshot, so the timed
     // figures are the recurring query cost, not the one-time build
     // (the build cost is visible as rep 1 in the stderr runs line).
-    mat(fns(names.head)(spark, sfDir))
-    mat(fns("d03_minhash_lsh_pairs")(spark, sfDir))
-    mat(fns("d08_substring_dedup")(spark, sfDir))
+    Seq(names.head, "d03_minhash_lsh_pairs", "d08_substring_dedup").foreach { w =>
+      System.err.println(s"bench: warmup $w")
+      mat(fns(w)(spark, sfDir))
+    }
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -63,7 +64,24 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     names.foreach { name =>
+      // name the query BEFORE running it: if it dies, the driver's BENCH
+      // tail identifies the victim without a reproduction session (the
+      // r6 crash surfaced as a bare stack with no query name)
+      System.err.println(s"bench: $name")
       runs(name) = (1 to reps).map(_ => timed(mat(fns(name)(spark, sfDir))))
+    }
+
+    // Cold d08 (r6 verdict item 5): the warm cell above is the recurring
+    // query cost against the persisted 8-gram store; this cell drops the
+    // store before each rep so the timing includes the one-time
+    // explode+md5+repartition build. Runs LAST among the store users so
+    // it never perturbs d08/d11/d13/d15's warm timings.
+    locally {
+      System.err.println("bench: d08_substring_dedup_cold")
+      runs("d08_substring_dedup_cold") = (1 to reps).map { _ =>
+        graft.operators.DedupOps.invalidateGram8Store(spark, sfDir)
+        timed(mat(fns("d08_substring_dedup")(spark, sfDir)))
+      }
     }
 
     /** get_simple loop: rows × 4 int64 (reference payload schema and

@@ -130,8 +130,10 @@ object SfGen {
   def events(s: SparkSession, n: Long, nUsers: Long, parts: Int): DataFrame =
     s.range(0, n, 1, parts).select(
       col("id").as("event_id"),
+      // driver's current parquet encodes ts as µs isAdjustedToUTC=false
+      // (TIMESTAMP_NTZ); match it so SfGen output is drop-in
       timestamp_micros(lit(1704067200000000L) + ub(28, 30L * 86400 * 1000000))
-        .as("ts"),
+        .cast("timestamp_ntz").as("ts"),
       ub(29, nUsers).as("user_id"),
       element_at(lit(Array("click", "error", "purchase", "signup", "view")),
         (ub(30, 5) + 1).cast("int")).as("event_type"),

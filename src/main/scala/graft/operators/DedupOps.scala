@@ -204,6 +204,17 @@ object DedupOps {
               i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8)))))))).as("h"))
         .persist())
 
+  /** Drop the per-(session,dir) 8-gram store so a bench can time the
+    * COLD path — store build + query — in the same JVM. The store-warm
+    * d08 cell times the recurring cost against a persisted store (the
+    * steady-state shape at scale); this makes the amortized one-time
+    * build cost measurable alongside it instead of hiding in warm-up. */
+  def invalidateGram8Store(s: SparkSession, d: String): Unit = {
+    val k = (System.identityHashCode(s), d)
+    gram8AggCache.remove(k).foreach(_.unpersist(true))
+    gram8Cache.remove(k).foreach(_.unpersist(true))
+  }
+
   private def gram8Agg(s: SparkSession, d: String): DataFrame =
     gram8AggCache.getOrElseUpdate((System.identityHashCode(s), d), {
       // Register the cache with AQE off: an ADAPTIVE cached plan

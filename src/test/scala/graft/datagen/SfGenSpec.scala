@@ -34,14 +34,15 @@ class SfGenSpec extends AnyFunSuite {
     Tables.names.foreach { name =>
       val driver = Tables.load(spark, driverSf, name)
       val ours = gen(name, 100)
-      // the driver's events.ts lands as TIMESTAMP(NANOS) (read back as
-      // long under nanosAsLong); ours is written as micros. Tables.events
-      // normalizes both to TimestampType — compare through the loader's
-      // post-normalization schema for that one column.
+      // the driver's events.ts encoding has drifted across regenerations:
+      // TIMESTAMP(NANOS) (read back as long under nanosAsLong), then µs
+      // isAdjustedToUTC=false (read back as timestamp_ntz). Tables.events
+      // normalizes every encoding to TimestampType — compare through the
+      // loader's post-normalization schema for that one column.
       val driverSchema = driver.schema.map(f => f.name -> f.dataType.typeName)
       val ourSchema = ours.schema.map(f => f.name -> f.dataType.typeName)
       val normalize = (s: Seq[(String, String)]) =>
-        s.map { case ("ts", "long" | "timestamp") => "ts" -> "timestamp"; case x => x }
+        s.map { case ("ts", "long" | "timestamp" | "timestamp_ntz") => "ts" -> "timestamp"; case x => x }
       assert(normalize(ourSchema) === normalize(driverSchema), s"table $name")
     }
   }
