@@ -51,7 +51,7 @@ object SparkEntry {
     val preferred = Seq(
       "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
       "q07_window_topn_per_group", "q12_events_hourly", "q16_order_count_distribution",
-      "q19_sessionization", "q21_asof_join", "q31_asof_native",
+      "q19_sessionization", "q21_asof_join", "q31_asof_native", "q38_interval_join",
       // d10 (label × LSH-cell blocking, corpus-derived cell count) is
       // the headline near-dup path; d06 (label-only blocking) is its
       // exactness reference — quadratic per block by construction
@@ -60,7 +60,8 @@ object SparkEntry {
       "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "d16_semantic_dedup", "d17_line_dedup",
-      "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "t02_quality_score",
+      "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "s08_recall_eval",
+      "t02_quality_score",
       "t09_word_rarity", "t11_dsir_weights", "p01_curated_corpus", "p02_token_packing",
       "p04_domain_mixture")
     val have = queries.keySet

@@ -263,6 +263,64 @@ object EventsOps {
         |  TRUE AS within_tolerance
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin),
+
+    // -- interval join via bin bucketing (range join, no equi-key) -----
+    // The range-join shape Spark lacks natively: derive "error spike"
+    // windows (5-min bins with >= 3 error events, padded ±60 s), then
+    // count ALL events falling inside each window — a pure time-range
+    // predicate with no shared equi-key. A naive formulation is a
+    // BroadcastNestedLoopJoin (O(|events| × |windows|) comparisons); the
+    // 100 TB form here turns it into an EQUI-join: each padded window
+    // covers exactly bins [win−1, win+1], so exploding windows to their
+    // covered bins (3 rows each, still tiny, broadcast) and joining
+    // events on their OWN 5-min bin gives every candidate pair with
+    // hash-lookup cost, then the exact [lo, hi) filter prunes the pad
+    // slop. Each event carries one bin, so no candidate dedup is needed.
+    // Events never shuffle before the final per-window rollup (windows
+    // table is broadcast); work is O(|events| + |windows|).
+    QueryDef.sql("q38_interval_join",
+      (s, d) => {
+        val binUs = 300000000L // 5-min bins
+        val padUs = 60000000L  // ±60 s window padding
+        val e = Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("bin", expr("us div 300000000"))
+        val wins = e.filter(col("event_type") === "error")
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_err"))
+          .filter(col("n_err") >= 3)
+          .select(col("bin").as("win_id"), col("n_err"),
+            (col("bin") * binUs - padUs).as("lo"),
+            (col("bin") * binUs + binUs + padUs).as("hi"))
+        val winBins = wins.select(col("win_id"), col("n_err"), col("lo"), col("hi"),
+          explode(array(col("win_id") - 1, col("win_id"), col("win_id") + 1)).as("bin"))
+        e.join(broadcast(winBins), Seq("bin"))
+          .filter(col("us") >= col("lo") && col("us") < col("hi"))
+          .groupBy(col("win_id"))
+          .agg(max(col("n_err")).as("n_err"),
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+          .orderBy(col("win_id"))
+      },
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS us, user_id, event_type FROM events),
+        |wins AS (
+        |  SELECT us // 300000000 AS win_id, COUNT(*) AS n_err
+        |  FROM e WHERE event_type = 'error'
+        |  GROUP BY 1 HAVING COUNT(*) >= 3),
+        |w AS (
+        |  SELECT win_id, n_err,
+        |    win_id * 300000000 - 60000000 AS lo,
+        |    win_id * 300000000 + 360000000 AS hi
+        |  FROM wins)
+        |SELECT w.win_id, CAST(MAX(w.n_err) AS BIGINT) AS n_err,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT e.user_id) AS n_users,
+        |  CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases
+        |FROM w JOIN e ON e.us >= w.lo AND e.us < w.hi
+        |GROUP BY w.win_id
+        |ORDER BY w.win_id""".stripMargin)
   )
 }

@@ -284,6 +284,107 @@ object MultimodalOps {
     bb.array()
   }
 
+  /** Deterministic RIFF/WAV payload for an AUDIO id (m08's corpus:
+    * payload = toneWavBytes(doc_id % 97), so the same clip rides many
+    * documents). Same container layout as [[wavBytes]] (fmt chunk, LIST
+    * junk every third id, 16-bit mono PCM), but the sample recipe is a
+    * quadratic-phase chirp whose FREQUENCY depends on the id — sample
+    * k = ((k²·(17+id) + k·29 + id·131) mod 65536) − 32768 — so per-frame
+    * energies vary non-monotonically and the m08 energy-difference
+    * fingerprint discriminates between clips (the [[wavBytes]] sawtooth
+    * is monotonic in k at these ids: every energy sequence decreases and
+    * all difference bits collapse to zero). */
+  def toneWavBytes(audioId: Long): Array[Byte] = {
+    val rate = 8000
+    val n = 64 + (audioId % 191).toInt
+    val junk = if (audioId % 3 == 0) 8 + 6 else 0
+    val dataSize = 2 * n
+    val riffSize = 4 + (8 + 16) + junk + (8 + dataSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    if (junk > 0) bb.put("LIST".getBytes("US-ASCII")).putInt(6)
+      .put("GRAFT!".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < n) {
+      bb.putShort((((k.toLong * k * (17 + audioId) + k * 29L + audioId * 131) % 65536) - 32768).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Real WAV decoder returning the raw PCM samples: the same RIFF
+    * chunk walk as [[decodeWav]], but the data chunk is materialized
+    * instead of folded — the decode path m08's fingerprint consumes. */
+  def decodeWavSamples(b: Array[Byte]): Array[Short] = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val c = new Array[Byte](4); bb.get(c); new String(c, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF payload")
+    bb.getInt
+    require(fourcc() == "WAVE", "not a WAVE form")
+    var rate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (bb.remaining() >= 8 && (rate < 0 || dataOff < 0)) {
+      val id = fourcc()
+      val len = bb.getInt
+      val next = bb.position() + len + (len & 1)
+      id match {
+        case "fmt " =>
+          require(bb.getShort == 1, "not PCM")
+          require(bb.getShort == 1, "not mono")
+          rate = bb.getInt
+          bb.getInt; bb.getShort
+          require(bb.getShort == 16, "not 16-bit")
+        case "data" => dataOff = bb.position(); dataLen = len
+        case _      => ()
+      }
+      bb.position(next)
+    }
+    require(rate > 0 && dataOff >= 0, "missing fmt or data chunk")
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var k = 0
+    while (k < n) { out(k) = bb.getShort(dataOff + 2 * k); k += 1 }
+    out
+  }
+
+  /** Acoustic fingerprint over decoded PCM: frame into 8-sample
+    * windows, fold each frame's energy (sum of squares, exact in a
+    * long), then one bit per adjacent frame pair — bit f set iff
+    * energy(f+1) > energy(f). The band-energy-difference scheme of
+    * published audio fingerprinters (Haitsma-Kalker / Chromaprint),
+    * minus the FFT: energies stand in for spectral bands so the whole
+    * fingerprint stays integral and the oracle recomputes it
+    * bit-exactly. Trailing samples short of a full frame are ignored.
+    * Returns (n_frames, fingerprint). */
+  def energyFingerprint(samples: Array[Short]): (Int, Long) = {
+    val nf = samples.length / 8
+    val en = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var e = 0L
+      var k = f * 8
+      while (k < (f + 1) * 8) { val v = samples(k).toLong; e += v * v; k += 1 }
+      en(f) = e
+      f += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < nf - 1) {
+      if (en(i + 1) > en(i)) fp |= 1L << i
+      i += 1
+    }
+    (nf, fp)
+  }
+
   /** Real WAV decoder: validates RIFF/WAVE magic, walks chunks (even-
     * padded), parses fmt (PCM, mono, 16-bit required), then folds the
     * data chunk into mean amplitude and RMS. */
@@ -712,6 +813,69 @@ object MultimodalOps {
          |SELECT doc_id, dhash, CAST(n_copies AS BIGINT) AS n_copies,
          |  doc_id = mn AS canonical
          |FROM g ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // -- acoustic fingerprint dedup: energy-diff hash over REAL WAV ----
+    // m07's move for the audio modality: a corpus where the same clip
+    // rides many documents (payload = toneWavBytes(doc_id % 97)), each
+    // payload REALLY decoded (RIFF chunk walk, LIST-chunk skip, PCM
+    // materialization) and fingerprinted by adjacent-frame energy
+    // differences (Haitsma-Kalker shape, kept integral — see
+    // energyFingerprint). Dedup is d01's contract on (n_frames, fp):
+    // copy count + canonical (min doc_id) flag per group. Distinct
+    // clips mostly get distinct prints (73/97 at this recipe), with a
+    // few cross-clip collisions — the perceptual-hash trade the
+    // operator exists to make. 100 TB shape: decode runs mapPartitions
+    // (per-partition codec init); the shuffle carries (doc_id,
+    // n_frames, fp) — audio bytes never move; groups are bounded by
+    // content repetition, not corpus size.
+    QueryDef.sql("m08_audio_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val prints = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val (nf, fp) = energyFingerprint(decodeWavSamples(toneWavBytes(id % 97)))
+            Row(id, nf, fp)
+          }
+        }
+        val df = s.createDataFrame(prints, StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("n_frames", IntegerType, nullable = false),
+          StructField("fp", LongType, nullable = false))))
+        val byFp = Window.partitionBy(col("n_frames"), col("fp"))
+        df.withColumn("n_copies", count(lit(1)).over(byFp))
+          .withColumn("canonical", col("doc_id") === min(col("doc_id")).over(byFp))
+          .orderBy(col("doc_id"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 97 AS aid FROM documents WHERE doc_id < 1000),
+        |v AS (
+        |  SELECT doc_id, aid, 64 + (aid % 191) AS n FROM b),
+        |e AS (
+        |  SELECT doc_id, n, list_transform(range(0, n // 8), f ->
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(f*8, (f+1)*8),
+        |      k -> CAST((k*k*(17 + aid) + k*29 + aid*131) % 65536 - 32768 AS BIGINT)
+        |         * CAST((k*k*(17 + aid) + k*29 + aid*131) % 65536 - 32768 AS BIGINT)),
+        |      (a, x) -> a + x)) AS en
+        |  FROM v),
+        |f AS (
+        |  SELECT doc_id, len(en) AS n_frames,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(en)),
+        |      i -> CASE WHEN en[i+1] > en[i] THEN (CAST(1 AS BIGINT) << (i-1))
+        |           ELSE 0 END),
+        |      (a, bit) -> a + bit) AS fp
+        |  FROM e),
+        |g AS (
+        |  SELECT doc_id, n_frames, fp,
+        |    COUNT(*) OVER (PARTITION BY n_frames, fp) AS n_copies,
+        |    MIN(doc_id) OVER (PARTITION BY n_frames, fp) AS mn
+        |  FROM f)
+        |SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames, fp,
+        |  CAST(n_copies AS BIGINT) AS n_copies,
+        |  doc_id = mn AS canonical
+        |FROM g ORDER BY doc_id""".stripMargin)
   )
 }

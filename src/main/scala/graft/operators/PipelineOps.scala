@@ -202,6 +202,55 @@ object PipelineOps {
          |  CAST(MAX(keep_ppm) AS BIGINT) AS keep_ppm,
          |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_frac
-         |FROM k GROUP BY source ORDER BY source""".stripMargin)
+         |FROM k GROUP BY source ORDER BY source""".stripMargin),
+
+    // -- exact-quota stratified sample (deterministic, bounded window) --
+    // p04 is RATE-based rebalancing (Bernoulli keep per doc — kept count
+    // varies with the draw); this is the other sampling contract a
+    // curation run needs: EXACTLY min(quota, |stratum|) docs per
+    // language, reproducible across runs and engines. Selection is
+    // rank-by-hash: the quota docs with the smallest md5 values per
+    // stratum, doc_id as tiebreak — a deterministic "random" sample.
+    // 100 TB shape: a per-stratum rank is a skewed window (5 langs → 5
+    // hot partitions over the full corpus), so a map-side prefilter
+    // bounds it first: keep only docs with hv·n_docs < 2·quota·10^6 —
+    // ~2·quota uniform-hash survivors per stratum regardless of corpus
+    // size (the full-stratum branch when n_docs ≤ 2·quota falls out of
+    // the same inequality). The window then ranks ~80 rows per stratum,
+    // not the corpus; the only full-corpus work is the map-side hash +
+    // the broadcast-join against the 5-row count table. The oracle
+    // mirrors prefilter + rank exactly, so both engines select the
+    // identical sample even in the (never-observed, margin-2×) case of
+    // a prefilter shortfall under quota.
+    QueryDef.sql("p05_stratified_sample",
+      (s, d) => {
+        val quota = 40
+        val docs = Tables.documents(s, d)
+          .withColumn("hv", pmod(
+            md5Val(concat(lit("p05:"), col("doc_id").cast("string")), 7),
+            lit(1000000L)))
+        val cnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))
+        docs.join(broadcast(cnt), Seq("lang"))
+          .filter(col("hv") * col("n_docs") < lit(2L * quota * 1000000L))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= quota)
+          .select(col("lang"), col("rk"), col("doc_id"), col("source"), col("hv"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |    ${oMd5Val("'p05:' || CAST(doc_id AS VARCHAR)", 7)} % 1000000 AS hv
+         |  FROM documents),
+         |c AS (SELECT lang, COUNT(*) AS n_docs FROM h GROUP BY lang),
+         |p AS (
+         |  SELECT h.lang, h.doc_id, h.source, h.hv,
+         |    row_number() OVER (PARTITION BY h.lang ORDER BY h.hv, h.doc_id) AS rk
+         |  FROM h JOIN c USING (lang)
+         |  WHERE hv * n_docs < 80000000)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source,
+         |  CAST(hv AS BIGINT) AS hv
+         |FROM p WHERE rk <= 40
+         |ORDER BY lang, rk""".stripMargin)
   )
 }

@@ -489,6 +489,77 @@ object SimilarityOps {
          |  CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
          |  COALESCE(d.n_dups, 0) = 0 AS keep
          |FROM ass a LEFT JOIN dups d ON d.vec_id = a.vec_id
-         |ORDER BY a.vec_id""".stripMargin)
+         |ORDER BY a.vec_id""".stripMargin),
+
+    // -- ANN quality measurement: recall@10 of the LSH tier ------------
+    // The eval operator an ANN deployment ships next to its index: for
+    // a fixed query sample, compute the EXACT top-10 (the s01 brute
+    // path) and the LSH top-10 (the s02 bucket path), and report
+    // per-query recall = |truth ∩ lsh| / |truth|. The recall number is
+    // a ratio of integer set sizes, so it is bit-exact cross-engine —
+    // the approximation itself becomes oracle-checkable, the same move
+    // q34 makes for HLL. Truth is a LEFT join against the LSH set (an
+    // LSH miss must surface as recall < 1, not as a dropped row).
+    // 100 TB shape: the query sample is fixed-size (broadcast on both
+    // arms); the brute arm is corpus-map + per-query top-k — the
+    // documented-linear exactness pass an eval run pays ONCE per index
+    // build, while the LSH arm it certifies touches only matching
+    // buckets. Per-query windows rank |sample|-keyed groups, never the
+    // corpus.
+    QueryDef.sql("s08_recall_eval",
+      (s, d) => {
+        val e = vecs(s, d)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val truth = q.join(e.filter(col("vec_id") >= 20)
+            .select(col("vec_id").as("n_id"), col("v")))
+          .withColumn("cos", cosine(col("qv"), col("v")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("q_id"), col("n_id"))
+        val eb = e.withColumn("bucket", bucketCol(col("v")))
+        val qb = eb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        val lsh = qb.join(eb.filter(col("vec_id") >= 20), Seq("bucket"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            cosine(col("qv"), col("v")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+        truth.join(lsh, Seq("q_id", "n_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_truth"))
+          .orderBy(col("q_id"))
+      },
+      s"""WITH e AS ($oVecs),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+         |tc AS (
+         |  SELECT q.q_id, e.vec_id AS n_id, ${oCosine("q.qv", "e.v")} AS cos
+         |  FROM q CROSS JOIN e WHERE e.vec_id >= 20),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM tc) WHERE rnk <= 10),
+         |eb AS (SELECT vec_id, v, $oBucketExpr AS bucket FROM e),
+         |qb AS (SELECT vec_id AS q_id, v AS qv, bucket FROM eb WHERE vec_id < 20),
+         |lc AS (
+         |  SELECT qb.q_id, eb.vec_id AS n_id, ${oCosine("qb.qv", "eb.v")} AS cos
+         |  FROM qb JOIN eb ON qb.bucket = eb.bucket AND eb.vec_id >= 20),
+         |lsh AS (
+         |  SELECT q_id, n_id, 1 AS hit FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM lc) WHERE rnk <= 10)
+         |SELECT t.q_id, COUNT(*) AS n_truth,
+         |  CAST(SUM(COALESCE(l.hit, 0)) AS BIGINT) AS n_hit,
+         |  CAST(SUM(COALESCE(l.hit, 0)) AS DOUBLE) / COUNT(*) AS recall
+         |FROM truth t LEFT JOIN lsh l ON l.q_id = t.q_id AND l.n_id = t.n_id
+         |GROUP BY t.q_id
+         |ORDER BY t.q_id""".stripMargin)
   )
 }

@@ -54,4 +54,30 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     }
     assert(violations >= 45, s"only $violations/50 channel-swapped docs violate tolerance")
   }
+
+  test("tone WAV decode round-trips the chirp recipe sample-exactly") {
+    (0L until 97L).foreach { aid =>
+      val samples = MultimodalOps.decodeWavSamples(MultimodalOps.toneWavBytes(aid))
+      val n = 64 + (aid % 191).toInt
+      assert(samples.length == n, s"aid $aid: ${samples.length} samples, want $n")
+      (0 until n).foreach { k =>
+        val want = ((k.toLong * k * (17 + aid) + k * 29L + aid * 131) % 65536 - 32768).toShort
+        assert(samples(k) == want, s"aid $aid sample $k")
+      }
+    }
+  }
+
+  test("energy fingerprints discriminate between clips (m08 is not vacuous)") {
+    // the wavBytes sawtooth would collapse every fingerprint to 0 (its
+    // energies decrease monotonically); the chirp must not
+    val prints = (0L until 97L).map { aid =>
+      MultimodalOps.energyFingerprint(
+        MultimodalOps.decodeWavSamples(MultimodalOps.toneWavBytes(aid)))
+    }
+    assert(prints.distinct.size >= 60,
+      s"only ${prints.distinct.size}/97 distinct fingerprints")
+    // and identical clips must always collide (the dedup contract)
+    assert(MultimodalOps.energyFingerprint(
+      MultimodalOps.decodeWavSamples(MultimodalOps.toneWavBytes(41))) == prints(41))
+  }
 }

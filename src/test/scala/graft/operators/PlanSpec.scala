@@ -345,6 +345,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"frequency lookup should be a window, not a join:\n$p")
   }
 
+  test("q38: the range join runs as a broadcast EQUI-join on bins, not an NLJ") {
+    // the whole point of the bin-bucketed formulation: a time-range
+    // predicate with no equi-key must NOT plan as O(events × windows)
+    val p = plan("q38_interval_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p05: the prefilter sits below the stratum window; corpus join is broadcast") {
+    // the window must rank ~2·quota survivors per stratum, not the
+    // corpus — so the hv·n_docs prefilter has to run BEFORE the window
+    val p = plan("p05_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // Catalyst folds the hv·n_docs prefilter into the broadcast-join
+    // condition itself — find the predicate anywhere below the Window
+    val lines = p.split("\n")
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val filtIdx = lines.indexWhere(_.contains("80000000"))
+    assert(winIdx >= 0 && filtIdx > winIdx,
+      s"prefilter not below the window (win=$winIdx filt=$filtIdx):\n$p")
+    // Spark's window-group-limit additionally prunes to top-quota
+    // per partition BEFORE the stratum exchange — keep that visible
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("s08: only the brute-truth arm pays a corpus NLJ; the LSH arm hash-joins") {
+    val p = plan("s08_recall_eval")
+    val nlj = p.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"corpus-side NLJ leaked beyond the brute arm:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
