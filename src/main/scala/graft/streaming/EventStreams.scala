@@ -131,6 +131,33 @@ object EventStreams {
       .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
       .select(col("doc_id"), col("us"), col("text"))
 
+  /** Stream-static interval tag — the unbounded companion of q38's
+    * batch interval join: each live event is tagged with the incident
+    * window (from a STATIC window table: win_id, lo, hi in epoch-µs,
+    * derived once by the q38 batch derivation over history) it falls
+    * into, by the same bin-bucketed equi-join trick — the event's own
+    * 5-min bin equi-joins the windows' exploded covered bins, then the
+    * exact [lo, hi) filter prunes pad slop. Left join: events outside
+    * every window flow through with a null win_id (an alerting stream
+    * must not drop the quiet traffic). ZERO stream-side join state
+    * (per-micro-batch re-plan), no watermark needed — the static side
+    * is a snapshot, the stream side is map + join per batch.
+    *
+    * No broadcast hint, same reason as [[enrichedCounts]]: the window
+    * table grows with history; the per-micro-batch re-plan picks
+    * broadcast while the snapshot fits. */
+  def intervalTagStream(events: DataFrame, windows: DataFrame): DataFrame = {
+    val winBins = windows.select(col("win_id"), col("lo"), col("hi"),
+      explode(sequence(expr("lo div 300000000"),
+        expr("(hi - 1) div 300000000"))).as("bin")).as("w")
+    events.withColumn("bin", expr("us div 300000000")).as("e")
+      .join(winBins,
+        col("e.bin") === col("w.bin") &&
+          col("e.us") >= col("w.lo") && col("e.us") < col("w.hi"), "left")
+      .select(col("e.event_id"), col("e.us"), col("e.user_id"),
+        col("e.event_type"), col("w.win_id"))
+  }
+
   /** Stream-static enrichment: the unbounded side joins a STATIC
     * dimension snapshot — Spark re-plans the join per micro-batch
     * (broadcast for a small dim), so there is NO stream-side join

@@ -182,7 +182,9 @@ class PlanSpec extends AnyFunSuite {
           .select(org.apache.spark.sql.functions.unhex(
             org.apache.spark.sql.functions.md5(
               org.apache.spark.sql.functions.trim(
-                org.apache.spark.sql.functions.col("text")))).as("h"))))
+                org.apache.spark.sql.functions.col("text")))).as("h"))),
+      "intervalTagStream" -> EventStreams.intervalTagStream(ev,
+        Seq((1L, 0L, 300000000L)).toDF("win_id", "lo", "hi")))
     plans.foreach { case (name, df) =>
       assertBoundedHints(s"EventStreams.$name", df.queryExecution.analyzed)
     }

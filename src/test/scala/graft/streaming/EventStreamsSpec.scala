@@ -208,4 +208,51 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "horizon filtered out every purchase-view pair")
     assert(got === want)
   }
+
+  test("stream-static interval tag matches a naive range-predicate batch join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val bin = 300000000L
+    // one padded multi-bin window, one exactly-one-bin window, a gap
+    val windows = Seq(
+      (1L, 10 * bin - 60000000L, 11 * bin + 60000000L),
+      (2L, 20 * bin, 21 * bin)).toDF("win_id", "lo", "hi")
+
+    // events landing: before w1's pad, inside the pad, mid-w1, at w1's
+    // exclusive hi, mid-w2, and far outside every window
+    val events = Seq(
+      (1L, 10 * bin - 60000001L, 7L, "view", 0.0),
+      (2L, 10 * bin - 60000000L, 7L, "view", 0.0),
+      (3L, 10 * bin + 5L, 8L, "error", 0.0),
+      (4L, 11 * bin + 60000000L, 8L, "click", 0.0),
+      (5L, 20 * bin + 12345L, 9L, "purchase", 0.0),
+      (6L, 15 * bin, 9L, "view", 0.0)).map {
+      case (id, us, u, t, v) => EventStreams.Event(id, us, u, t, v)
+    }
+
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.intervalTagStream(input.toDF(), windows)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tag_out").start()
+    val (a, b) = events.splitAt(3)
+    input.addData(a); query.processAllAvailable()
+    input.addData(b); query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("tag_out")
+      .select(col("event_id"), col("win_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+
+    // the naive formulation the bin trick must reproduce exactly
+    val want = events.toDF()
+      .join(windows, col("us") >= col("lo") && col("us") < col("hi"), "left")
+      .select(col("event_id"), col("win_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+
+    assert(got === want)
+    assert(got === Set(
+      (1L, None), (2L, Some(1L)), (3L, Some(1L)),
+      (4L, None), (5L, Some(2L)), (6L, None)))
+  }
 }
