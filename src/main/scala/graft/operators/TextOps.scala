@@ -529,6 +529,49 @@ object TextOps {
          |  CAST(n_sym AS INTEGER) AS n_sym,
          |  CAST(fail_mask AS INTEGER) AS fail_mask,
          |  fail_mask = 0 AS pass
-         |FROM k ORDER BY doc_id""".stripMargin)
+         |FROM k ORDER BY doc_id""".stripMargin),
+
+    // -- out-of-vocabulary rate vs the corpus top-1000 vocabulary ------
+    // The vocabulary-closure metric a tokenizer design reads: fix the
+    // vocab at the corpus's 1000 most frequent words (count DESC, hash
+    // ASC — a total order, so the cut is deterministic in both
+    // engines), then score every document by the fraction of its
+    // tokens outside it. Words reduce to 60-bit md5 values before any
+    // shuffle (the t09 move). 100 TB shape: the vocab is a bounded
+    // aggregate (top-K of a vocab-sized count table) and BROADCASTS;
+    // exploded tokens meet it in a map-side hash join and partial-agg
+    // back down to one row per doc before the only row shuffle (the
+    // per-doc rollup) — token volume never crosses the wire. oov_rate
+    // is a ratio of integers, bit-exact cross-engine.
+    QueryDef.sql("t13_oov_rate",
+      (s, d) => {
+        val wx = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(transform(words(col("text")), w => md5Val(w, 15))).as("wh"))
+        val vocab = wx.groupBy(col("wh")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("wh"))
+          .limit(1000)
+          .select(col("wh"), lit(1).as("in_vocab"))
+        wx.join(broadcast(vocab), Seq("wh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH wx AS (
+         |  SELECT doc_id, unnest(list_transform(${oWords("text")},
+         |    w -> ${oMd5Val("w", 15)})) AS wh
+         |  FROM documents),
+         |vc AS (SELECT wh, COUNT(*) AS c FROM wx GROUP BY wh),
+         |v AS (SELECT wh FROM vc ORDER BY c DESC, wh LIMIT 1000),
+         |j AS (
+         |  SELECT wx.doc_id, CASE WHEN v.wh IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM wx LEFT JOIN v USING (wh))
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+         |FROM j GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin)
   )
 }

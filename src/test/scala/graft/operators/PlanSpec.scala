@@ -347,6 +347,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"frequency lookup should be a window, not a join:\n$p")
   }
 
+  test("t13: vocab broadcasts — token rows partial-agg before the per-doc shuffle") {
+    val p = plan("t13_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly: the vocab count agg (wh) + the per-doc rollup (doc_id);
+    // the top-1000 cut is TakeOrdered (no extra exchange), and tokens
+    // must never shuffle as rows
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"token rows crossed the wire:\n$p")
+  }
+
   test("q38: the range join runs as a broadcast EQUI-join on bins, not an NLJ") {
     // the whole point of the bin-bucketed formulation: a time-range
     // predicate with no equi-key must NOT plan as O(events × windows)
