@@ -193,7 +193,7 @@ object DedupOps {
   private val gram8Cache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
   private val gram8AggCache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
-  private def gram8Exploded(s: SparkSession, d: String): DataFrame =
+  private[operators] def gram8Exploded(s: SparkSession, d: String): DataFrame =
     gram8Cache.getOrElseUpdate((System.identityHashCode(s), d),
       Tables.documents(s, d)
         .withColumn("ws", words(col("text")))
@@ -234,6 +234,19 @@ object DedupOps {
         .persist()
       finally s.conf.set("spark.sql.adaptive.enabled", prev)
     })
+
+  /** The d11 benchmark gram set: distinct word-8-gram md5s of the eval
+    * snippets (words 5..20 of every doc_id % 25 == 0 under the absolute
+    * 5000 cap — fixed-size at any SF, so always broadcastable). Shared
+    * by d11 and p06's contamination stage. */
+  private[operators] def evalGrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(col("doc_id") % 25 === 0 && col("doc_id") < 5000 &&
+        size(col("ws")) >= 20)
+      .select(explode(transform(sequence(lit(5), lit(13)),
+        i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8))))))).as("h"))
+      .distinct()
 
   /** Oracle CTE chain ending in `pairs(a_id, b_id, jaccard)` — the
     * DuckDB mirror of [[candidatePairs]]. Shapes mirror the Spark plan
@@ -552,13 +565,7 @@ object DedupOps {
     // proportional to contamination, not corpus volume.
     QueryDef.sql("d11_decontaminate",
       (s, d) => {
-        val evalGrams = Tables.documents(s, d)
-          .select(col("doc_id"), words(col("text")).as("ws"))
-          .filter(col("doc_id") % 25 === 0 && col("doc_id") < 5000 &&
-            size(col("ws")) >= 20)
-          .select(explode(transform(sequence(lit(5), lit(13)),
-            i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8))))))).as("h"))
-          .distinct()
+        val evalGrams = DedupOps.evalGrams(s, d)
         // corpus side: the shared EXPLODED gram store — no shuffle in
         // its cached plan, so the corpus still reaches the broadcast
         // join exchange-free (PlanSpec asserts it), and the explode+md5

@@ -251,6 +251,139 @@ object PipelineOps {
          |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source,
          |  CAST(hv AS BIGINT) AS hv
          |FROM p WHERE rk <= 40
-         |ORDER BY lang, rk""".stripMargin)
+         |ORDER BY lang, rk""".stripMargin),
+
+    // -- full-pipeline curation funnel (per-source stage attribution) --
+    // The sheet a curation run's owner actually reads: for each source,
+    // how many documents entered and where each one fell out — the
+    // Gopher hard rules (t12's battery), exact dedup (p01's keep-first
+    // hash group), benchmark decontamination (d11's eval 8-grams), the
+    // p04 mixture coin (identical rate table and coin, so this column
+    // AUDITS the decision p04 makes) — with first-failing-stage
+    // attribution in that fixed order. Every signal is shared with its
+    // standalone operator: gopher + coin are map-side projections, the
+    // contamination set comes from the persisted 8-gram store through
+    // the same broadcast join as d11 (exchanges ∝ contamination), and
+    // the whole funnel adds exactly TWO full-corpus shuffles, both
+    // fixed-width: the 16-byte-hash dedup window and the doc_id join
+    // that attaches the contamination flag (text never leaves the map
+    // side). Stage precedence is text-determined first (gopher), so an
+    // exact-hash group fails or survives as one — the p01 invariant.
+    QueryDef.sql("p06_curation_funnel",
+      (s, d) => {
+        val ws = col("ws")
+        val base = Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .withColumn("n", size(ws))
+          .withColumn("sum_len",
+            aggregate(transform(ws, w => length(w)), lit(0), (a, b) => a + b))
+          .withColumn("stop_hits",
+            size(filter(ws, w => w.isin("the", "a", "of", "and", "to"))))
+          .withColumn("n_sym", size(filter(ws, w => w.rlike("[^a-z0-9]"))))
+          .withColumn("g2", when(size(ws) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(ws) - 1),
+              i => concat_ws(" ", slice(ws, i, lit(2))))))
+          .withColumn("gopher_fail",
+            col("n") < 50 || col("n") > 100000 ||
+              col("sum_len") < col("n") * 3 || col("sum_len") > col("n") * 10 ||
+              col("stop_hits") < 2 ||
+              col("n_sym") * 10 > col("n") ||
+              (size(col("g2")) > 0 &&
+                (size(col("g2")) - size(array_distinct(col("g2")))) * 10 >
+                  size(col("g2")) * 3))
+          .select(col("doc_id"), col("source"), col("gopher_fail"),
+            unhex(md5(trim(col("text")))).as("h"))
+        val contam = DedupOps.gram8Exploded(s, d)
+          .join(broadcast(DedupOps.evalGrams(s, d)), Seq("h"))
+          .select(col("doc_id")).distinct()
+          .withColumn("contaminated", lit(true))
+        val rates = {
+          val docs = Tables.documents(s, d)
+          val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
+          val tot = docs.agg(count(lit(1)).as("total"),
+            countDistinct(col("source")).as("n_sources"))
+          stats.crossJoin(broadcast(tot))
+            .withColumn("keep_ppm", least(lit(1000000L),
+              expr("(total * 1000000) DIV (n_sources * src_docs)")))
+            .select(col("source"), col("keep_ppm"))
+        }
+        base
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+          .join(contam, Seq("doc_id"), "left")
+          .join(broadcast(rates), Seq("source"))
+          .withColumn("mix_keep",
+            pmod(md5Val(col("doc_id").cast("string"), 7), lit(1000000L)) < col("keep_ppm"))
+          .withColumn("stage",
+            when(col("gopher_fail"), lit("gopher"))
+              .when(col("rn") > 1, lit("exact_dup"))
+              .when(col("contaminated").isNotNull, lit("contaminated"))
+              .when(!col("mix_keep"), lit("mixture"))
+              .otherwise(lit("kept")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("stage") === "gopher", 1L).otherwise(0L)).as("n_gopher"),
+            sum(when(col("stage") === "exact_dup", 1L).otherwise(0L)).as("n_dup"),
+            sum(when(col("stage") === "contaminated", 1L).otherwise(0L)).as("n_contam"),
+            sum(when(col("stage") === "mixture", 1L).otherwise(0L)).as("n_mixture"),
+            sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      s"""WITH w AS (SELECT doc_id, source, text, ${oWords("text")} AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id, source, text, ws, len(ws) AS n,
+         |    list_reduce([0] || list_transform(ws, x -> length(x)), (a, b) -> a + b)
+         |      AS sum_len,
+         |    len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits,
+         |    len(list_filter(ws, x -> regexp_matches(x, '[^a-z0-9]'))) AS n_sym,
+         |    CASE WHEN len(ws) < 2 THEN []
+         |         ELSE list_transform(range(1, len(ws)),
+         |                i -> array_to_string(ws[i:i+1], ' ')) END AS g2
+         |  FROM w),
+         |gf AS (
+         |  SELECT doc_id, source,
+         |    (n < 50 OR n > 100000 OR sum_len < 3 * n OR sum_len > 10 * n
+         |      OR stop_hits < 2 OR n_sym * 10 > n
+         |      OR (len(g2) > 0 AND (len(g2) - len(list_distinct(g2))) * 10 > len(g2) * 3))
+         |      AS gopher_fail,
+         |    unhex(md5(trim(text))) AS h
+         |  FROM m),
+         |eg AS (
+         |  SELECT DISTINCT unnest(list_transform(range(5, 14),
+         |    i -> unhex(md5(array_to_string(ws[i:i+7], ' '))))) AS h
+         |  FROM w WHERE doc_id % 25 = 0 AND doc_id < 5000 AND len(ws) >= 20),
+         |cg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN []
+         |       ELSE list_transform(range(1, len(ws) - 6),
+         |              i -> unhex(md5(array_to_string(ws[i:i+7], ' ')))) END) AS h
+         |  FROM w),
+         |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (h)),
+         |st AS (SELECT source, COUNT(*) AS src_docs FROM documents GROUP BY source),
+         |tt AS (SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS n_sources
+         |       FROM documents),
+         |r AS (
+         |  SELECT source,
+         |    least(1000000, (total * 1000000) // (n_sources * src_docs)) AS keep_ppm
+         |  FROM st CROSS JOIN tt),
+         |v AS (
+         |  SELECT gf.doc_id, gf.source,
+         |    CASE WHEN gf.gopher_fail THEN 'gopher'
+         |         WHEN ROW_NUMBER() OVER (PARTITION BY gf.h ORDER BY gf.doc_id) > 1
+         |           THEN 'exact_dup'
+         |         WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+         |         WHEN NOT ((${oMd5Val("CAST(gf.doc_id AS VARCHAR)", 7)} % 1000000)
+         |                   < r.keep_ppm) THEN 'mixture'
+         |         ELSE 'kept' END AS stage
+         |  FROM gf
+         |  LEFT JOIN contam ON contam.doc_id = gf.doc_id
+         |  JOIN r USING (source))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN stage = 'gopher' THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+         |  CAST(SUM(CASE WHEN stage = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(SUM(CASE WHEN stage = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contam,
+         |  CAST(SUM(CASE WHEN stage = 'mixture' THEN 1 ELSE 0 END) AS BIGINT) AS n_mixture,
+         |  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM v GROUP BY source ORDER BY source""".stripMargin)
   )
 }

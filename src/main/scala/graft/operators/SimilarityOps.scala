@@ -560,6 +560,102 @@ object SimilarityOps {
          |  CAST(SUM(COALESCE(l.hit, 0)) AS DOUBLE) / COUNT(*) AS recall
          |FROM truth t LEFT JOIN lsh l ON l.q_id = t.q_id AND l.n_id = t.n_id
          |GROUP BY t.q_id
-         |ORDER BY t.q_id""".stripMargin)
+         |ORDER BY t.q_id""".stripMargin),
+
+    // -- product-quantization ADC search (the IVF-PQ compression tier) --
+    // The missing piece between s06's scalar int8 (4× compression) and
+    // a production vector index: PQ stores each vector as m=8 sub-space
+    // CODE bytes — here 64 doubles (512 B) become 8 codes, a 64×
+    // memory cut — and ranks by Asymmetric Distance Computation: the
+    // query precomputes one distance table per chunk (8×10 doubles) and
+    // each corpus vector costs 8 table lookups, no float math per pair.
+    // Codebooks are the persisted s03/s04 fixed-point centroids sliced
+    // into 8-dim chunks (bounded: 10 codes/chunk here, k=256 in
+    // production — same plan shape). 100 TB: encode is a map-side fold
+    // over the broadcast codebook (order-independent total order on
+    // (dist, code) — no per-vector window); the scan ships only (vec_id,
+    // codes) — the 64×-smaller frame is what a 1000-executor scan
+    // actually reads. Every distance is a fixed-order left fold, so ADC
+    // values — and therefore ranks — are bit-exact cross-engine.
+    QueryDef.sql("s09_pq_search",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cb = centroids(s, d, e)
+          .select(col("label").cast("long").as("code"), col("cv"))
+          .agg(collect_list(struct(col("code"), col("cv"))).as("cb"))
+        def chunkDist(v: Column, cv: Column, c: Int): Column =
+          (1 to 8).foldLeft(lit(0.0)) { (acc, j) =>
+            val dv = element_at(v, c * 8 + j) - element_at(cv, c * 8 + j)
+            acc + dv * dv
+          }
+        val enc = e.crossJoin(broadcast(cb))
+          .select(col("vec_id"), array((0 until 8).map { c =>
+            aggregate(col("cb"),
+              struct(lit(1e30).as("s"), lit(99L).as("k")),
+              (acc, x) => {
+                val dist = chunkDist(col("v"), x.getField("cv"), c)
+                when(dist < acc.getField("s") ||
+                    (dist === acc.getField("s") &&
+                      x.getField("code") < acc.getField("k")),
+                  struct(dist.as("s"), x.getField("code").as("k")))
+                  .otherwise(acc)
+              }).getField("k")
+          }: _*).as("codes"))
+        val q = e.filter(col("vec_id") < 10)
+          .crossJoin(broadcast(cb))
+          .select(col("vec_id").as("q_id"),
+            array((0 until 8).map { c =>
+              transform(array_sort(col("cb")),
+                x => chunkDist(col("v"), x.getField("cv"), c))
+            }: _*).as("qtab"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+        enc.crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            (0 until 8).foldLeft(lit(0.0)) { (acc, c) =>
+              acc + element_at(element_at(col("qtab"), c + 1),
+                (element_at(col("codes"), c + 1) + 1).cast("int"))
+            }.as("adc"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("q_id"), col("rnk"), col("n_id"), col("adc"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents0 AS ($oCents),
+         |cb AS (SELECT CAST(label AS BIGINT) AS code, cv FROM cents0),
+         |ch AS (SELECT unnest(range(0, 8)) AS c),
+         |cd AS (
+         |  SELECT e.vec_id, ch.c, cb.code,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, 9),
+         |      j -> (e.v[ch.c*8+j] - cb.cv[ch.c*8+j]) *
+         |           (e.v[ch.c*8+j] - cb.cv[ch.c*8+j])),
+         |      (a, b) -> a + b) AS dist
+         |  FROM e CROSS JOIN ch CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, c, code FROM (
+         |    SELECT vec_id, c, code,
+         |      row_number() OVER (PARTITION BY vec_id, c ORDER BY dist, code) AS rk
+         |    FROM cd) WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |qd AS (
+         |  SELECT q.q_id, ch.c, cb.code,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, 9),
+         |      j -> (q.qv[ch.c*8+j] - cb.cv[ch.c*8+j]) *
+         |           (q.qv[ch.c*8+j] - cb.cv[ch.c*8+j])),
+         |      (a, b) -> a + b) AS dist
+         |  FROM q CROSS JOIN ch CROSS JOIN cb),
+         |pad AS (
+         |  SELECT qd.q_id, enc.vec_id AS n_id,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list(qd.dist ORDER BY qd.c),
+         |      (a, b) -> a + b) AS adc
+         |  FROM enc JOIN qd ON qd.c = enc.c AND qd.code = enc.code
+         |  GROUP BY qd.q_id, enc.vec_id),
+         |r AS (
+         |  SELECT q_id, n_id, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM pad)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, adc
+         |FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin)
   )
 }

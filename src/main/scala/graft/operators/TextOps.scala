@@ -572,6 +572,47 @@ object TextOps {
          |  CAST(SUM(oov) AS BIGINT) AS n_oov,
          |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
          |FROM j GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- document-frequency table (the IDF input) ----------------------
+    // The corpus statistic every TF-IDF / rare-word filter reads: for
+    // each word, the number of DOCUMENTS containing it, plus an integer
+    // log2 IDF bucket. The Zipf head ("the" is in every doc) is the
+    // classic skewed-key aggregation; the plan neutralizes it in two
+    // map-side steps before anything shuffles: (1) within-doc dedup via
+    // array_distinct collapses a word's per-doc repetitions to ONE row
+    // (the head word's millions of occurrences per shard become one row
+    // per doc), and (2) two-phase partial aggregation folds those rows
+    // to one (wh, partial_df) per word PER PARTITION — so the hot word
+    // crosses the wire once per map partition, never once per document.
+    // Doc-partitioned input is the natural salt: no reducer ever
+    // receives the head word's full posting list. The idf bucket is
+    // length(bin(n_docs DIV df)) = floor(log2)+1 — pure integer ops,
+    // bit-exact cross-engine. Output bounded to the top-500 words by
+    // (df DESC, wh ASC), a deterministic total-order cut.
+    QueryDef.sql("t14_doc_freq",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dw = docs.select(col("doc_id"),
+          explode(array_distinct(transform(words(col("text")),
+            w => md5Val(w, 15)))).as("wh"))
+        val dfw = dw.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        dfw.crossJoin(broadcast(total))
+          .select(col("wh"), col("df"), col("n_docs"),
+            length(bin(expr("n_docs DIV df"))).as("idf_bucket"))
+          .orderBy(col("df").desc, col("wh"))
+          .limit(500)
+      },
+      s"""WITH dw AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    ${oWords("text")}, w -> ${oMd5Val("w", 15)}))) AS wh
+         |  FROM documents),
+         |f AS (SELECT wh, COUNT(*) AS df FROM dw GROUP BY wh),
+         |t AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT wh, df, n_docs,
+         |  CAST(length(bin(n_docs // df)) AS INTEGER) AS idf_bucket
+         |FROM f, t
+         |ORDER BY df DESC, wh LIMIT 500""".stripMargin)
   )
 }

@@ -211,4 +211,26 @@ class PipelineCompositionSpec extends AnyFunSuite {
       assert(nLangs >= 1 && nLangs <= 5, s"$src: n_langs out of range")
     }
   }
+
+  test("p06 funnel: stages tile each source; counts agree with t12 and d11") {
+    val funnel = SparkEntry.queries("p06_curation_funnel")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // the five stage columns partition every source's documents
+    funnel.foreach { case (src, n, g, du, c, m, k) =>
+      assert(g + du + c + m + k == n, s"$src: stages do not tile ($g+$du+$c+$m+$k != $n)")
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(funnel.map(_._2).sum == docs.count(), "funnel must cover the corpus")
+    // gopher fires first, so its funnel total IS t12's fail count
+    val t12Fails = SparkEntry.queries("t12_gopher_rules")(spark, sfDir)
+      .filter("NOT pass").count()
+    assert(funnel.map(_._3).sum == t12Fails,
+      s"funnel gopher ${funnel.map(_._3).sum} != t12 fails $t12Fails")
+    // every doc d11 flags is attributed gopher, exact_dup, or
+    // contaminated in the funnel — never mixture/kept (precedence)
+    val d11Flagged = SparkEntry.queries("d11_decontaminate")(spark, sfDir).count()
+    assert(funnel.map(_._5).sum <= d11Flagged,
+      "funnel cannot attribute more contamination than d11 finds")
+  }
 }

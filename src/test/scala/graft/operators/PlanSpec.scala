@@ -358,6 +358,39 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"token rows crossed the wire:\n$p")
   }
 
+  test("t14: df agg is two-phase partial — the Zipf head never concentrates") {
+    val p = plan("t14_doc_freq")
+    // within-doc dedup + map-side partial agg mean the only
+    // hashpartitioning exchange is the (wh) df rollup; the 1-row total
+    // broadcasts; the top-500 cut is TakeOrdered (no sort shuffle)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"posting lists crossed the wire as rows:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("p06: funnel — eval grams + rate table broadcast; gram store reused; no NLJ") {
+    val p = plan("p06_curation_funnel")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only nested-loop is the sanctioned 1-row broadcast total that
+    // builds the rate table (p04's shape); nothing may be cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.split("BroadcastNestedLoopJoin").length <= 2, p)
+    // the contamination stage must read the SHARED 8-gram store, not a
+    // p06-private explode+md5 rerun
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("s09: PQ encode folds the broadcast codebook map-side — no SMJ, no explode") {
+    val p = plan("s09_pq_search")
+    // codebook and query tables broadcast; the corpus side never
+    // sort-merge-joins, and encoding is a fold, not a 10x row blowup
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.toLowerCase.contains("generate explode"), p)
+  }
+
   test("q38: the range join runs as a broadcast EQUI-join on bins, not an NLJ") {
     // the whole point of the bin-bucketed formulation: a time-range
     // predicate with no equi-key must NOT plan as O(events × windows)
