@@ -472,6 +472,31 @@ object MultimodalOps {
     (nf, sampled, sum / sampled)
   }
 
+  /** Sequence-sensitive video fingerprint: walk the container, dHash
+    * every `k`-th frame (others seek-skipped, never parsed), and chain
+    * the sampled hashes in frame order through a modular polynomial —
+    * fp = (fp * 31 + dhash mod M) mod M, M the 30-bit MinHash prime —
+    * so values stay far inside BIGINT in both engines and a reordered
+    * frame sequence changes the print (the property a per-frame SET
+    * hash would lose). Returns (n_frames, fp). */
+  def videoFingerprint(b: Array[Byte], k: Int): (Int, Long) = {
+    val M = 1073741789L
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nf = bb.getInt
+    var fp = 0L
+    var f = 0
+    while (f < nf) {
+      val len = bb.getInt
+      if (f % k == 0) {
+        val frame = new Array[Byte](len)
+        bb.get(frame)
+        fp = (fp * 31 + dhashPpm(frame) % M) % M
+      } else bb.position(bb.position() + len)
+      f += 1
+    }
+    (nf, fp)
+  }
+
   /** documents.text re-framed as an opaque binary payload column with a
     * metadata struct — the multimodal table shape. */
   def binaryTable(s: SparkSession, d: String): DataFrame =
@@ -876,6 +901,83 @@ object MultimodalOps {
         |SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames, fp,
         |  CAST(n_copies AS BIGINT) AS n_copies,
         |  doc_id = mn AS canonical
-        |FROM g ORDER BY doc_id""".stripMargin)
+        |FROM g ORDER BY doc_id""".stripMargin),
+
+    // -- video dedup: chained frame dHashes over the container walk ----
+    // Completes the modality trio (m07 image, m08 audio): a corpus
+    // where the same VIDEO rides many documents (payload =
+    // framesBytes(doc_id % 60) — one clip embedded in many pages).
+    // Fingerprint = the m05 container walk sampling every 2nd frame
+    // (skipped frames seek past, never parsed), each sampled frame
+    // REALLY decoded through the m07 dHash, hashes chained in frame
+    // ORDER through a modular polynomial (see videoFingerprint) — so
+    // two clips sharing frames in a different order print differently.
+    // Dedup is d01's contract on (n_frames, fp). 100 TB shape: decode
+    // is mapPartitions; the shuffle carries (doc_id, n_frames, fp)
+    // longs only — video bytes never move; groups bounded by content
+    // repetition, not corpus size.
+    QueryDef.sql("m09_video_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val prints = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val (nf, fp) = videoFingerprint(framesBytes(id % 60), 2)
+            Row(id, nf, fp)
+          }
+        }
+        val df = s.createDataFrame(prints, StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("n_frames", IntegerType, nullable = false),
+          StructField("fp", LongType, nullable = false))))
+        val byFp = Window.partitionBy(col("n_frames"), col("fp"))
+        df.withColumn("n_copies", count(lit(1)).over(byFp))
+          .withColumn("canonical", col("doc_id") === min(col("doc_id")).over(byFp))
+          .orderBy(col("doc_id"))
+      }, {
+      // frame fi of group clip gid is ppmBytes(gid*7 + fi); sampled
+      // frames are fi % 2 == 0; per-frame dHash mirrors m07's recipe
+      // with the frame id as the channel base
+      def oGray(sx: String, sy: String): String =
+        s"""((fid*31 + (3*(($sy)*w+($sx)))*7) % 256
+           | + (fid*31 + (3*(($sy)*w+($sx))+1)*7) % 256
+           | + (fid*31 + (3*(($sy)*w+($sx))+2)*7) % 256)""".stripMargin
+      val sy = "((j // 7) * h) // 8"
+      val sx0 = "((j % 7) * w) // 8"
+      val sx1 = "(((j % 7) + 1) * w) // 8"
+      s"""WITH b AS (
+         |  SELECT doc_id, doc_id % 60 AS gid, 2 + (doc_id % 60) % 5 AS nf
+         |  FROM documents WHERE doc_id < 1000),
+         |f AS (
+         |  SELECT doc_id, gid, nf, unnest(range(0, nf)) AS fi FROM b),
+         |d AS (
+         |  SELECT doc_id, nf, fi, gid*7+fi AS fid,
+         |    4 + (gid*7+fi) % 13 AS w, 4 + ((gid*7+fi)*3) % 11 AS h
+         |  FROM f WHERE fi % 2 = 0),
+         |hsh AS (
+         |  SELECT doc_id, nf, fi,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 56), j ->
+         |      CASE WHEN ${oGray(sx1, sy)} > ${oGray(sx0, sy)}
+         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+         |      (acc, bit) -> acc + bit) AS dhash
+         |  FROM d),
+         |pr AS (
+         |  SELECT doc_id, nf,
+         |    list_reduce([CAST(0 AS BIGINT)] ||
+         |      list(dhash % 1073741789 ORDER BY fi),
+         |      (a, x) -> (a * 31 + x) % 1073741789) AS fp
+         |  FROM hsh GROUP BY doc_id, nf),
+         |g AS (
+         |  SELECT doc_id, nf, fp,
+         |    COUNT(*) OVER (PARTITION BY nf, fp) AS n_copies,
+         |    MIN(doc_id) OVER (PARTITION BY nf, fp) AS mn
+         |  FROM pr)
+         |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames, fp,
+         |  CAST(n_copies AS BIGINT) AS n_copies,
+         |  doc_id = mn AS canonical
+         |FROM g ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -656,6 +656,52 @@ object SimilarityOps {
          |  FROM pad)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, adc
          |FROM r WHERE rnk <= 10
-         |ORDER BY q_id, rnk""".stripMargin)
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // -- embedding outlier detection (distance-to-centroid OOD filter) --
+    // The embedding-space QUALITY operator a curation run pairs with
+    // its dedup tier: the vectors farthest from their own label's
+    // centroid are the mislabeled / out-of-distribution candidates a
+    // data audit reviews first (the embedding analogue of a CLIP-score
+    // floor). Reports the top-20 farthest per label by exact squared
+    // L2 distance to the persisted s03/s04 centroid. 100 TB shape: the
+    // 10-row centroid table broadcasts, the distance is a map-side
+    // fixed-order fold (bit-exact cross-engine), and the per-label
+    // top-k window is bounded BEFORE its exchange by Spark's
+    // WindowGroupLimit (each map partition forwards at most k rows per
+    // label — the same guard p05 leans on), so the 10 hot label
+    // partitions never receive the corpus.
+    QueryDef.sql("s10_centroid_outliers",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = centroids(s, d, e)
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("dist2").desc, col("vec_id"))
+        e.join(broadcast(cents), Seq("label"))
+          .select(col("label"), col("vec_id"),
+            (1 to 64).foldLeft(lit(0.0)) { (acc, j) =>
+              val dv = element_at(col("v"), j) - element_at(col("cv"), j)
+              acc + dv * dv
+            }.as("dist2"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("label"), col("rk"), col("vec_id"), col("dist2"))
+          .orderBy(col("label"), col("rk"))
+      },
+      s"""WITH e AS ($oVecs),
+         |c AS ($oCents),
+         |dd AS (
+         |  SELECT e.label, e.vec_id,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, 65),
+         |      j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])),
+         |      (a, b) -> a + b) AS dist2
+         |  FROM e JOIN c USING (label)),
+         |r AS (
+         |  SELECT label, vec_id, dist2,
+         |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rk
+         |  FROM dd)
+         |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, dist2
+         |FROM r WHERE rk <= 20
+         |ORDER BY label, rk""".stripMargin)
   )
 }

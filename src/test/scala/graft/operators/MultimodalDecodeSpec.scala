@@ -80,4 +80,33 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(MultimodalOps.energyFingerprint(
       MultimodalOps.decodeWavSamples(MultimodalOps.toneWavBytes(41))) == prints(41))
   }
+
+  test("video fingerprints are frame-ORDER sensitive and discriminate clips (m09)") {
+    val prints = (0L until 60L).map { gid =>
+      MultimodalOps.videoFingerprint(MultimodalOps.framesBytes(gid), 2)
+    }
+    assert(prints.distinct.size >= 50,
+      s"only ${prints.distinct.size}/60 distinct video fingerprints")
+    // identical clips collide (dedup contract)
+    assert(MultimodalOps.videoFingerprint(MultimodalOps.framesBytes(17), 2) == prints(17))
+    // a hand-built container with the SAME sampled frames in reversed
+    // order must print differently — the polynomial chain is the point;
+    // a set/sum hash would pass frames in any order
+    def container(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(4 + frames.map(4 + _.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(frames.length)
+      frames.foreach { fr => bb.putInt(fr.length); bb.put(fr) }
+      bb.array()
+    }
+    // k=1 so every frame is sampled; two frames with distinct dHashes
+    val f0 = MultimodalOps.ppmBytes(3)
+    val f1 = MultimodalOps.ppmBytes(44)
+    assert(MultimodalOps.dhashPpm(f0) != MultimodalOps.dhashPpm(f1))
+    val fwd = MultimodalOps.videoFingerprint(container(Seq(f0, f1)), 1)
+    val rev = MultimodalOps.videoFingerprint(container(Seq(f1, f0)), 1)
+    assert(fwd._1 == rev._1 && fwd._2 != rev._2,
+      s"reordered frames must change the print: $fwd vs $rev")
+  }
 }

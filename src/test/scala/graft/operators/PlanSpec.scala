@@ -418,6 +418,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("s10: centroid table broadcasts; per-label top-k bounded pre-exchange") {
+    val p = plan("s10_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the 10 hot label partitions must never receive the corpus: each
+    // map partition forwards at most k rows per label
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("s08: only the brute-truth arm pays a corpus NLJ; the LSH arm hash-joins") {
     val p = plan("s08_recall_eval")
     val nlj = p.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
