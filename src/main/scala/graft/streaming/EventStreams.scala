@@ -131,6 +131,91 @@ object EventStreams {
       .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
       .select(col("doc_id"), col("us"), col("text"))
 
+  final case class ScoredDoc(doc_id: Long, us: Long, ts: java.sql.Timestamp,
+      hh: String, gopher_fail: Boolean, corpus_dup: Boolean)
+  final case class DocVerdict(doc_id: Long, us: Long, stage: String)
+
+  /** Streaming curation verdicts — p06's stage-attribution tier moved
+    * to the point of INGEST: every arriving document is tagged, not
+    * silently dropped, with the first failing stage in p06's fixed
+    * precedence — 'gopher' (the t12 hard rules, computed map-side),
+    * 'corpus_dup' (stream-static probe of the persisted corpus hash
+    * store — d15/ingestDedupStream's exact tier, zero join state),
+    * 'stream_dup' (a lower-id arrival inside the horizon already
+    * claimed this content hash), else 'kept'. The within-stream stage
+    * is a flatMapGroupsWithState first-seen tagger: state is ONE
+    * boolean per distinct content hash inside the horizon, evicted by
+    * event-time timeout against the watermark — the same bounded-state
+    * contract dropDuplicatesWithinWatermark gives dedupStream, but
+    * with the verdict stream a curation audit needs instead of a
+    * filtered survivor stream. Same per-key in-order-arrival premise
+    * as [[sessionize]]; gopher/corpus flags are text-determined, so
+    * every member of a hash group carries identical flags and the
+    * kept/stream_dup split is the only order-dependent piece. */
+  def curationVerdictStream(docs: DataFrame, corpusHashes: DataFrame,
+      horizon: String = "10 minutes"): Dataset[DocVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.OpUtils.words
+    val horizonMs = horizon match {
+      case s if s.endsWith(" minutes") => s.stripSuffix(" minutes").trim.toLong * 60000L
+      case s => s.trim.toLong
+    }
+    val ws = col("ws")
+    val scored = docs
+      .withColumn("ws", words(col("text")))
+      .withColumn("n", size(ws))
+      .withColumn("sum_len",
+        aggregate(transform(ws, w => length(w)), lit(0), (a, b) => a + b))
+      .withColumn("stop_hits",
+        size(filter(ws, w => w.isin("the", "a", "of", "and", "to"))))
+      .withColumn("n_sym", size(filter(ws, w => w.rlike("[^a-z0-9]"))))
+      .withColumn("g2", when(size(ws) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", slice(ws, i, lit(2))))))
+      .withColumn("gopher_fail",
+        col("n") < 50 || col("n") > 100000 ||
+          col("sum_len") < col("n") * 3 || col("sum_len") > col("n") * 10 ||
+          col("stop_hits") < 2 ||
+          col("n_sym") * 10 > col("n") ||
+          (size(col("g2")) > 0 &&
+            (size(col("g2")) - size(array_distinct(col("g2")))) * 10 >
+              size(col("g2")) * 3))
+      .withColumn("h", unhex(md5(trim(col("text")))))
+      .join(corpusHashes.select(col("h"), lit(true).as("cd")), Seq("h"), "left")
+      .select(col("doc_id"), col("us"),
+        timestamp_micros(col("us")).as("ts"),
+        hex(col("h")).as("hh"),
+        col("gopher_fail"),
+        coalesce(col("cd"), lit(false)).as("corpus_dup"))
+      .withWatermark("ts", horizon)
+      .as[ScoredDoc]
+    scored.groupByKey(_.hh)
+      .flatMapGroupsWithState[Boolean, DocVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[DocVerdict]()
+            var seen = state.getOption.getOrElse(false)
+            var maxUs = Long.MinValue
+            it.foreach { d =>
+              maxUs = math.max(maxUs, d.us)
+              val stage =
+                if (d.gopher_fail) "gopher"
+                else if (d.corpus_dup) "corpus_dup"
+                else if (seen) "stream_dup"
+                else { seen = true; "kept" }
+              out += DocVerdict(d.doc_id, d.us, stage)
+            }
+            if (seen) {
+              state.update(true)
+              state.setTimeoutTimestamp(maxUs / 1000 + horizonMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Stream-static interval tag — the unbounded companion of q38's
     * batch interval join: each live event is tagged with the incident
     * window (from a STATIC window table: win_id, lo, hi in epoch-µs,

@@ -255,4 +255,51 @@ class EventStreamsSpec extends AnyFunSuite {
       (1L, None), (2L, Some(1L)), (3L, Some(1L)),
       (4L, None), (5L, Some(2L)), (6L, None)))
   }
+
+  test("streaming curation verdicts follow p06's precedence and batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // a body that PASSES every gopher rule: 55 words (5 stopwords + 50
+    // distinct 4-char words), mean word length in [3,10], no symbols,
+    // no duplicate bigrams
+    def passBody(tag: Int): String =
+      "the a of and to " + (0 until 50).map(i => f"w$tag%02d$i%02d").mkString(" ")
+    val gopherBody = "tiny text" // fails the 50-word floor
+
+    // static corpus knows body 7
+    val corpus = Seq(passBody(7)).toDF("text")
+      .withColumn("h", unhex(md5(trim(col("text")))))
+
+    // stream: kept (body 1), its repeat (stream_dup), the corpus body
+    // (corpus_dup), a gopher reject, then a second fresh body (kept)
+    val docs = Seq(
+      (1L, passBody(1)), (2L, passBody(1)), (3L, passBody(7)),
+      (4L, gopherBody), (5L, passBody(2)), (6L, passBody(2)))
+      .zipWithIndex.map { case ((id, body), i) =>
+        (id, 1700000000000000L + i * 1000000L, body)
+      }
+
+    val input = MemoryStream[(Long, Long, String)]
+    val query = EventStreams.curationVerdictStream(
+      input.toDF().toDF("doc_id", "us", "text"), corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("verdict_out").start()
+    docs.grouped(3).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    query.stop()
+
+    val got = spark.table("verdict_out")
+      .select(col("doc_id"), col("stage"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+
+    // batch replay of the same precedence: first non-gopher,
+    // non-corpus arrival per hash is kept, later ones are stream dups
+    assert(got === Map(
+      1L -> "kept", 2L -> "stream_dup", 3L -> "corpus_dup",
+      4L -> "gopher", 5L -> "kept", 6L -> "stream_dup"))
+    // every doc gets exactly one verdict — nothing is silently dropped
+    assert(got.size === docs.size)
+  }
 }
