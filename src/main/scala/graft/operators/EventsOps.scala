@@ -321,6 +321,44 @@ object EventsOps {
         |    AS n_purchases
         |FROM w JOIN e ON e.us >= w.lo AND e.us < w.hi
         |GROUP BY w.win_id
-        |ORDER BY w.win_id""".stripMargin)
+        |ORDER BY w.win_id""".stripMargin),
+
+    // -- retention cohorts (the product-analytics staple) --------------
+    // Users grouped by their first-seen week; each cell counts how many
+    // of a cohort's users were still active N weeks later. 100 TB
+    // shape: TWO shuffles total — one repartition(user_id) up front,
+    // whose HashPartitioning satisfies the (user_id, week) distinct
+    // agg AND the per-user cohort-min window (subset clustering, no
+    // second exchange — the t09 move), then the tiny (cohort, offset)
+    // rollup. The wide shuffle carries (user_id, week) long pairs only;
+    // a user's row count collapses to their distinct active weeks
+    // map-side via partial aggregation.
+    QueryDef.sql("q39_retention_cohorts",
+      (s, d) => {
+        val wkUs = 604800000000L // 7 * 86400 * 1e6
+        val uw = Tables.events(s, d)
+          .select(col("user_id"),
+            expr(s"unix_micros(ts) DIV $wkUs").as("week"))
+          .repartition(col("user_id"))
+          .groupBy(col("user_id"), col("week")).agg(count(lit(1)).as("c"))
+          .drop("c")
+        val w = Window.partitionBy(col("user_id"))
+        uw.withColumn("cohort_week", min(col("week")).over(w))
+          .withColumn("week_offset", col("week") - col("cohort_week"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, week,
+        |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM uw)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM c GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
   )
 }

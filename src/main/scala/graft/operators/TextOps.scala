@@ -613,6 +613,50 @@ object TextOps {
          |SELECT wh, df, n_docs,
          |  CAST(length(bin(n_docs // df)) AS INTEGER) AS idf_bucket
          |FROM f, t
-         |ORDER BY df DESC, wh LIMIT 500""".stripMargin)
+         |ORDER BY df DESC, wh LIMIT 500""".stripMargin),
+
+    // -- vocabulary growth curve (Heaps' law, tokenizer sizing input) --
+    // How fast does the 3-gram vocabulary grow as the corpus is
+    // ingested in doc_id order? Each type is attributed to the corpus
+    // DECILE where it first appears (min doc_id — an order-independent
+    // partial agg), then per-decile new-type counts and the cumulative
+    // vocabulary size. Sub-linear growth (Heaps' law) is what justifies
+    // a fixed tokenizer vocab; a linear curve flags an open-ended
+    // id/noise vocabulary. Types are word 3-grams — the context-sized
+    // unit BPE-merge sizing reads (this corpus's unigram vocab closes
+    // at 31 words, so the unigram curve is a constant). 100 TB shape:
+    // the t14 Zipf guard again — within-doc array_distinct then
+    // two-phase partial MIN, so one fixed-width (wh, partial_min)
+    // shuffle; the decile rollup is 10 rows and the cumulative window
+    // runs over those 10. All integer, bit-exact.
+    QueryDef.sql("t15_vocab_growth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val first = docs.select(col("doc_id"),
+            explode(array_distinct(transform(grams3(words(col("text"))),
+              g => md5Val(g, 15)))).as("wh"))
+          .groupBy(col("wh")).agg(min(col("doc_id")).as("fd"))
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        first.crossJoin(broadcast(total))
+          .select(least(lit(9L), expr("(fd * 10) DIV n_docs")).as("decile"))
+          .groupBy(col("decile")).agg(count(lit(1)).as("new_words"))
+          .withColumn("cum_vocab", sum(col("new_words")).over(
+            Window.orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy(col("decile"))
+      },
+      s"""WITH dw AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    ${oGrams3(oWords("text"))}, g -> ${oMd5Val("g", 15)}))) AS wh
+         |  FROM documents),
+         |f AS (SELECT wh, MIN(doc_id) AS fd FROM dw GROUP BY wh),
+         |t AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |b AS (SELECT least(9, (fd * 10) // n_docs) AS decile FROM f, t),
+         |g AS (SELECT decile, COUNT(*) AS new_words FROM b GROUP BY decile)
+         |SELECT decile, new_words,
+         |  CAST(SUM(new_words) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+         |    AS BIGINT) AS cum_vocab
+         |FROM g ORDER BY decile""".stripMargin)
   )
 }

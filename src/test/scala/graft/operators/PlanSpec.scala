@@ -391,6 +391,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("generate explode"), p)
   }
 
+  test("q39: one user repartition feeds the distinct agg AND the cohort window") {
+    val p = plan("q39_retention_cohorts")
+    // HashPartitioning(user_id) satisfies the (user_id, week) distinct
+    // (subset clustering) and the per-user min window — so exactly two
+    // hash exchanges: the user repartition and the tiny cohort rollup
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 2, s"cohort pipeline re-shuffled:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("t15: growth curve — one fixed-width (wh, min) shuffle plus the 10-row rollup") {
+    val p = plan("t15_vocab_growth")
+    assert(!p.contains("SortMergeJoin"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"gram rows crossed the wire:\n$p")
+  }
+
   test("q38: the range join runs as a broadcast EQUI-join on bins, not an NLJ") {
     // the whole point of the bin-bucketed formulation: a time-range
     // predicate with no equi-key must NOT plan as O(events × windows)
