@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_hash_min"),
       info("poly_hash_min", "poly_hash_min(str, w) - min rolling-window poly hash"),
       (exprs: Seq[Expression]) => functions.PolyHashMin(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("int8_dot"),
+      info("int8_dot", "int8_dot(a, b) - integer dot product of two ARRAY<BIGINT>"),
+      (exprs: Seq[Expression]) => functions.Int8Dot(exprs(0), exprs(1))))
     // custom-operator tier (c): the AS-OF join planner strategy
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }

@@ -99,6 +99,8 @@ object GraftFunctions {
       "poly_hash", exprs => PolyHashFull(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash_min", exprs => PolyHashMin(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_dot", exprs => Int8Dot(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API over the registered function. */
@@ -110,4 +112,7 @@ object GraftFunctions {
 
   def polyHashMin(s: Column, w: Column): Column =
     org.apache.spark.sql.functions.call_function("poly_hash_min", s, w)
+
+  def int8Dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("int8_dot", a, b)
 }

@@ -332,10 +332,12 @@ object SimilarityOps {
         val c = e.filter(col("vec_id") >= 10)
           .select(col("vec_id").as("n_id"), col("q8"), col("v"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("dot8").desc, col("n_id"))
+        // native codegen'd integer dot (functions.Int8Dot) — one tight
+        // generated loop instead of two HOFs + a lambda per element;
+        // integer addition is associative, so the oracle fold matches
         q.join(c)
-          .withColumn("dot8", aggregate(
-            zip_with(col("qq"), col("q8"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x))
+          .withColumn("dot8",
+            graft.functions.GraftFunctions.int8Dot(col("qq"), col("q8")))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select(col("q_id"), col("n_id"), col("dot8"),

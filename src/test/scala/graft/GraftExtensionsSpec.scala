@@ -24,10 +24,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     try {
       val r = spark.sql(
         "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
-          "poly_hash('ab') p, poly_hash_min('abcdefgh', 8) m").head()
+          "poly_hash('ab') p, poly_hash_min('abcdefgh', 8) m, " +
+          "int8_dot(array(2L, 3L), array(5L, 7L)) d8").head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(r.getLong(1) === (97L * 31 + 98) % 1000000007L)
       assert(!r.isNullAt(2))
+      assert(r.getLong(3) === 31L) // 2*5 + 3*7
 
       // the injected planner strategy plans the as-of join in this
       // session too (no AsOfJoin.install call — extensions only)
