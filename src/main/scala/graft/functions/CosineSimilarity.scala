@@ -101,6 +101,20 @@ object GraftFunctions {
       "poly_hash_min", exprs => PolyHashMin(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int8_dot", exprs => Int8Dot(exprs(0), exprs(1)), "built-in")
+    // Catalyst's Bloom-filter pair is runtime-filter-internal (not in
+    // the public SQL registry); exposing it gives the ingest tier its
+    // shuffle-free membership probe (d18). Aggregate builds the filter
+    // over LONG keys; probe is an O(1) map-side test per row.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
   }
 
   /** Column API over the registered function. */
@@ -115,4 +129,7 @@ object GraftFunctions {
 
   def int8Dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("int8_dot", a, b)
+
+  def bloomMightContain(bf: Column, k: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", bf, k)
 }

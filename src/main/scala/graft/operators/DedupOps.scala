@@ -768,6 +768,65 @@ object DedupOps {
          |LEFT JOIN inc i ON i.doc_id = n.doc_id
          |ORDER BY n.doc_id""".stripMargin),
 
+    // -- Bloom-filter ingest prefilter (the shuffle-free fast path) ----
+    // d15's exact tier pays a semi-join per batch; at 100 TB the batch
+    // is mostly NEW content, and the scalable fast path is a Bloom
+    // filter over the corpus hash store: ~1 byte/doc (vs 16 for the
+    // hash set), mergeable map-side, broadcast once — a batch doc that
+    // MISSES is definitely new and skips the join entirely; only the
+    // might-contain minority pays the exact probe. The filter's bits
+    // are engine-specific, so the q34 move makes the contract itself
+    // driver-checkable: emit the exact counts plus two deterministic
+    // booleans — no_false_negatives (every exact dup IS a bloom hit —
+    // the property the fast path is built on) and fp_within_bound
+    // (false-positive rate ≤ 5% at 8 bits/key) — which the oracle
+    // emits literally TRUE; a filter violating either flips a boolean
+    // and fails the hash compare. BloomSketchSpec asserts the same
+    // contract per-row.
+    QueryDef.sql("d18_bloom_prefilter",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val oldKeys = corpus(s, d).filter(col("doc_id") < 1000000L)
+          .select(md5Val(col("t"), 15).as("k"))
+        // the ONE bounded driver fetch in the dedup tier: the ~100 KB
+        // filter blob itself (Catalyst requires might_contain's filter
+        // side be a constant / scalar subquery — this is exactly how
+        // Spark's own runtime filters carry their bloom to the probe)
+        val bf: Array[Byte] = oldKeys
+          .agg(expr("graft_bloom_agg(k, 100000L, 800000L)").as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val newDocs = corpus(s, d).filter(col("doc_id") >= 1000000L)
+          .select(col("doc_id"), md5Val(col("t"), 15).as("k"))
+        val exact = newDocs
+          .join(oldKeys.distinct(), Seq("k"), "left_semi")
+          .select(col("doc_id"), lit(true).as("ed"))
+        newDocs
+          .withColumn("bloom_hit",
+            graft.functions.GraftFunctions.bloomMightContain(lit(bf), col("k")))
+          .join(exact, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_batch"),
+            sum(when(col("ed").isNotNull, 1L).otherwise(0L)).as("n_exact_dup"),
+            min(when(col("ed").isNotNull && !col("bloom_hit"), 0L).otherwise(1L))
+              .as("nfn"),
+            sum(when(col("bloom_hit") && col("ed").isNull, 1L).otherwise(0L))
+              .as("fp"))
+          .select(col("n_batch"), col("n_exact_dup"),
+            (col("nfn") === 1L).as("no_false_negatives"),
+            (col("fp") * 20L <= col("n_batch") - col("n_exact_dup"))
+              .as("fp_within_bound"))
+      },
+      s"""WITH $oCorpus,
+         |oh AS (SELECT DISTINCT ${oMd5Val("t", 15)} AS k FROM corpus
+         |       WHERE doc_id < 1000000),
+         |nd AS (SELECT doc_id, ${oMd5Val("t", 15)} AS k FROM corpus
+         |       WHERE doc_id >= 1000000)
+         |SELECT COUNT(*) AS n_batch,
+         |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM oh WHERE oh.k = nd.k)
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  TRUE AS no_false_negatives,
+         |  TRUE AS fp_within_bound
+         |FROM nd""".stripMargin),
+
     // -- corpus-wide line dedup (the C4 move) --------------------------
     // C4 removed every repeated occurrence of any line that appears
     // more than once in the corpus — finer than d01 (whole-doc) and
