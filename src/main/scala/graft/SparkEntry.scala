@@ -62,10 +62,10 @@ object SparkEntry {
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "d16_semantic_dedup", "d17_line_dedup",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "s08_recall_eval",
-      "s09_pq_search", "t02_quality_score",
-      "t09_word_rarity", "t11_dsir_weights", "t14_doc_freq",
+      "s09_pq_search", "s11_ivfpq_search", "t02_quality_score",
+      "t09_word_rarity", "t11_dsir_weights", "t14_doc_freq", "t16_bigram_lm",
       "p01_curated_corpus", "p02_token_packing",
-      "p04_domain_mixture", "p06_curation_funnel")
+      "p04_domain_mixture", "p06_curation_funnel", "p07_doc_chunks")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)

@@ -384,6 +384,111 @@ object PipelineOps {
          |    AS n_contam,
          |  CAST(SUM(CASE WHEN stage = 'mixture' THEN 1 ELSE 0 END) AS BIGINT) AS n_mixture,
          |  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-         |FROM v GROUP BY source ORDER BY source""".stripMargin)
+         |FROM v GROUP BY source ORDER BY source""".stripMargin),
+
+    // -- overlapping document chunking (RAG / context-window prep) -----
+    // p02 packs documents into training blocks ACROSS doc boundaries;
+    // this is the other chunking contract — the RAG/embedding-index
+    // shape: each document independently cut into 64-word windows with
+    // stride 48 (16-word overlap so no sentence is ever split across a
+    // retrieval boundary without context). Chunk identity is
+    // (doc_id, chunk_idx) plus the md5 of the chunk's exact words —
+    // the key an embedding index or a chunk-level dedup joins on.
+    // Boundary arithmetic is all integer (ceil via (n-W+S-1) DIV S);
+    // every chunk carries >= 17 words by construction (the last window
+    // extends backward, never forward past the doc). 100 TB shape:
+    // entirely map-side — sequence+explode generates chunk rows inside
+    // the scan partition, text never shuffles (PlanSpec: zero hash
+    // exchanges, no join); output fan-out is bounded at ~n_words/48
+    // rows per doc, each a fixed-width (ids + 32-char hash) row.
+    QueryDef.sql("p07_doc_chunks",
+      (s, d) => {
+        val W = 64; val S = 48
+        Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .withColumn("n", size(col("ws")).cast("long"))
+          .withColumn("n_chunks",
+            when(col("n") <= W, lit(1L))
+              .otherwise(expr(s"((n - $W + ${S - 1}) DIV $S) + 1")))
+          .select(col("doc_id"), col("ws"), col("n"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+          .withColumn("start_word", col("chunk_idx") * S + 1)
+          .withColumn("chunk_words", least(lit(W.toLong), col("n") - col("chunk_idx") * S))
+          .select(col("doc_id"), col("chunk_idx"), col("start_word"), col("chunk_words"),
+            md5(concat_ws(" ", slice(col("ws"), col("start_word").cast("int"),
+              col("chunk_words").cast("int")))).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${oWords("text")} AS ws,
+         |    CAST(len(${oWords("text")}) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, ws, n,
+         |    CASE WHEN n <= 64 THEN 1 ELSE ((n - 64 + 47) // 48) + 1 END AS n_chunks
+         |  FROM w),
+         |e AS (SELECT doc_id, ws, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(chunk_idx * 48 + 1 AS BIGINT) AS start_word,
+         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS chunk_words,
+         |  md5(array_to_string(
+         |    ws[chunk_idx * 48 + 1 : chunk_idx * 48 + least(64, n - chunk_idx * 48)],
+         |    ' ')) AS chunk_md5
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // -- epoch / repeat-factor plan (data-constrained mixing) ----------
+    // p04 decides what to DROP from over-represented sources; this is
+    // the complementary decision when the budget EXCEEDS the corpus —
+    // how many epochs of each source to schedule. Budget = 4x total
+    // corpus tokens, equal target share per source; each source repeats
+    // at repeat_ppm = min(4e6, share*1e6/src_tokens) — capped at 4
+    // epochs, the published point past which repetition stops paying
+    // (data-constrained scaling). A capped source reports its
+    // shortfall: the tokens the mixture wanted but repetition can't
+    // supply — the signal that triggers sourcing more data. All
+    // integer arithmetic (DIV; products stay under 2^63 for corpora to
+    // ~10^12 tokens x 10^6 ppm headroom), bit-exact cross-engine.
+    // 100 TB shape: ONE source-keyed hash agg with full map-side
+    // partials (token counts fold per partition); the totals row and
+    // rate table are broadcast-sized (sources are domains, not docs) —
+    // document rows never shuffle.
+    QueryDef.sql("p08_epoch_plan",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .select(col("source"), size(words(col("text"))).cast("long").as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+        val tot = bySrc.agg(sum(col("src_tokens")).as("total_tokens"),
+          count(lit(1)).as("n_sources"))
+        bySrc.crossJoin(broadcast(tot))
+          .withColumn("share_tokens", expr("(total_tokens * 4) DIV n_sources"))
+          .withColumn("repeat_ppm", least(lit(4000000L),
+            expr("(share_tokens * 1000000) DIV src_tokens")))
+          .withColumn("alloc_tokens", expr("(src_tokens * repeat_ppm) DIV 1000000"))
+          .withColumn("shortfall",
+            greatest(lit(0L), col("share_tokens") - col("alloc_tokens")))
+          .select(col("source"), col("n_docs"), col("src_tokens"), col("share_tokens"),
+            col("repeat_ppm"), col("alloc_tokens"), col("shortfall"))
+          .orderBy(col("source"))
+      },
+      s"""WITH s AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(${oWords("text")})) AS BIGINT) AS src_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         |        COUNT(*) AS n_sources FROM s),
+         |r AS (
+         |  SELECT source, n_docs, src_tokens,
+         |    (total_tokens * 4) // n_sources AS share_tokens,
+         |    least(4000000, ((total_tokens * 4) // n_sources) * 1000000 // src_tokens)
+         |      AS repeat_ppm
+         |  FROM s CROSS JOIN t)
+         |SELECT source, n_docs, src_tokens,
+         |  CAST(share_tokens AS BIGINT) AS share_tokens,
+         |  CAST(repeat_ppm AS BIGINT) AS repeat_ppm,
+         |  CAST(src_tokens * repeat_ppm // 1000000 AS BIGINT) AS alloc_tokens,
+         |  CAST(greatest(0, share_tokens - src_tokens * repeat_ppm // 1000000) AS BIGINT)
+         |    AS shortfall
+         |FROM r ORDER BY source""".stripMargin)
   )
 }

@@ -704,6 +704,122 @@ object SimilarityOps {
          |  FROM dd)
          |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, dist2
          |FROM r WHERE rk <= 20
-         |ORDER BY label, rk""".stripMargin)
+         |ORDER BY label, rk""".stripMargin),
+
+    // -- IVF-PQ search (coarse probe + in-cell ADC rank) ----------------
+    // The production vector-index layout, composed from the pieces this
+    // tier already ships: s04's coarse probe picks ONE inverted list
+    // per query (nearest centroid by cosine), s09's PQ codes are what
+    // that list STORES (8 bytes/vector, 64× under the raw doubles),
+    // and ranking inside the probed list is pure ADC — 8 table lookups
+    // per candidate, no float math against raw vectors at query time.
+    // This is exactly FAISS's IVFPQ composition. 100 TB shape: the
+    // index scan ships (vec_id, label, codes) — the 64×-compressed
+    // frame; centroids and per-query distance tables broadcast; the
+    // label equi-join touches one cell per query so work scales with
+    // cell occupancy, not corpus size; the per-query top-k is bounded
+    // pre-exchange by WindowGroupLimit (the s10/p05 guard). Encode and
+    // every ADC sum are fixed-order folds — bit-exact cross-engine.
+    QueryDef.sql("s11_ivfpq_search",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = centroids(s, d, e)
+        val cb = cents
+          .select(col("label").cast("long").as("code"), col("cv"))
+          .agg(collect_list(struct(col("code"), col("cv"))).as("cb"))
+        def chunkDist(v: Column, cv: Column, c: Int): Column =
+          (1 to 8).foldLeft(lit(0.0)) { (acc, j) =>
+            val dv = element_at(v, c * 8 + j) - element_at(cv, c * 8 + j)
+            acc + dv * dv
+          }
+        // the inverted lists: cell = label, payload = the 8 PQ codes
+        val enc = e.crossJoin(broadcast(cb))
+          .select(col("vec_id"), col("label"), array((0 until 8).map { c =>
+            aggregate(col("cb"),
+              struct(lit(1e30).as("s"), lit(99L).as("k")),
+              (acc, x) => {
+                val dist = chunkDist(col("v"), x.getField("cv"), c)
+                when(dist < acc.getField("s") ||
+                    (dist === acc.getField("s") &&
+                      x.getField("code") < acc.getField("k")),
+                  struct(dist.as("s"), x.getField("code").as("k")))
+                  .otherwise(acc)
+              }).getField("k")
+          }: _*).as("codes"))
+        // coarse probe: nearest-cosine centroid picks the one cell
+        val wc = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
+        val q = e.filter(col("vec_id") < 15)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos_c", cosine(col("qv"), col("cv")))
+          .withColumn("r", row_number().over(wc))
+          .filter(col("r") === 1)
+          .select(col("q_id"), col("qv"), col("label"))
+        val qtab = q.crossJoin(broadcast(cb))
+          .select(col("q_id"), col("label"),
+            array((0 until 8).map { c =>
+              transform(array_sort(col("cb")),
+                x => chunkDist(col("qv"), x.getField("cv"), c))
+            }: _*).as("qtab"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+        enc.as("c").join(broadcast(qtab).as("b"),
+            col("c.label") === col("b.label") && col("c.vec_id") =!= col("b.q_id"))
+          .select(col("b.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+            (0 until 8).foldLeft(lit(0.0)) { (acc, c) =>
+              acc + element_at(element_at(col("qtab"), c + 1),
+                (element_at(col("codes"), c + 1) + 1).cast("int"))
+            }.as("adc"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("q_id"), col("rnk"), col("n_id"), col("adc"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents0 AS ($oCents),
+         |cb AS (SELECT CAST(label AS BIGINT) AS code, cv FROM cents0),
+         |ch AS (SELECT unnest(range(0, 8)) AS c),
+         |cd AS (
+         |  SELECT e.vec_id, e.label, ch.c, cb.code,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, 9),
+         |      j -> (e.v[ch.c*8+j] - cb.cv[ch.c*8+j]) *
+         |           (e.v[ch.c*8+j] - cb.cv[ch.c*8+j])),
+         |      (a, b) -> a + b) AS dist
+         |  FROM e CROSS JOIN ch CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, label, c, code FROM (
+         |    SELECT vec_id, label, c, code,
+         |      row_number() OVER (PARTITION BY vec_id, c ORDER BY dist, code) AS rk
+         |    FROM cd) WHERE rk = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 15),
+         |qs AS (
+         |  SELECT q.q_id, q.qv, c.label, ${oCosine("q.qv", "c.cv")} AS cos_c
+         |  FROM q CROSS JOIN cents0 c),
+         |best AS (
+         |  SELECT q_id, qv, label FROM (
+         |    SELECT q_id, qv, label,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_c DESC, label) AS r
+         |    FROM qs) WHERE r = 1),
+         |qd AS (
+         |  SELECT b.q_id, b.label AS cell, ch.c, cb.code,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, 9),
+         |      j -> (b.qv[ch.c*8+j] - cb.cv[ch.c*8+j]) *
+         |           (b.qv[ch.c*8+j] - cb.cv[ch.c*8+j])),
+         |      (a, b) -> a + b) AS dist
+         |  FROM best b CROSS JOIN ch CROSS JOIN cb),
+         |pad AS (
+         |  SELECT qd.q_id, enc.vec_id AS n_id,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list(qd.dist ORDER BY qd.c),
+         |      (a, b) -> a + b) AS adc
+         |  FROM enc
+         |  JOIN qd ON qd.c = enc.c AND qd.code = enc.code AND qd.cell = enc.label
+         |  WHERE enc.vec_id != qd.q_id
+         |  GROUP BY qd.q_id, enc.vec_id),
+         |r AS (
+         |  SELECT q_id, n_id, adc,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+         |  FROM pad)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, adc
+         |FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin)
   )
 }

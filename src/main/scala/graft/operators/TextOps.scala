@@ -32,6 +32,31 @@ object TextOps {
                 lit(4096L)))).as("bks"))
         .persist())
 
+  /** t16's UNBUCKETED bigram-instance frame: one row per bigram
+    * occurrence, carrying the 60-bit hash of the bigram (`bh`) and of
+    * its prefix word (`ph`). Distinct from [[bigramFrame]] (t11's
+    * 4096-bucket feature vectors — collisions are the point there; the
+    * LM counts here need real bigram identity). Cached per (session,
+    * dir) like the gram stores: the three aggregations t16 reads (per
+    * (doc,bigram) multiplicity, corpus bigram counts, corpus prefix
+    * counts) all scan THIS frame instead of re-tokenizing three times.
+    * At 100 TB this is a bucketed table written once per snapshot. */
+  private val biCache =
+    scala.collection.concurrent.TrieMap[(Int, String), org.apache.spark.sql.DataFrame]()
+
+  private def bigramInstances(s: org.apache.spark.sql.SparkSession, d: String) =
+    biCache.getOrElseUpdate((System.identityHashCode(s), d),
+      Tables.documents(s, d)
+        .withColumn("ws", words(col("text")))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 1),
+            i => struct(
+              md5Val(concat_ws(" ", slice(col("ws"), i, lit(2))), 15).as("bh"),
+              md5Val(element_at(col("ws"), i), 15).as("ph")))).as("g"))
+        .select(col("doc_id"), col("g.bh").as("bh"), col("g.ph").as("ph"))
+        .persist())
+
   /** Stopword profiles for the language-ID heuristic (public stopword
     * lists, truncated). Scores are hit counts of profile words. */
   private val profiles: Seq[(String, Seq[String])] = Seq(
@@ -657,6 +682,64 @@ object TextOps {
          |SELECT decile, new_words,
          |  CAST(SUM(new_words) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
          |    AS BIGINT) AS cum_vocab
-         |FROM g ORDER BY decile""".stripMargin)
+         |FROM g ORDER BY decile""".stripMargin),
+
+    // -- bigram-LM fluency score (the CCNet perplexity-filter proxy) ---
+    // t09 scores docs by UNIGRAM corpus frequency; the filter CCNet
+    // actually runs is a language MODEL — word-in-context. This is its
+    // exact-arithmetic bigram analogue: score each document by how
+    // predictable its bigrams are under the corpus's own bigram MLE
+    // P(w2|w1) = C(w1 w2)/C(w1·). Per-instance division would sum
+    // doubles (order-dependent across partitionings), so the score is
+    // the ratio-of-sums surrogate (the t11 move): Σ C2(b_i) / Σ C1(p_i)
+    // over the doc's bigram instances — two BIGINT sums, ONE division,
+    // bit-exact cross-engine. Boilerplate scores high, gibberish low.
+    // 100 TB shape: all three inputs scan ONE persisted bigram-instance
+    // frame (60-bit hash longs; text never leaves the tokenize
+    // projection). The C2/C1 count tables build as two-phase hash aggs
+    // — the Zipf head ("the"-prefixed bigrams) collapses to one row
+    // per word PER MAP PARTITION before the wire, the t14 guard — and
+    // instances pre-aggregate to (doc, bigram, multiplicity) before
+    // joining, so join probes carry distinct-bigrams-per-doc, not token
+    // volume. The joins are long-keyed shuffle joins; a head key that
+    // still skews is exactly what AQE's skew-join split handles —
+    // unlike a COUNT window over ph, which would pin every "the ..."
+    // instance in the corpus onto one partition with no split
+    // available (why this is a join-plan, not a window-plan like t09).
+    QueryDef.sql("t16_bigram_lm",
+      (s, d) => {
+        val bi = bigramInstances(s, d)
+        val db = bi.groupBy(col("doc_id"), col("bh"), col("ph"))
+          .agg(count(lit(1)).as("k"))
+        val c2 = bi.groupBy(col("bh")).agg(count(lit(1)).as("c2"))
+        val c1 = bi.groupBy(col("ph")).agg(count(lit(1)).as("c1"))
+        db.join(c2, Seq("bh")).join(c1, Seq("ph"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("k")).as("n_bigrams"),
+            sum(col("k") * col("c2")).as("sum_bg"),
+            sum(col("k") * col("c1")).as("sum_prefix"))
+          .withColumn("lm_score",
+            col("sum_bg").cast("double") / col("sum_prefix"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents
+         |           WHERE len(${oWords("text")}) >= 2),
+         |e AS (SELECT doc_id, unnest(range(1, len(ws))) AS bi, ws FROM w),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${oMd5Val("array_to_string(ws[bi:bi+1], ' ')", 15)} AS bh,
+         |    ${oMd5Val("ws[bi]", 15)} AS ph
+         |  FROM e),
+         |c AS (
+         |  SELECT doc_id,
+         |    COUNT(*) OVER (PARTITION BY bh) AS c2,
+         |    COUNT(*) OVER (PARTITION BY ph) AS c1
+         |  FROM x)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(c2) AS BIGINT) AS sum_bg,
+         |  CAST(SUM(c1) AS BIGINT) AS sum_prefix,
+         |  CAST(SUM(c2) AS DOUBLE) / SUM(c1) AS lm_score
+         |FROM c GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin)
   )
 }

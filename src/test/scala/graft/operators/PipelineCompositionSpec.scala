@@ -233,4 +233,70 @@ class PipelineCompositionSpec extends AnyFunSuite {
     assert(funnel.map(_._5).sum <= d11Flagged,
       "funnel cannot attribute more contamination than d11 finds")
   }
+
+  test("p07 chunks: stride-48/width-64 layout reconstructs exactly; every word covered") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" +")).toMap
+    val rows = SparkEntry.queries("p07_doc_chunks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "one chunk group per document")
+    for ((id, ws) <- docs) {
+      val n = ws.length.toLong
+      val expChunks = if (n <= 64) 1L else ((n - 64 + 47) / 48) + 1
+      val ch = byDoc(id).sortBy(_._2)
+      assert(ch.length == expChunks, s"doc $id: ${ch.length} chunks, expected $expChunks")
+      ch.foreach { case (_, ci, start, len) =>
+        assert(start == ci * 48 + 1, s"doc $id chunk $ci: start $start")
+        assert(len == math.min(64L, n - ci * 48), s"doc $id chunk $ci: len $len")
+        assert(len >= math.min(n, 17L), s"doc $id chunk $ci: degenerate tail")
+      }
+      // last chunk ends exactly at the doc's last word; no gaps anywhere
+      val (_, _, ls, ll) = ch.last
+      assert(ls + ll - 1 == n, s"doc $id: last chunk ends at ${ls + ll - 1}, n=$n")
+      val covered = ch.flatMap { case (_, _, s0, l0) => s0 until (s0 + l0) }.toSet
+      assert(covered == (1L to n).toSet, s"doc $id: coverage gap")
+    }
+  }
+
+  test("p08 epoch plan: integer arithmetic reconstructs; caps and shortfalls consistent") {
+    val rows = SparkEntry.queries("p08_epoch_plan")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val bySrc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("source", "size(split(trim(text), ' +')) AS n")
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).view.mapValues(ts => (ts.length.toLong, ts.map(_._2).sum)).toMap
+    assert(rows.map(_._1).toSet == bySrc.keySet, "one row per source")
+    val totalTokens = bySrc.values.map(_._2).sum
+    val nSources = bySrc.size.toLong
+    rows.foreach { case (src, nDocs, srcTokens, share, ppm, alloc, shortfall) =>
+      val (expDocs, expTokens) = bySrc(src)
+      assert(nDocs == expDocs && srcTokens == expTokens, s"$src: counts drift")
+      assert(share == totalTokens * 4 / nSources, s"$src: share $share")
+      assert(ppm == math.min(4000000L, share * 1000000 / srcTokens), s"$src: ppm $ppm")
+      assert(alloc == srcTokens * ppm / 1000000, s"$src: alloc $alloc")
+      assert(shortfall == math.max(0L, share - alloc), s"$src: shortfall $shortfall")
+      // beyond DIV-truncation slack (< src_tokens/1e6 + 1 tokens), a
+      // shortfall only appears when the 4-epoch cap binds
+      if (shortfall > srcTokens / 1000000 + 1)
+        assert(ppm == 4000000L, s"$src: uncapped shortfall $shortfall")
+    }
+  }
+
+  test("t16 LM score: high-scoring docs are common-bigram-heavy (and score bounds hold)") {
+    val rows = SparkEntry.queries("t16_bigram_lm")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == nDocs, "every multi-word doc scores")
+    rows.foreach { case (id, nBg, sumBg, sumPrefix, score) =>
+      assert(nBg >= 1, s"doc $id: no bigrams")
+      // each bigram's corpus count is >= 1 and <= its prefix's count
+      assert(sumBg >= nBg && sumBg <= sumPrefix, s"doc $id: count bounds")
+      assert(score > 0.0 && score <= 1.0, s"doc $id: score $score out of (0,1]")
+      assert(score == sumBg.toDouble / sumPrefix, s"doc $id: score is not the ratio")
+    }
+  }
 }

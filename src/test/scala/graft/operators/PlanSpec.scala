@@ -451,6 +451,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("s11: the inverted-list probe is a broadcast equi-join; top-k bounded pre-exchange") {
+    val p = plan("s11_ivfpq_search")
+    assert(!p.contains("SortMergeJoin"), p)
+    // one cell per query: codes meet the query tables on label equality
+    assert(p.contains("BroadcastHashJoin"), p)
+    // per-query top-10 prunes per map partition BEFORE the q_id exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("p07: chunk generation is map-side only — text never shuffles, no join") {
+    val p = plan("p07_doc_chunks")
+    assert(!p.contains("Exchange hashpartitioning"), s"p07 shuffles:\n$p")
+    assert(!p.contains("Join"), s"p07 joins:\n$p")
+  }
+
+  test("t16: LM scoring shuffles hash longs only; no text on any exchange") {
+    val p = plan("t16_bigram_lm")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty, p)
+    assert(!shuffled.exists(_.contains("text#")), s"text crosses the wire:\n$p")
+    assert(shuffled.forall(l =>
+      l.contains("bh#") || l.contains("ph#") || l.contains("doc_id#")), p)
+    // count tables build as two-phase hash aggs (map-side partials
+    // neutralize the Zipf head before the exchange)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("p08: one source-keyed agg; totals broadcast — doc rows never join") {
+    val p = plan("p08_epoch_plan")
+    assert(!p.contains("SortMergeJoin"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"p08 shuffles more than the source agg:\n$p")
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
