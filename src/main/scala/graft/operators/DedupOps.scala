@@ -893,6 +893,53 @@ object DedupOps {
          |  CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
          |  CAST(n_kept AS BIGINT) AS n_kept,
          |  CAST(kept_fp AS BIGINT) AS kept_fp
-         |FROM a ORDER BY doc_id""".stripMargin)
+         |FROM a ORDER BY doc_id""".stripMargin),
+
+    // -- source-pair similarity matrix (sketch-level corpus analytics) --
+    // The doc-level dedup tier (d01-d17) answers "which DOCUMENTS
+    // repeat"; a curation owner also asks "which SOURCES mirror each
+    // other" (syndication networks, scraped re-hosts) — dropped
+    // wholesale like t10's health-sheet decisions. Computing source-pair
+    // Jaccard exactly would need the full gram sets; instead each source
+    // gets a 16-permutation MinHash sketch OF ITS UNION of doc 3-gram
+    // sets, exploiting that the signature of a union is the elementwise
+    // MIN of member signatures — MIN is associative and
+    // order-independent, so the whole sketch folds as a map-side
+    // partial aggregate with O(1) state per (source, perm), no gram
+    // set ever materialized. Pair similarity is then the fraction of
+    // equal sketch components — the standard unbiased Jaccard
+    // estimate. 100 TB shape: gram rows reduce to (source, 30-bit
+    // value) map-side; ONE hash agg by source (20 rows out); the pair
+    // matrix is a broadcast self-join of a source-count-sized frame.
+    QueryDef.sql("d19_source_similarity",
+      (s, d) => {
+        val gv = Tables.documents(s, d)
+          .select(col("source"),
+            explode(gramVals(grams3(words(col("text"))))).as("v"))
+        val sigAggs = (0 until MinhashK).map(j =>
+          min(pmod(col("v") * minhashA(j) + minhashB(j), lit(MinhashP))).as(s"h$j"))
+        val sig = gv.groupBy(col("source")).agg(sigAggs.head, sigAggs.tail: _*)
+        val nEqual = (0 until MinhashK).map(j =>
+          when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0)).reduce(_ + _)
+        sig.as("a").join(broadcast(sig.as("b")), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            nEqual.as("n_equal"))
+          .withColumn("est_jaccard", col("n_equal").cast("double") / MinhashK)
+          .orderBy(col("src_a"), col("src_b"))
+      }, {
+      val oSig = (0 until MinhashK).map(j =>
+        s"min((v * ${minhashA(j)} + ${minhashB(j)}) % $MinhashP) AS h$j").mkString(", ")
+      val oEq = (0 until MinhashK).map(j =>
+        s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT source, unnest(${oGramVals(oGrams3(oWords("text")))}) AS v
+         |  FROM documents),
+         |sig AS (SELECT source, $oSig FROM g GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST($oEq AS INTEGER) AS n_equal,
+         |  CAST($oEq AS DOUBLE) / $MinhashK AS est_jaccard
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY src_a, src_b""".stripMargin
+      })
   )
 }

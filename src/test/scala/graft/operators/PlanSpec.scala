@@ -451,6 +451,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d19: the union sketch folds as map-side MIN partials; no text on exchanges") {
+    val p = plan("d19_source_similarity")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    // one source-keyed agg (its exchange may be reused for both join sides)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"d19 shuffles beyond the source agg:\n$p")
+    assert(!p.split("\n").filter(_.contains("Exchange"))
+      .exists(_.contains("text#")), s"text crosses the wire:\n$p")
+  }
+
   test("s11: the inverted-list probe is a broadcast equi-join; top-k bounded pre-exchange") {
     val p = plan("s11_ivfpq_search")
     assert(!p.contains("SortMergeJoin"), p)
