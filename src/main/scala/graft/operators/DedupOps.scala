@@ -940,6 +940,52 @@ object DedupOps {
          |  CAST($oEq AS DOUBLE) / $MinhashK AS est_jaccard
          |FROM sig a JOIN sig b ON a.source < b.source
          |ORDER BY src_a, src_b""".stripMargin
-      })
+      }),
+
+    // -- per-cluster dedup QA profile ----------------------------------
+    // The audit frame a dedup run ships next to d07's labels: for every
+    // near-dup cluster, its size, the verified-pair count inside it,
+    // the Jaccard range over those pairs (min/max — exact order
+    // statistics, never an FP mean whose rounding could diverge
+    // cross-engine), and the member length span. A tight jaccard_min
+    // near 1.0 says exact-boilerplate cluster; a wide [0.5, 0.97] span
+    // says chained near-dups (A~B~C where A!~C) — the cluster a human
+    // reviews before trusting d14's survivor choice. 100 TB shape:
+    // everything derives from the already-persisted pair list and
+    // label frame (no new text pass); members join the corpus on
+    // doc_id for lengths; both rollups are cluster-keyed partial aggs.
+    QueryDef.sql("d20_cluster_profile",
+      (s, d) => {
+        val labels = clusterLabels(s, d) // (src, cluster)
+        val lens = corpus(s, d).select(col("doc_id"), length(col("t")).as("n_chars"))
+        val mem = labels.join(lens, col("src") === col("doc_id"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cluster_size"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+        val pa = candidatePairs(s, d)
+          .join(labels, col("a_id") === col("src"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("jaccard")).as("jaccard_min"),
+            max(col("jaccard")).as("jaccard_max"))
+        mem.join(pa, Seq("cluster"))
+          .orderBy(col("cluster"))
+      },
+      s"""WITH $oLabelCtes,
+         |mem AS (
+         |  SELECT l.cluster, COUNT(*) AS cluster_size,
+         |    MIN(length(c.t)) AS min_chars, MAX(length(c.t)) AS max_chars
+         |  FROM labels l JOIN corpus c ON l.src = c.doc_id
+         |  GROUP BY l.cluster),
+         |pa AS (
+         |  SELECT l.cluster, COUNT(*) AS n_pairs,
+         |    MIN(p.jaccard) AS jaccard_min, MAX(p.jaccard) AS jaccard_max
+         |  FROM pairs p JOIN labels l ON p.a_id = l.src
+         |  GROUP BY l.cluster)
+         |SELECT cluster, cluster_size, min_chars, max_chars,
+         |  n_pairs, jaccard_min, jaccard_max
+         |FROM mem JOIN pa USING (cluster)
+         |ORDER BY cluster""".stripMargin)
   )
 }

@@ -359,6 +359,84 @@ object EventsOps {
         |SELECT cohort_week, week - cohort_week AS week_offset,
         |  COUNT(*) AS n_users
         |FROM c GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin),
+
+    // -- latest-record compaction (the CDC / upsert-snapshot staple) ---
+    // Per user, the single most recent event plus the superseded-version
+    // count — the "latest value wins" materialization every mutable-log
+    // ingest runs before training or serving. 100 TB shape: max_by is a
+    // PARTIAL-aggregable agg (O(1) state per key, map-side combine), so
+    // one shuffle of (user_id, current-best) pairs — never a per-user
+    // window over full rows, never a sort. Ordering key is the
+    // fixed-width digit string (epoch_us, event_id) — lexicographic =
+    // numeric on non-negative zero-padded digits — which is also what
+    // makes it cross-engine: DuckDB's arg_max accepts one VARCHAR
+    // ordering value, and event_id uniqueness makes the key total, so
+    // ties cannot exist and both engines pick the identical row.
+    QueryDef.sql("q40_latest_compaction",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("k", concat(lpad(col("us").cast("string"), 20, "0"),
+            lpad(col("event_id").cast("string"), 20, "0")))
+        e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_versions"),
+            max_by(col("event_id"), col("k")).as("event_id"),
+            max_by(col("us"), col("k")).as("us"),
+            max_by(col("event_type"), col("k")).as("event_type"),
+            max_by(col("value"), col("k")).as("value"))
+          .orderBy(col("user_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type, value,
+        |    lpad(CAST(epoch_ns(ts) // 1000 AS VARCHAR), 20, '0') ||
+        |    lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_versions,
+        |  arg_max(event_id, k) AS event_id,
+        |  arg_max(us, k) AS us,
+        |  arg_max(event_type, k) AS event_type,
+        |  arg_max(value, k) AS value
+        |FROM e GROUP BY user_id
+        |ORDER BY user_id""".stripMargin),
+
+    // -- global-share gate (TPC-H Q11 shape: HAVING vs a scalar) -------
+    // Event types whose total value exceeds 1/20 of the corpus-wide
+    // total — the group-vs-global scalar-subquery shape, planned as one
+    // grouped agg plus a 1-row broadcast (never a correlated re-scan).
+    // All arithmetic is integral: value carries ≤6 decimal digits
+    // (exact in DECIMAL(18,6)), so each row becomes exact integer
+    // micro-units and the share gate is a cross-multiplied BIGINT
+    // compare (sum*20 > total) — no division anywhere near the filter.
+    // share_ppm divides through DECIMAL(38,0) (sum*1e6 overflows BIGINT
+    // at scale) with floor semantics in both engines.
+    QueryDef.sql("q41_value_share",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+            (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("iv"))
+        val tot = e.agg(sum(col("iv")).as("total_iv"))
+        e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("iv")).as("sum_iv"))
+          .crossJoin(broadcast(tot))
+          .filter(col("sum_iv") * 20 > col("total_iv"))
+          .select(col("event_type"), col("n"),
+            (col("sum_iv").cast("double") / 1e6).as("total_value"),
+            expr("CAST(CAST(sum_iv AS DECIMAL(38,0)) * 1000000 DIV total_iv AS BIGINT)")
+              .as("share_ppm"))
+          .orderBy(col("event_type"))
+      },
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS iv
+        |  FROM events),
+        |t AS (SELECT SUM(iv) AS total_iv FROM e),
+        |g AS (SELECT event_type, COUNT(*) AS n, SUM(iv) AS sum_iv FROM e GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(sum_iv AS DOUBLE) / 1e6 AS total_value,
+        |  CAST(CAST(sum_iv AS HUGEINT) * 1000000 // total_iv AS BIGINT) AS share_ppm
+        |FROM g, t
+        |WHERE sum_iv * 20 > total_iv
+        |ORDER BY event_type""".stripMargin)
   )
 }

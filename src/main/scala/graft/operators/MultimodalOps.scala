@@ -978,6 +978,57 @@ object MultimodalOps {
          |  CAST(n_copies AS BIGINT) AS n_copies,
          |  doc_id = mn AS canonical
          |FROM g ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // -- image resolution / aspect-ratio gate (the LAION-style filter) -
+    // The first quality pass every image-text corpus runs: drop
+    // thumbnails (min dimension too small) and banner-shaped crops
+    // (aspect ratio beyond 2:1), with a per-image verdict + reason the
+    // curation audit keeps. Dims come from REALLY decoding the payload
+    // (the m07 web-shape corpus: payload = ppmBytes(doc_id % 40)) in
+    // mapPartitions — not from trusted metadata, which at web scale
+    // lies — while the oracle recomputes them analytically from the
+    // generation recipe. Integer-only rules (cross-multiplied aspect
+    // test, no division). 100 TB shape: decode + verdict are entirely
+    // map-side (zero shuffles, PlanSpec-pinned); image bytes never
+    // leave the decode partition; only the tiny verdict frame flows on.
+    QueryDef.sql("m10_image_size_filter",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val dims = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val (w, h, _, _, _, _, _) = decodePpm(ppmBytes(id % 40))
+            Row(id, w, h)
+          }
+        }
+        s.createDataFrame(dims, StructType(Seq(
+            StructField("doc_id", LongType, nullable = false),
+            StructField("width", IntegerType, nullable = false),
+            StructField("height", IntegerType, nullable = false))))
+          .withColumn("n_pixels", col("width") * col("height"))
+          .withColumn("reason",
+            when(least(col("width"), col("height")) < 6, "too_small")
+              .when(greatest(col("width"), col("height")) >
+                least(col("width"), col("height")) * 2, "bad_aspect")
+              .otherwise("ok"))
+          .withColumn("keep", col("reason") === "ok")
+          .orderBy(col("doc_id"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    4 + (doc_id % 40) % 13 AS w, 4 + ((doc_id % 40) * 3) % 11 AS h
+        |  FROM documents WHERE doc_id < 1000),
+        |v AS (
+        |  SELECT doc_id, w, h, w * h AS n_pixels,
+        |    CASE WHEN least(w, h) < 6 THEN 'too_small'
+        |         WHEN greatest(w, h) > least(w, h) * 2 THEN 'bad_aspect'
+        |         ELSE 'ok' END AS reason
+        |  FROM b)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(n_pixels AS INTEGER) AS n_pixels, reason, reason = 'ok' AS keep
+        |FROM v
+        |ORDER BY doc_id""".stripMargin)
   )
 }

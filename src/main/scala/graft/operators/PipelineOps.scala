@@ -489,6 +489,47 @@ object PipelineOps {
          |  CAST(src_tokens * repeat_ppm // 1000000 AS BIGINT) AS alloc_tokens,
          |  CAST(greatest(0, share_tokens - src_tokens * repeat_ppm // 1000000) AS BIGINT)
          |    AS shortfall
-         |FROM r ORDER BY source""".stripMargin)
+         |FROM r ORDER BY source""".stripMargin),
+
+    // -- deterministic global shuffle + shard plan ---------------------
+    // The training-order step after curation: every epoch reader wants
+    // the corpus in a reproducible pseudo-random order, sharded into
+    // fixed file groups. A true global sort by random key is the naive
+    // plan (one total-order exchange of the corpus); the 100 TB form
+    // here never builds a global order: shard = low 4 bits of
+    // md5(doc_id) (uniform, content-addressed, stable across reruns
+    // and engines), pos = rank of md5 WITHIN the shard (one window per
+    // shard partition), and the interleaved global ordinal
+    // global_ord = (pos-1)*16 + shard is pure arithmetic — a reader
+    // streaming shards round-robin reproduces the exact global
+    // permutation without any machine ever seeing a total order. One
+    // shuffle (by shard); only (doc_id, hash) pairs ride it.
+    QueryDef.sql("p09_shuffle_shards",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nShards = 16
+        val h = md5Val(concat(col("doc_id").cast("string"), lit("#shuffle")), 15)
+        val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
+          .withColumn("pos", row_number().over(w))
+          .withColumn("global_ord", (col("pos") - 1) * nShards + col("shard"))
+          .select(col("doc_id"), col("shard"), col("pos"), col("global_ord"))
+          .orderBy(col("global_ord"))
+      },
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${OpUtils.oMd5Val("CAST(doc_id AS VARCHAR) || '#shuffle'", 15)} AS h
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, h, CAST(h % 16 AS INTEGER) AS shard FROM h),
+         |p AS (
+         |  SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+         |  FROM sh)
+         |SELECT doc_id, shard, pos, (pos - 1) * 16 + shard AS global_ord
+         |FROM p
+         |ORDER BY global_ord""".stripMargin)
   )
 }

@@ -820,6 +820,92 @@ object SimilarityOps {
          |  FROM pad)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, adc
          |FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // -- radius (range) search: ALL neighbors with cos >= tau ----------
+    // The other half of the ANN API surface: s02 answers "top-k", this
+    // answers "everything within radius" (the primitive behind d10-style
+    // near-dup mining and retrieval-with-threshold). Contract matches
+    // s02's: candidates are same-LSH-bucket pairs (the (1 − θ/π)^8
+    // recall curve is the dial), then the exact cosine gate — both
+    // engines compute the identical candidate set and folds, so the
+    // result is deterministic even though the LSH tier is approximate.
+    // 100 TB shape: the query side is a bounded broadcast; corpus rows
+    // meet it in a map-side hash join keyed by bucket, so corpus-side
+    // work is one scan and NO row ever shuffles (vs top-k's per-query
+    // window); the neighbor-count rollup shuffles only (q_id, 1) pairs.
+    QueryDef.sql("s12_range_search",
+      (s, d) => {
+        val e = vecs(s, d).withColumn("bucket", bucketCol(col("v")))
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        // the query side is a fixed ≤50-row frame; AQE broadcasts it
+        // (no explicit hint — the bounded-hints guard can't prove a
+        // filter's cardinality, and the planner doesn't need the help)
+        q.join(e.filter(col("vec_id") >= 50), Seq("bucket"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            cosine(col("qv"), col("v")).as("cos"))
+          .filter(col("cos") >= 0.30)
+          .orderBy(col("q_id"), col("n_id"))
+      },
+      s"""WITH e AS (
+         |  SELECT vec_id, v, $oBucketExpr AS bucket FROM ($oVecs)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 50),
+         |c AS (
+         |  SELECT q.q_id, e.vec_id AS n_id, ${oCosine("q.qv", "e.v")} AS cos
+         |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id >= 50)
+         |SELECT q_id, n_id, cos FROM c
+         |WHERE cos >= 0.30
+         |ORDER BY q_id, n_id""".stripMargin),
+
+    // -- cascaded retrieval: low-dim prefix scan, exact re-rank --------
+    // The Matryoshka / dimension-cascade pattern: pass 1 ranks the
+    // corpus by the dot product of the FIRST 16 of 64 dims (4× less
+    // data read — at scale the prefix lives in its own narrow column /
+    // index file), keeps the top-20 candidates per query; pass 2
+    // re-ranks only those 20 by exact full-width cosine and keeps 5.
+    // Both passes are per-query windows over (score DESC, n_id) total
+    // orders; Spark's WindowGroupLimit prunes each map partition to
+    // the per-query limit BEFORE the exchange, and the second window
+    // reuses the first's q_id partitioning (one exchange total,
+    // PlanSpec-pinned). Folds are fixed-order from an explicit zero —
+    // bit-identical to the oracle's list_reduce.
+    QueryDef.sql("s13_cascade_rerank",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w1 = Window.partitionBy(col("q_id")).orderBy(col("pd").desc, col("n_id"))
+        val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        q.join(e.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("n_id"), col("v")))
+          .withColumn("pd", dot(slice(col("qv"), 1, 16), slice(col("v"), 1, 16)))
+          .withColumn("r1", row_number().over(w1))
+          .filter(col("r1") <= 20)
+          .withColumn("cos", cosine(col("qv"), col("v")))
+          .withColumn("rnk", row_number().over(w2))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("rnk"), col("n_id"), col("pd"), col("cos"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      s"""WITH e AS ($oVecs),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |c AS (
+         |  SELECT q.q_id, e.vec_id AS n_id, q.qv, e.v,
+         |    ${oDot("(q.qv)[1:16]", "(e.v)[1:16]")} AS pd
+         |  FROM q CROSS JOIN e WHERE e.vec_id >= 10),
+         |p1 AS (
+         |  SELECT q_id, n_id, qv, v, pd,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY pd DESC, n_id) AS r1
+         |  FROM c),
+         |p2 AS (
+         |  SELECT q_id, n_id, pd, ${oCosine("qv", "v")} AS cos
+         |  FROM p1 WHERE r1 <= 20),
+         |r AS (
+         |  SELECT q_id, n_id, pd, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM p2)
+         |SELECT q_id, rnk, n_id, pd, cos FROM r WHERE rnk <= 5
          |ORDER BY q_id, rnk""".stripMargin)
   )
 }

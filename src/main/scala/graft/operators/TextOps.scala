@@ -740,6 +740,123 @@ object TextOps {
          |  CAST(SUM(c1) AS BIGINT) AS sum_prefix,
          |  CAST(SUM(c2) AS DOUBLE) / SUM(c1) AS lm_score
          |FROM c GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- lexical diversity (type-token ratio, uni- and bigram) ---------
+    // The MassiveText/C4-adjacent diversity gate t12's hard rules don't
+    // cover: per-doc unigram TTR (distinct words / words) and bigram
+    // TTR. Low unigram TTR flags keyword stuffing; a high unigram TTR
+    // with low bigram TTR flags template text (varied words, repeated
+    // phrasing). Entirely map-side — distinct counting happens inside
+    // the row via array_distinct, so there is NO shuffle at any scale
+    // (PlanSpec-pinned); ratios are integer-over-integer divisions of
+    // identical values in both engines, bit-exact.
+    QueryDef.sql("t17_lexical_diversity",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .withColumn("bg", when(size(col("ws")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
+              i => concat_ws(" ", slice(col("ws"), i, lit(2))))))
+        docs.select(col("doc_id"),
+            size(col("ws")).as("n_tokens"),
+            size(array_distinct(col("ws"))).as("n_types"),
+            (size(array_distinct(col("ws"))).cast("double") /
+              size(col("ws"))).as("ttr"),
+            size(array_distinct(col("bg"))).as("n_bigram_types"),
+            when(size(col("bg")) === 0, lit(0.0))
+              .otherwise(size(array_distinct(col("bg"))).cast("double") /
+                size(col("bg"))).as("bigram_ttr"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH g AS (
+         |  SELECT doc_id, ${oWords("text")} AS ws,
+         |    CASE WHEN len(${oWords("text")}) < 2 THEN []
+         |         ELSE list_transform(range(1, len(${oWords("text")})),
+         |                i -> array_to_string((${oWords("text")})[i:i+1], ' ')) END AS bg
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(ws) AS n_tokens,
+         |  len(list_distinct(ws)) AS n_types,
+         |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+         |  len(list_distinct(bg)) AS n_bigram_types,
+         |  CASE WHEN len(bg) = 0 THEN 0.0
+         |       ELSE CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END AS bigram_ttr
+         |FROM g
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- TF-IDF keyword extraction (top-3 terms per doc) ---------------
+    // The topic-tagging / index-building staple composed from t14's df
+    // machinery: score = tf × integer idf bucket, top-3 terms per doc
+    // by (score DESC, wh ASC) — a deterministic total order. 100 TB
+    // shape: tf is computed INSIDE the row (array_distinct + a counted
+    // filter over the token array — no (doc, word) shuffle at all);
+    // the df side is bounded to the top-10,000 words by (df DESC, wh)
+    // and BROADCAST — words outside it take the df=1 default bucket
+    // (absent from the head table ⇒ rare ⇒ max idf; exact here, where
+    // the vocab closes under 10k, and the right-biased approximation
+    // at open-vocab scale). The only row exchange is the per-doc
+    // top-3 window, and Spark's WindowGroupLimit prunes each map
+    // partition to 3 rows per doc BEFORE that exchange.
+    QueryDef.sql("t18_keyword_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .withColumn("wsh", transform(words(col("text")), w => md5Val(w, 15)))
+          .select(col("doc_id"),
+            explode(transform(array_distinct(col("wsh")),
+              w => struct(w.as("wh"),
+                size(filter(col("wsh"), x => x === w)).as("tf")))).as("e"))
+          .select(col("doc_id"), col("e.wh").as("wh"), col("e.tf").as("tf"))
+        val dfw = docs.select(col("doc_id"),
+            explode(array_distinct(transform(words(col("text")),
+              w => md5Val(w, 15)))).as("wh"))
+          .groupBy(col("wh")).agg(count(lit(1)).as("df"))
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        val head = dfw.crossJoin(broadcast(total))
+          .select(col("wh"), length(bin(expr("n_docs DIV df"))).as("idf_bucket"))
+          .orderBy(col("df").desc, col("wh")).limit(10000)
+        val oov = total.select(length(bin(col("n_docs"))).as("oov_bucket"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("wh"))
+        tf.join(broadcast(head), Seq("wh"), "left")
+          .crossJoin(broadcast(oov))
+          .withColumn("idf_bucket", coalesce(col("idf_bucket"), col("oov_bucket")))
+          .withColumn("score", col("tf") * col("idf_bucket"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("wh"), col("tf"),
+            col("idf_bucket"), col("score"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      s"""WITH tf AS (
+         |  SELECT doc_id, e[1] AS wh, e[2] AS tf FROM (
+         |    SELECT doc_id, unnest(list_transform(list_distinct(wsh),
+         |      w -> [w, len(list_filter(wsh, x -> x = w))])) AS e
+         |    FROM (SELECT doc_id, list_transform(${oWords("text")},
+         |            w -> ${oMd5Val("w", 15)}) AS wsh FROM documents))),
+         |dw AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(${oWords("text")},
+         |    w -> ${oMd5Val("w", 15)}))) AS wh
+         |  FROM documents),
+         |f AS (SELECT wh, COUNT(*) AS df FROM dw GROUP BY wh),
+         |t AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |hd AS (
+         |  SELECT wh, CAST(length(bin(n_docs // df)) AS INTEGER) AS idf_bucket
+         |  FROM f, t ORDER BY df DESC, wh LIMIT 10000),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.wh, tf.tf,
+         |    COALESCE(hd.idf_bucket,
+         |      (SELECT CAST(length(bin(n_docs)) AS INTEGER) FROM t)) AS idf_bucket
+         |  FROM tf LEFT JOIN hd USING (wh)),
+         |r AS (
+         |  SELECT doc_id, wh, tf, idf_bucket, tf * idf_bucket AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * idf_bucket DESC, wh) AS rnk
+         |  FROM sc)
+         |SELECT doc_id, rnk, wh, tf, idf_bucket, score
+         |FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin)
   )
 }

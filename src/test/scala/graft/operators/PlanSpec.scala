@@ -497,6 +497,70 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"p08 shuffles more than the source agg:\n$p")
   }
 
+  test("q40: compaction is ONE partial-agg shuffle — no per-user window, no sort of rows") {
+    val p = plan("q40_latest_compaction")
+    assert(!p.contains("Window"), s"q40 fell back to a window plan:\n$p")
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+    // max_by is partial-aggregable: a partial aggregate must sit below
+    // the exchange (map-side combine of the current-best per user)
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby")
+      || p.toLowerCase.contains("partial"), p)
+  }
+
+  test("q41: the global total is a 1-row broadcast — no correlated re-scan, no SMJ") {
+    val p = plan("q41_value_share")
+    assert(!p.contains("SortMergeJoin"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"q41 shuffles beyond the two aggs:\n$p")
+  }
+
+  test("t17: lexical diversity is map-side only — distinct counting never shuffles") {
+    val p = plan("t17_lexical_diversity")
+    assert(!p.contains("Exchange hashpartitioning"), s"t17 shuffles:\n$p")
+    assert(!p.contains("Join"), s"t17 joins:\n$p")
+  }
+
+  test("t18: tf stays inside the row; df head broadcasts; top-3 bounded pre-exchange") {
+    val p = plan("t18_keyword_tfidf")
+    // tf = counted filter over the token array — no (doc, word) agg
+    // before the join, so the only row-bearing exchange is the window's
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("p09: shuffle-shard plan is one shard-keyed exchange of (id, hash) pairs") {
+    val p = plan("p09_shuffle_shards")
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+    assert(!p.contains("Join"), p)
+    // no global total-order pass before the window: the only range
+    // partitioning is the final presentation sort
+    val ranges = p.split("\n").count(_.contains("Exchange rangepartitioning"))
+    assert(ranges <= 1, p)
+  }
+
+  test("s13: both cascade windows share one q_id exchange; limits bound pre-exchange") {
+    val p = plan("s13_cascade_rerank")
+    assert(p.contains("WindowGroupLimit"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, s"s13 re-shuffles between cascade passes:\n$p")
+  }
+
+  test("s12: range search is a bucket-keyed hash join — corpus rows never shuffle") {
+    val p = plan("s12_range_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), s"s12 shuffles rows:\n$p")
+  }
+
+  test("m10: the image gate is decode + projection — zero joins, zero row shuffles") {
+    val p = plan("m10_image_size_filter")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
