@@ -726,6 +726,85 @@ object Relational {
         |SELECT l_returnflag, MIN(med) AS med,
         |  quantile_cont(dev, 0.5) AS mad, COUNT(*) AS n
         |FROM d GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // ---------------------------------------------------------------
+    // TPC-H Q22 shape: win-back prospects — customers with
+    // above-average positive balance and NO order in the current
+    // period (since 2001-01-01; this testdata's every customer has
+    // ordered at some point, so the classic never-ordered predicate is
+    // vacuous). Composes the scalar subquery (global average, a 1-row
+    // broadcast — no correlated re-scan), an anti join on the
+    // date-filtered order slice (the filter pushes to the parquet
+    // scan), and the dim rollup. The average comes from the exact
+    // decimal sum re-exposed as a double, so the > comparison is
+    // bitwise-identical cross-engine.
+    QueryDef.sql("q42_prospect_customers",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val avgPos = c.filter(col("c_acctbal") > 0)
+          .agg((xsum(col("c_acctbal")) / count(lit(1))).as("ab"))
+        c.crossJoin(broadcast(avgPos))
+          .filter(col("c_acctbal") > col("ab"))
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= ts("2001-01-01 00:00:00"))
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_prospects"),
+            xsum(col("c_acctbal")).as("total_bal"))
+          .orderBy(col("n_name"))
+      },
+      s"""WITH a AS (
+         |  SELECT ${oxsum("c_acctbal")} / COUNT(*) AS ab
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT n_name, COUNT(*) AS n_prospects,
+         |  ${oxsum("c_acctbal")} AS total_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |CROSS JOIN a
+         |WHERE c_acctbal > ab
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin),
+
+    // ---------------------------------------------------------------
+    // Approximate quantiles with a driver-checkable error contract —
+    // the q34 (HLL) move applied to the sketch every 100 TB percentile
+    // dashboard actually runs. Engines' sketches are incomparable
+    // (Spark GK vs anything else), so the sketch value itself is never
+    // in the output; instead the EXACT median ships (percentile ==
+    // quantile_cont bitwise, proven by q25/q37) alongside the sketch's
+    // verified contract: the true rank of the approx answer, computed
+    // by a second pass (count of values <= approx, vs the sketch's
+    // promised n/1000 rank error, checked at 10x slack n/100 + 1).
+    // The oracle emits the same booleans literally TRUE — a FALSE from
+    // Spark fails the row hash, so the contract IS the test.
+    QueryDef.sql("q43_approx_quantiles",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("event_type"), col("value"))
+        val g = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            percentile(col("value"), lit(0.5)).as("exact_p50"),
+            percentile_approx(col("value"), lit(0.5), lit(1000)).as("a"))
+        e.join(broadcast(g), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(min(col("n")).as("n"),
+            min(col("exact_p50")).as("exact_p50"),
+            sum(when(col("value") <= col("a"), 1L).otherwise(0L)).as("rk"))
+          .withColumn("rank_ok",
+            abs(col("rk") * 2 - col("n")) <= (col("n") * 2) / 100 + 2)
+          .select(col("event_type"), col("n"), col("exact_p50"), col("rank_ok"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_cont(value, 0.5) AS exact_p50,
+        |  TRUE AS rank_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
   )
 }

@@ -304,6 +304,51 @@ object EventStreams {
         (col("purchase_us") - col("best.view_us")).as("gap_us"))
   }
 
+  final case class LatestState(us: Long, eventId: Long, eventType: String,
+      value: Double, n: Long)
+  final case class LatestOut(user_id: Long, n_versions: Long, event_id: Long,
+      us: Long, event_type: String, value: Double)
+
+  /** Streaming latest-record compaction — the unbounded twin of q40's
+    * CDC / upsert-snapshot materialization: per user, the running
+    * "latest value wins" row plus the superseded-version count,
+    * re-emitted (Update mode) whenever a micro-batch touches the key.
+    * State is O(1) per key — the current-best struct, exactly the
+    * partial-agg state batch max_by keeps — updated by the same
+    * (us, event_id) total order, so the stream's final emission per
+    * key equals the batch q40 row (EventStreamsSpec pins it).
+    *
+    * The state contract differs from the watermarked operators: a
+    * compaction VIEW must remember every key's latest row forever
+    * (evicting a key would resurrect superseded values on its next
+    * update), so state grows with DISTINCT KEYS — not with stream
+    * length or horizon. That is the same envelope the batch snapshot
+    * itself has (one row per key), i.e. the minimum any upsert view
+    * can hold; at scale this state lives in the RocksDB store. */
+  def latestStream(events: Dataset[Event]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestState, LatestOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.orNull
+          it.foreach { e =>
+            st match {
+              case null => st = LatestState(e.us, e.event_id, e.event_type, e.value, 1)
+              case s if e.us > s.us || (e.us == s.us && e.event_id > s.eventId) =>
+                st = LatestState(e.us, e.event_id, e.event_type, e.value, s.n + 1)
+              case s => st = s.copy(n = s.n + 1)
+            }
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(LatestOut(uid, st.n, st.eventId, st.us,
+              st.eventType, st.value))
+          }
+      }
+  }
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

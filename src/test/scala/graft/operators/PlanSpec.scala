@@ -555,6 +555,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"s12 shuffles rows:\n$p")
   }
 
+  test("q42: prospects — scalar broadcast, anti join, date filter pushed to the scan") {
+    val p = plan("q42_prospect_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
+
+  test("q43: the rank audit joins the tiny per-group sketch frame back by broadcast") {
+    val p = plan("q43_approx_quantiles")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("m10: the image gate is decode + projection — zero joins, zero row shuffles") {
     val p = plan("m10_image_size_filter")
     assert(!p.contains("Join"), p)

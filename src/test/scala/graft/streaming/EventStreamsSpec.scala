@@ -256,6 +256,47 @@ class EventStreamsSpec extends AnyFunSuite {
       (4L, None), (5L, Some(2L)), (6L, None)))
   }
 
+  test("streaming latest-record compaction converges to the batch q40 twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.latestStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_out").start()
+
+    // feed in arbitrary (unsorted) order across three chunks — the
+    // (us, event_id) total order in the fold makes arrival order moot
+    val events = EventStreams.eventsOf(spark, sf).collect().toSeq
+    events.grouped(math.max(1, events.size / 3)).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    query.stop()
+
+    // the compaction view = each user's LAST emission (n_versions is
+    // cumulative, so max n_versions identifies it without timestamps)
+    val got = spark.table("latest_out")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_id"), col("us"), col("event_type"),
+        col("value")), col("n_versions")).as("b"),
+        max(col("n_versions")).as("n_versions"))
+      .select(col("user_id"), col("n_versions"), col("b.event_id"),
+        col("b.us"), col("b.event_type"), col("b.value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5)))
+      .toSet
+
+    val want = EventsOps.all.find(_.name == "q40_latest_compaction").get
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("streaming curation verdicts follow p06's precedence and batch replay") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
