@@ -986,6 +986,66 @@ object DedupOps {
          |SELECT cluster, cluster_size, min_chars, max_chars,
          |  n_pairs, jaccard_min, jaccard_max
          |FROM mem JOIN pa USING (cluster)
-         |ORDER BY cluster""".stripMargin)
+         |ORDER BY cluster""".stripMargin),
+
+    // -- per-benchmark contamination report (d11's other direction) ----
+    // d11 scores CORPUS docs by how much eval content they carry; the
+    // number a model card publishes is the converse — for each EVAL
+    // item, what fraction of ITS 8-grams appears anywhere else in the
+    // training corpus (self excluded, since these eval snippets were
+    // cut from corpus docs). 100 TB shape mirrors d11 exactly: the
+    // eval gram table is fixed-size and BROADCAST (now with eval-doc
+    // attribution), the corpus side is the shared exploded 8-gram
+    // store reaching the join shuffle-free; only matched (eval_id,
+    // gram) pairs — ∝ contamination, not corpus volume — survive to
+    // the distinct + rollup. overlap_ppm is integer floor-division.
+    QueryDef.sql("d21_contamination_report",
+      (s, d) => {
+        // per-(eval doc, gram) rows, deduped by the trailing distinct()
+        // — semantically the per-snippet array_distinct, and a
+        // Deduplicate node, which is what certifies the broadcast as
+        // bounded (fixed-size eval set, ≤9 grams each)
+        val evalG = Tables.documents(s, d)
+          .select(col("doc_id").as("e_id"), words(col("text")).as("ws"))
+          .filter(col("e_id") % 25 === 0 && col("e_id") < 5000 &&
+            size(col("ws")) >= 20)
+          .select(col("e_id"),
+            explode(transform(sequence(lit(5), lit(13)),
+              i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8))))))).as("h"))
+          .distinct()
+        val tot = evalG.groupBy(col("e_id")).agg(count(lit(1)).as("n_grams"))
+        val hits = gram8Exploded(s, d).select(col("doc_id"), col("h"))
+          .join(broadcast(evalG), Seq("h"))
+          .filter(col("doc_id") =!= col("e_id"))
+          .select(col("e_id"), col("h")).distinct()
+          .groupBy(col("e_id")).agg(count(lit(1)).as("n_hit"))
+        tot.join(broadcast(hits), Seq("e_id"), "left")
+          .na.fill(0L, Seq("n_hit"))
+          .withColumn("overlap_ppm", expr("n_hit * 1000000 DIV n_grams"))
+          .orderBy(col("e_id"))
+      },
+      s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |ev AS (
+         |  SELECT doc_id AS e_id,
+         |    unnest(list_distinct(list_transform(range(5, 14),
+         |      i -> unhex(md5(array_to_string(ws[i:i+7], ' ')))))) AS h
+         |  FROM w WHERE doc_id % 25 = 0 AND doc_id < 5000 AND len(ws) >= 20),
+         |tot AS (SELECT e_id, COUNT(*) AS n_grams FROM ev GROUP BY e_id),
+         |cg AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(ws) < 8 THEN []
+         |         ELSE list_transform(range(1, len(ws) - 6),
+         |                i -> unhex(md5(array_to_string(ws[i:i+7], ' ')))) END) AS h
+         |  FROM w),
+         |hit AS (
+         |  SELECT ev.e_id, COUNT(DISTINCT ev.h) AS n_hit
+         |  FROM cg JOIN ev USING (h)
+         |  WHERE cg.doc_id != ev.e_id
+         |  GROUP BY ev.e_id)
+         |SELECT t.e_id, t.n_grams,
+         |  COALESCE(h.n_hit, 0) AS n_hit,
+         |  COALESCE(h.n_hit, 0) * 1000000 // t.n_grams AS overlap_ppm
+         |FROM tot t LEFT JOIN hit h USING (e_id)
+         |ORDER BY e_id""".stripMargin)
   )
 }

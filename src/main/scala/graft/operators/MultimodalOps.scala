@@ -1029,6 +1029,104 @@ object MultimodalOps {
         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  CAST(n_pixels AS INTEGER) AS n_pixels, reason, reason = 'ok' AS keep
         |FROM v
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- joint text+image pair gate (the LAION-style paired filter) ----
+    // An image-text corpus keeps a PAIR only when both sides pass: the
+    // text clears the Gopher hard rules (t12/p06's exact battery) AND
+    // the image clears the m10 size/aspect gate. Verdict precedence is
+    // text first (text is the cheaper signal at scale — a text reject
+    // means the image is never decoded in a staged pipeline; here both
+    // compute for the audit). 100 TB shape: the decoded-dims frame is
+    // the bounded side (one row per IMAGE, joined into the doc slice
+    // by a tiny hash join); every text rule is map-side; the verdict
+    // rollup is per-reason counts — no row ever shuffles except the
+    // dims frame itself.
+    QueryDef.sql("m11_pair_gate",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val dims = s.createDataFrame(
+          ids.rdd.mapPartitions { it =>
+            it.map { r =>
+              val id = r.getLong(0)
+              val (w, h, _, _, _, _, _) = decodePpm(ppmBytes(id % 40))
+              Row(id, w, h)
+            }
+          },
+          StructType(Seq(
+            StructField("doc_id", LongType, nullable = false),
+            StructField("width", IntegerType, nullable = false),
+            StructField("height", IntegerType, nullable = false))))
+        val ws = col("ws")
+        Tables.documents(s, d).filter(col("doc_id") < 1000)
+          .withColumn("ws", graft.operators.OpUtils.words(col("text")))
+          .withColumn("n", size(ws))
+          .withColumn("sum_len",
+            aggregate(transform(ws, w => length(w)), lit(0), (a, b) => a + b))
+          .withColumn("stop_hits",
+            size(filter(ws, w => w.isin("the", "a", "of", "and", "to"))))
+          .withColumn("n_sym", size(filter(ws, w => w.rlike("[^a-z0-9]"))))
+          .withColumn("g2", when(size(ws) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(ws) - 1),
+              i => concat_ws(" ", slice(ws, i, lit(2))))))
+          .withColumn("text_fail",
+            col("n") < 50 || col("n") > 100000 ||
+              col("sum_len") < col("n") * 3 || col("sum_len") > col("n") * 10 ||
+              col("stop_hits") < 2 ||
+              col("n_sym") * 10 > col("n") ||
+              (size(col("g2")) > 0 &&
+                (size(col("g2")) - size(array_distinct(col("g2")))) * 10 >
+                  size(col("g2")) * 3))
+          .join(dims, Seq("doc_id"))
+          .withColumn("image_fail",
+            least(col("width"), col("height")) < 6 ||
+              greatest(col("width"), col("height")) >
+                least(col("width"), col("height")) * 2)
+          .withColumn("verdict",
+            when(col("text_fail"), "text_reject")
+              .when(col("image_fail"), "image_reject")
+              .otherwise("kept"))
+          .select(col("doc_id"), col("text_fail"), col("image_fail"), col("verdict"))
+          .orderBy(col("doc_id"))
+      }, {
+      val oWs = graft.operators.OpUtils.oWords("text")
+      s"""WITH t AS (
+         |  SELECT doc_id, $oWs AS ws FROM documents WHERE doc_id < 1000),
+         |tx AS (
+         |  SELECT doc_id, len(ws) AS n,
+         |    list_reduce([0] || list_transform(ws, w -> length(w)),
+         |      (a, b) -> a + b) AS sum_len,
+         |    len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to')))
+         |      AS stop_hits,
+         |    len(list_filter(ws, w -> regexp_matches(w, '[^a-z0-9]'))) AS n_sym,
+         |    CASE WHEN len(ws) < 2 THEN []
+         |         ELSE list_transform(range(1, len(ws)),
+         |                i -> array_to_string(ws[i:i+1], ' ')) END AS g2
+         |  FROM t),
+         |tf AS (
+         |  SELECT doc_id,
+         |    (n < 50 OR n > 100000 OR sum_len < n * 3 OR sum_len > n * 10
+         |     OR stop_hits < 2 OR n_sym * 10 > n
+         |     OR (len(g2) > 0 AND
+         |         (len(g2) - len(list_distinct(g2))) * 10 > len(g2) * 3))
+         |      AS text_fail
+         |  FROM tx),
+         |im AS (
+         |  SELECT doc_id,
+         |    4 + (doc_id % 40) % 13 AS w, 4 + ((doc_id % 40) * 3) % 11 AS h
+         |  FROM documents WHERE doc_id < 1000),
+         |jf AS (
+         |  SELECT tf.doc_id, tf.text_fail,
+         |    (least(im.w, im.h) < 6 OR greatest(im.w, im.h) > least(im.w, im.h) * 2)
+         |      AS image_fail
+         |  FROM tf JOIN im USING (doc_id))
+         |SELECT doc_id, text_fail, image_fail,
+         |  CASE WHEN text_fail THEN 'text_reject'
+         |       WHEN image_fail THEN 'image_reject'
+         |       ELSE 'kept' END AS verdict
+         |FROM jf
+         |ORDER BY doc_id""".stripMargin
+      })
   )
 }

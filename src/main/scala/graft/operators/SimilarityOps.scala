@@ -906,6 +906,65 @@ object SimilarityOps {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
          |  FROM p2)
          |SELECT q_id, rnk, n_id, pd, cos FROM r WHERE rnk <= 5
-         |ORDER BY q_id, rnk""".stripMargin)
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // -- embedding-space health sheet (collapse / drift detection) -----
+    // The QA frame an embedding pipeline reads before trusting any
+    // downstream ANN tier: per label, the population size, the mean
+    // squared norm (a norm drifting to 0 or exploding flags a bad
+    // encoder checkpoint), the centroid's squared norm, and the
+    // NEAREST OTHER CENTROID with its squared distance — two labels
+    // whose centroids nearly coincide mean the space has collapsed for
+    // them (s04/s11's coarse quantizer can't separate what the encoder
+    // didn't). 100 TB shape: per-row norms fold map-side and sum as
+    // quantized decimals (order-independent, O(1) agg state); the
+    // centroid table is the persisted 10-row frame, so the
+    // nearest-neighbor pass is a broadcast self-join over 90 pairs.
+    QueryDef.sql("s14_embedding_health",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = centroids(s, d, e)
+        val stats = e.withColumn("nrm2", dot(col("v"), col("v")))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            (sum(round(col("nrm2") * lit(1e7)).cast("decimal(28,0)"))
+              .cast("double") / lit(1e7) / count(lit(1))).as("mean_norm2"))
+        val sq = (a: Column, b: Column) =>
+          sumFold(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+        val w = Window.partitionBy(col("label")).orderBy(col("d2"), col("other"))
+        val nn = cents.as("a").join(broadcast(cents.as("b")),
+            col("a.label") =!= col("b.label"))
+          .select(col("a.label").as("label"), col("b.label").as("other"),
+            sq(col("a.cv"), col("b.cv")).as("d2"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("label"), col("other").as("nn_label"), col("d2").as("nn_dist2"))
+        stats
+          .join(cents.select(col("label"), dot(col("cv"), col("cv")).as("centroid_norm2")),
+            Seq("label"))
+          .join(nn, Seq("label"))
+          .orderBy(col("label"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents AS ($oCents),
+         |st AS (
+         |  SELECT label, COUNT(*) AS n_vecs,
+         |    CAST(SUM(CAST(round(${oDot("v", "v")} * 1e7) AS DECIMAL(28,0)))
+         |      AS DOUBLE) / 1e7 / COUNT(*) AS mean_norm2
+         |  FROM e GROUP BY label),
+         |cn AS (SELECT label, ${oDot("cv", "cv")} AS centroid_norm2 FROM cents),
+         |pd AS (
+         |  SELECT a.label, b.label AS other,
+         |    ${oSumFold("list_transform(range(1, 65), i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i]))")} AS d2
+         |  FROM cents a JOIN cents b ON a.label != b.label),
+         |nn AS (
+         |  SELECT label, other AS nn_label, d2 AS nn_dist2 FROM (
+         |    SELECT label, other, d2,
+         |      row_number() OVER (PARTITION BY label ORDER BY d2, other) AS rn
+         |    FROM pd) WHERE rn = 1)
+         |SELECT st.label, st.n_vecs, st.mean_norm2, cn.centroid_norm2,
+         |  nn.nn_label, nn.nn_dist2
+         |FROM st JOIN cn USING (label) JOIN nn USING (label)
+         |ORDER BY st.label""".stripMargin)
   )
 }

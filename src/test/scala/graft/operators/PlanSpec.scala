@@ -575,6 +575,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("d21: eval grams broadcast with attribution — corpus still unshuffled to the join") {
+    val p = plan("d21_contamination_report")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exchanges carry only hit pairs / rollup keys, never document text
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!shuffled.exists(_.contains("text#")), p)
+  }
+
+  test("m11: the pair gate joins the bounded dims frame — no SMJ, no cartesian") {
+    val p = plan("m11_pair_gate")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s14: health sheet — no per-group lists; centroid NN is a broadcast self-join") {
+    val p = plan("s14_embedding_health")
+    assert(!p.contains("collect_list"), p)
+    assert(!p.toLowerCase.contains("generate explode"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
