@@ -1046,6 +1046,69 @@ object DedupOps {
          |  COALESCE(h.n_hit, 0) AS n_hit,
          |  COALESCE(h.n_hit, 0) * 1000000 // t.n_grams AS overlap_ppm
          |FROM tot t LEFT JOIN hit h USING (e_id)
-         |ORDER BY e_id""".stripMargin)
+         |ORDER BY e_id""".stripMargin),
+
+    // -- LSH band-tuning sheet (the S-curve, evaluated on real pairs) --
+    // Picking (bands b × rows r) is THE MinHash design decision; the
+    // capture probability of a pair with Jaccard j is 1 − (1 − j^r)^b.
+    // This sheet evaluates that S-curve at the three splits of 16
+    // hashes (4×4 — the shipped config — 8×2, 2×8) on the VERIFIED
+    // near-dup pairs, so the tuning call is made on this corpus's real
+    // similarity distribution rather than a textbook curve. All powers
+    // are integer exponents expanded as explicit multiplication chains
+    // (square-and-multiply in fixed order) — the same IEEE op sequence
+    // in both engines, never a pow() call whose libm could differ.
+    // 100 TB shape: a map-side projection over the (small) verified
+    // pair list the d03 machinery already materialized.
+    QueryDef.sql("d22_lsh_tuning",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        def sq(c: Column): Column = c * c
+        // capture probability for r rows/band, b bands (r, b ∈ {2,4,8})
+        def curve(j: Column, r: Int, b: Int): Column = {
+          val jr = r match {
+            case 2 => sq(j)
+            case 4 => sq(sq(j))
+            case 8 => sq(sq(sq(j)))
+          }
+          val m = lit(1.0) - jr
+          val mb = b match {
+            case 2 => sq(m)
+            case 4 => sq(sq(m))
+            case 8 => sq(sq(sq(m)))
+          }
+          lit(1.0) - mb
+        }
+        candidatePairs(s, d)
+          .select(col("a_id"), col("b_id"), col("jaccard"),
+            curve(col("jaccard"), 4, 4).as("p_4bands_4rows"),
+            curve(col("jaccard"), 2, 8).as("p_8bands_2rows"),
+            curve(col("jaccard"), 8, 2).as("p_2bands_8rows"))
+          .orderBy(col("a_id"), col("b_id"))
+      }, {
+      def oSq(e: String) = s"(($e) * ($e))"
+      def oCurve(r: Int, b: Int): String = {
+        val jr = r match {
+          case 2 => oSq("j")
+          case 4 => oSq(oSq("j"))
+          case 8 => oSq(oSq(oSq("j")))
+        }
+        val m = s"(1.0 - $jr)"
+        val mb = b match {
+          case 2 => oSq(m)
+          case 4 => oSq(oSq(m))
+          case 8 => oSq(oSq(oSq(m)))
+        }
+        s"(1.0 - $mb)"
+      }
+      s"""WITH $oPairCtes,
+         |j AS (SELECT a_id, b_id, jaccard, jaccard AS j FROM pairs)
+         |SELECT a_id, b_id, jaccard,
+         |  ${oCurve(4, 4)} AS p_4bands_4rows,
+         |  ${oCurve(2, 8)} AS p_8bands_2rows,
+         |  ${oCurve(8, 2)} AS p_2bands_8rows
+         |FROM j
+         |ORDER BY a_id, b_id""".stripMargin
+      })
   )
 }

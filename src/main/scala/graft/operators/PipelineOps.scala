@@ -530,6 +530,55 @@ object PipelineOps {
          |  FROM sh)
          |SELECT doc_id, shard, pos, (pos - 1) * 16 + shard AS global_ord
          |FROM p
-         |ORDER BY global_ord""".stripMargin)
+         |ORDER BY global_ord""".stripMargin),
+
+    // -- dataset card (the one-row summary a release ships) ------------
+    // The headline numbers a dataset card publishes, computed exactly
+    // in one pass: corpus size (docs / tokens / chars), source and
+    // language breadth, the exact-duplicate rate, and the
+    // short-document fraction. Rates are integer ppm (floor division);
+    // mean tokens/doc is the one double, a ratio of exact integers.
+    // 100 TB note: the three COUNT(DISTINCT)s expand the scan 3× —
+    // the exactness cost, bounded by fixed-width expand rows (16-byte
+    // hash is the widest); the approximate tier for the same numbers
+    // is q34's HLL contract. Token counts reuse the whitespace
+    // tokenizer every text operator shares.
+    QueryDef.sql("p10_dataset_card",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("source"), col("lang"), col("n_chars"),
+            size(words(col("text"))).as("n"),
+            md5(trim(col("text"))).as("h"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n")).cast("long").as("total_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            countDistinct(col("h")).as("n_distinct"),
+            sum(when(col("n") < 50, 1L).otherwise(0L)).as("n_under50"))
+          .select(col("n_docs"), col("n_sources"), col("n_langs"),
+            col("total_tokens"), col("total_chars"),
+            expr("(n_docs - n_distinct) * 1000000 DIV n_docs").as("exact_dup_ppm"),
+            expr("n_under50 * 1000000 DIV n_docs").as("under50_ppm"),
+            (col("total_tokens").cast("double") / col("n_docs")).as("mean_doc_tokens"))
+      },
+      s"""WITH b AS (
+         |  SELECT source, lang, n_chars,
+         |    len(${oWords("text")}) AS n, md5(trim(text)) AS h
+         |  FROM documents),
+         |a AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT source) AS n_sources,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |    COUNT(DISTINCT h) AS n_distinct,
+         |    CAST(SUM(CASE WHEN n < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_under50
+         |  FROM b)
+         |SELECT n_docs, n_sources, n_langs, total_tokens, total_chars,
+         |  (n_docs - n_distinct) * 1000000 // n_docs AS exact_dup_ppm,
+         |  n_under50 * 1000000 // n_docs AS under50_ppm,
+         |  CAST(total_tokens AS DOUBLE) / n_docs AS mean_doc_tokens
+         |FROM a""".stripMargin)
   )
 }

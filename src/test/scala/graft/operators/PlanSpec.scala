@@ -597,6 +597,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d22: the tuning sheet is a projection over the verified pair list — no pow()") {
+    val p = plan("d22_lsh_tuning")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toUpperCase.contains("POWER("), p)
+    assert(!p.contains("POW("), p)
+  }
+
+  test("p10: the dataset card is one pass — aggregations only, no joins") {
+    val p = plan("p10_dataset_card")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Expand"), p) // the exact multi-distinct expand
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
