@@ -437,6 +437,44 @@ object EventsOps {
         |  CAST(CAST(sum_iv AS HUGEINT) * 1000000 // total_iv AS BIGINT) AS share_ppm
         |FROM g, t
         |WHERE sum_iv * 20 > total_iv
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin),
+
+    // -- unpivot / melt (the inverse of q20's pivot) -------------------
+    // Wide-to-long reshaping: q20's per-user metric columns melt back
+    // into (user_id, metric, n) rows — the normalization step feeding
+    // any generic metrics store or plotting layer. Spark's native
+    // unpivot (melt) is an Expand node: each input row fans out to one
+    // row per metric entirely map-side — no shuffle beyond what the
+    // wide aggregate already did, no join. DuckDB mirrors with
+    // UNPIVOT; zero-count metrics are kept (include_nulls = true
+    // semantics would differ — counts are never NULL here, so both
+    // engines emit exactly 3 rows per user).
+    QueryDef.sql("q44_unpivot_metrics",
+      (s, d) => {
+        val wide = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"))
+        wide.unpivot(
+            Array(col("user_id")),
+            Array(col("n_click"), col("n_view"), col("n_purchase")),
+            "metric", "n")
+          .orderBy(col("user_id"), col("metric"))
+      },
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_click,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_view,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, metric, n
+        |FROM wide
+        |UNPIVOT (n FOR metric IN (n_click, n_view, n_purchase))
+        |ORDER BY user_id, metric""".stripMargin)
   )
 }

@@ -604,6 +604,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("POW("), p)
   }
 
+  test("q44: unpivot is a map-side Expand — no shuffle beyond the wide aggregate") {
+    val p = plan("q44_unpivot_metrics")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+  }
+
   test("p10: the dataset card is one pass — aggregations only, no joins") {
     val p = plan("p10_dataset_card")
     assert(!p.contains("Join"), p)
