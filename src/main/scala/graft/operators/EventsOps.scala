@@ -475,6 +475,44 @@ object EventsOps {
         |SELECT user_id, metric, n
         |FROM wide
         |UNPIVOT (n FOR metric IN (n_click, n_view, n_purchase))
-        |ORDER BY user_id, metric""".stripMargin)
+        |ORDER BY user_id, metric""".stripMargin),
+
+    // -- exponential-decay trending scores -----------------------------
+    // The "what's hot NOW" rollup every activity dashboard runs: each
+    // event contributes weight 2^-age, age in hours before the
+    // corpus's latest event. Exact cross-engine BECAUSE the half-life
+    // is a power of two: the weight is the INTEGER 1 << (30 - age)
+    // (age capped at 30), summed as BIGINT (exact, order-independent;
+    // max sum ~n·2^30 ≈ 2^53 at sf1 — inside BIGINT), and the final
+    // score divides by 2^30 — an exact binary scaling, so the double
+    // is bit-identical however the sum was ordered. No FP exp()/pow()
+    // anywhere. One 1-row broadcast (the reference time) + one agg.
+    QueryDef.sql("q45_trending_decay",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val ref = e.agg(max(col("us")).as("ref_us"))
+        e.crossJoin(broadcast(ref))
+          .withColumn("age_h",
+            least(expr("(ref_us - us) DIV 3600000000"), lit(30L)))
+          .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age_h AS INT))"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("w")).cast("double") / lit(1073741824.0)).as("decayed_score"))
+          .orderBy(col("event_type"))
+      },
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |r AS (SELECT MAX(us) AS ref_us FROM e),
+        |w AS (
+        |  SELECT event_type,
+        |    (CAST(1 AS BIGINT) << CAST(30 - least((ref_us - us) // 3600000000, 30)
+        |      AS INTEGER)) AS w
+        |  FROM e, r)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(w) AS DOUBLE) / 1073741824.0 AS decayed_score
+        |FROM w
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
   )
 }

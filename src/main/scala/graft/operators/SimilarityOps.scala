@@ -965,6 +965,44 @@ object SimilarityOps {
          |SELECT st.label, st.n_vecs, st.mean_norm2, cn.centroid_norm2,
          |  nn.nn_label, nn.nn_dist2
          |FROM st JOIN cn USING (label) JOIN nn USING (label)
-         |ORDER BY st.label""".stripMargin)
+         |ORDER BY st.label""".stripMargin),
+
+    // -- metadata-filtered ANN (the vector-DB "filtered search") -------
+    // Every production vector store exposes "top-k WHERE attribute = X"
+    // — and the naive plan (search, then filter) under-fills k when
+    // the filter is selective. The scale-correct plan searches INSIDE
+    // the filtered partition: corpus vectors are label-partitioned
+    // (the attribute IS the inverted-list key here), each query
+    // equi-joins exactly its own label's list, so work ∝ the filtered
+    // subset — never the corpus — and k always fills when the subset
+    // allows. Exact cosine rank inside the cell (the cell is 1/|labels|
+    // of the corpus; compose with s02's buckets when cells outgrow
+    // memory); WindowGroupLimit bounds the per-query top-k
+    // pre-exchange as in s11.
+    QueryDef.sql("s15_filtered_knn",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("label"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        q.join(e.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("n_id"), col("v"), col("label")), Seq("label"))
+          .withColumn("cos", cosine(col("qv"), col("v")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("q_id"), col("rnk"), col("label"), col("n_id"), col("cos"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      s"""WITH e AS ($oVecs),
+         |q AS (SELECT vec_id AS q_id, v AS qv, label FROM e WHERE vec_id < 10),
+         |c AS (
+         |  SELECT q.q_id, q.label, e.vec_id AS n_id, ${oCosine("q.qv", "e.v")} AS cos
+         |  FROM q JOIN e ON q.label = e.label AND e.vec_id >= 10),
+         |r AS (
+         |  SELECT q_id, label, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM c)
+         |SELECT q_id, rnk, label, n_id, cos FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin)
   )
 }

@@ -612,6 +612,20 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles === 1, p)
   }
 
+  test("q45: decay weights are integer shifts — one agg shuffle, 1-row time broadcast") {
+    val p = plan("q45_trending_decay")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.toUpperCase.contains("POWER(") && !p.contains("EXP("), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, p)
+  }
+
+  test("s15: filtered search equi-joins the label list; top-k bounded pre-exchange") {
+    val p = plan("s15_filtered_knn")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("p10: the dataset card is one pass — aggregations only, no joins") {
     val p = plan("p10_dataset_card")
     assert(!p.contains("Join"), p)
