@@ -299,4 +299,84 @@ class PipelineCompositionSpec extends AnyFunSuite {
       assert(score == sumBg.toDouble / sumPrefix, s"doc $id: score is not the ratio")
     }
   }
+
+  test("d20 profile agrees with d07: sizes match, pairs stay inside their cluster") {
+    val profile = SparkEntry.queries("d20_cluster_profile")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    val d07Sizes = SparkEntry.queries("d07_neardup_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.head._2).toMap
+    assert(profile.nonEmpty)
+    profile.foreach { case (cluster, size, nPairs, jMin, jMax) =>
+      assert(d07Sizes(cluster) == size, s"cluster $cluster: size drift vs d07")
+      // a connected cluster of k members has between k-1 and k(k-1)/2
+      // verified pairs
+      assert(nPairs >= size - 1 && nPairs <= size * (size - 1) / 2,
+        s"cluster $cluster: $nPairs pairs for $size members")
+      assert(jMin >= 0.5 && jMin <= jMax && jMax <= 1.0,
+        s"cluster $cluster: jaccard range [$jMin, $jMax]")
+    }
+    // every d07 cluster of size >= 2 appears in the profile
+    val profiled = profile.map(_._1).toSet
+    d07Sizes.filter(_._2 >= 2).keys.foreach(c =>
+      assert(profiled.contains(c), s"cluster $c missing from the profile"))
+  }
+
+  test("d21 eval-side report is consistent with d11's corpus-side contamination") {
+    val report = SparkEntry.queries("d21_contamination_report")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(report.nonEmpty)
+    report.foreach { case (eId, nGrams, nHit, ppm) =>
+      assert(eId % 25 == 0 && eId < 5000)
+      assert(nGrams >= 1 && nGrams <= 9, s"eval $eId: $nGrams grams")
+      assert(nHit >= 0 && nHit <= nGrams, s"eval $eId: hits exceed grams")
+      assert(ppm == nHit * 1000000 / nGrams, s"eval $eId: ppm drift")
+    }
+    // the eval snippets were CUT from corpus docs, and d11 flags those
+    // corpus docs; if d11 found any contaminated corpus doc, some eval
+    // item must show overlap too (the same gram matched both ways)
+    val d11Hits = SparkEntry.queries("d11_decontaminate")(spark, sfDir).count()
+    if (d11Hits > 0) assert(report.exists(_._3 > 0),
+      "d11 found contaminated corpus docs but no eval item shows overlap")
+  }
+
+  test("m11 pair gate decomposes into m10's image verdict exactly") {
+    val m10 = SparkEntry.queries("m10_image_size_filter")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(5))).toMap
+    val m11 = SparkEntry.queries("m11_pair_gate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getString(3)))
+    assert(m11.nonEmpty && m11.length == m10.size)
+    m11.foreach { case (id, textFail, imageFail, verdict) =>
+      assert(imageFail == !m10(id), s"doc $id: image verdict drifts from m10")
+      val expect = if (textFail) "text_reject"
+        else if (imageFail) "image_reject" else "kept"
+      assert(verdict == expect, s"doc $id: precedence broken")
+    }
+    // all three verdicts are exercised on this corpus
+    assert(m11.map(_._4).toSet == Set("text_reject", "image_reject", "kept"))
+  }
+
+  test("q45 decay scores: bounds and exact reconstruction from raw events") {
+    val rows = SparkEntry.queries("q45_trending_decay")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ref = ev.map(_._2).max
+    val want = ev.groupBy(_._1).view.mapValues { es =>
+      es.map { case (_, us) =>
+        val k = math.min((ref - us) / 3600000000L, 30L).toInt
+        1L << (30 - k)
+      }.sum.toDouble / (1L << 30)
+    }.toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, n, score) =>
+      // each event contributes (0, 1]: score bounded by event count
+      assert(score > 0.0 && score <= n, s"$tpe: score $score out of bounds")
+      assert(score == want(tpe), s"$tpe: decay drifts from the by-hand fold")
+    }
+  }
 }
