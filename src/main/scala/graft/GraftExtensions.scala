@@ -35,7 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("int8_dot"),
       info("int8_dot", "int8_dot(a, b) - integer dot product of two ARRAY<BIGINT>"),
       (exprs: Seq[Expression]) => functions.Int8Dot(exprs(0), exprs(1))))
-    // custom-operator tier (c): the AS-OF join planner strategy
+    // custom-operator tier (c): the AS-OF and INTERVAL join strategies
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => plans.IntervalJoinStrategy)
   }
 }

@@ -58,6 +58,7 @@ object SparkEntry {
       // (measured 40× work on 10× data at sf1), so it stays in the
       // oracle gate but NOT in the timed set.
       "q39_retention_cohorts", "q40_latest_compaction", "q43_approx_quantiles",
+      "q46_interval_native",
       "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "d16_semantic_dedup", "d17_line_dedup", "d21_contamination_report",

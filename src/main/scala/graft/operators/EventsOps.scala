@@ -323,6 +323,60 @@ object EventsOps {
         |GROUP BY w.win_id
         |ORDER BY w.win_id""".stripMargin),
 
+    // -- interval join through the NATIVE operator (q38's twin) --------
+    // The q21/q31 pairing applied to the range join: q38 composes the
+    // bin-bucketed equi-join declaratively; q46 computes the IDENTICAL
+    // result through graft.plans.IntervalJoin — a custom LogicalPlan +
+    // Strategy + broadcast-sweep SparkPlan (events never shuffle; the
+    // window table rides one IdentityBroadcastMode exchange; each task
+    // probes a sorted interval array by binary search + a bounded
+    // backward sweep). Both hash against the SAME oracle, proving the
+    // native operator agrees with the declarative twin and with DuckDB.
+    QueryDef.sql("q46_interval_native",
+      (s, d) => {
+        val binUs = 300000000L
+        val padUs = 60000000L
+        val e = Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+        val wins = e.filter(col("event_type") === "error")
+          .withColumn("bin", expr("us div 300000000"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_err"))
+          .filter(col("n_err") >= 3)
+          .select(col("bin").as("win_id"), col("n_err"),
+            (col("bin") * binUs - padUs).as("lo"),
+            (col("bin") * binUs + binUs + padUs).as("hi"))
+        graft.plans.IntervalJoin.intervalJoin(
+            e.select(col("us"), col("user_id"), col("event_type")),
+            wins, "us", "lo", "hi")
+          .groupBy(col("w_win_id").as("win_id"))
+          .agg(max(col("w_n_err")).as("n_err"),
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+          .select(col("win_id"), col("n_err"), col("n_events"),
+            col("n_users"), col("n_purchases"))
+          .orderBy(col("win_id"))
+      },
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS us, user_id, event_type FROM events),
+        |wins AS (
+        |  SELECT us // 300000000 AS win_id, COUNT(*) AS n_err
+        |  FROM e WHERE event_type = 'error'
+        |  GROUP BY 1 HAVING COUNT(*) >= 3),
+        |w AS (
+        |  SELECT win_id, n_err,
+        |    win_id * 300000000 - 60000000 AS lo,
+        |    win_id * 300000000 + 360000000 AS hi
+        |  FROM wins)
+        |SELECT w.win_id, CAST(MAX(w.n_err) AS BIGINT) AS n_err,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT e.user_id) AS n_users,
+        |  CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases
+        |FROM w JOIN e ON e.us >= w.lo AND e.us < w.hi
+        |GROUP BY w.win_id
+        |ORDER BY w.win_id""".stripMargin),
+
     // -- retention cohorts (the product-analytics staple) --------------
     // Users grouped by their first-seen week; each cell counts how many
     // of a cohort's users were still active N weeks later. 100 TB
