@@ -349,6 +349,25 @@ object EventStreams {
       }
   }
 
+  /** Streaming windowed unique users — the live "unique visitors"
+    * dashboard tile: per 5-minute tumbling window, the approximate
+    * distinct user count via the HLL++ sketch (exact distinct inside a
+    * streaming agg would hold every user id per open window in state;
+    * the sketch holds a fixed-size register array — the only
+    * state-bounded semantics for high-cardinality distinct on an
+    * infinite stream). 10-min watermark finalizes windows. The spec
+    * applies the q34 move: replay vs the batch EXACT distinct and
+    * assert the documented HLL++ relative-error envelope. */
+  def windowedUniques(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"),
+        col("approx_users"), col("n_events"))
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

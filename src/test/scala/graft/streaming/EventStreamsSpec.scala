@@ -256,6 +256,42 @@ class EventStreamsSpec extends AnyFunSuite {
       (4L, None), (5L, Some(2L)), (6L, None)))
   }
 
+  test("streaming windowed uniques: HLL counts inside the batch-exact envelope") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.windowedUniques(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("uniq_out").start()
+    val events = EventStreams.eventsOf(spark, sf).collect().toSeq
+    val (a, b) = events.splitAt(events.size / 2)
+    input.addData(a); query.processAllAvailable()
+    input.addData(b); query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("uniq_out")
+      .select(unix_micros(col("win_start")).as("w"), col("approx_users"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+
+    val exact = graft.Tables.events(spark, sf)
+      .withColumn("w", expr("unix_micros(ts) div 300000000 * 300000000"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (w, (approxU, n)) =>
+      val (exactU, exactN) = exact(w)
+      assert(n === exactN, s"window $w: event count drift")
+      // the q34 envelope: HLL++ at rsd=0.05 — allow 4 sigma + small-n slack
+      val tol = math.max(3.0, exactU * 0.20)
+      assert(math.abs(approxU - exactU) <= tol,
+        s"window $w: approx $approxU vs exact $exactU")
+    }
+  }
+
   test("streaming latest-record compaction converges to the batch q40 twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
