@@ -34,6 +34,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert("PushedFilters: \\[IsNotNull\\(event_type\\)".r.findAllIn(p).size === 2)
   }
 
+  test("property: random worlds — merge equals a by-hand lexicographic fold") {
+    import spark.implicits._
+    (0 until 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729 + 7)
+      val syms = Seq("A", "B", "C", "D")
+      // coarse time grid forces exact-tie cases; ids unique per side
+      val trades = (0 until 120).map(i =>
+        (i.toLong, syms(rnd.nextInt(syms.length)), rnd.nextInt(30) * 10L))
+      val quotes = (0 until 150).map(i =>
+        (1000L + i, syms(rnd.nextInt(syms.length)), rnd.nextInt(30) * 10L))
+
+      val got = AsOfJoin.asofJoin(
+          trades.toDF("id", "sym", "t"), quotes.toDF("id", "sym", "t"),
+          Seq("sym"), Seq("t", "id"), Seq("t", "id"))
+        .select("id", "r_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+
+      // independent reference: plain Scala fold over the collections
+      val bySym = quotes.groupBy(_._2)
+      trades.foreach { case (id, sym, t) =>
+        val want = bySym.getOrElse(sym, Seq.empty)
+          .filter(q => q._3 < t || (q._3 == t && q._1 <= id))
+          .sortBy(q => (q._3, q._1)).lastOption.map(_._1).getOrElse(-1L)
+        assert(got(id) == want, s"seed $seed trade $id: ${got(id)} != $want")
+      }
+    }
+  }
+
   test("native operator agrees with the q21 window composition") {
     val native = SparkEntry.queries("q31_asof_native")(spark, sf).collect().toSeq
     val twin = SparkEntry.queries("q21_asof_join")(spark, sf).collect().toSeq

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{GraftSession, SparkEntry}
@@ -54,6 +55,40 @@ class IntervalJoinSpec extends AnyFunSuite {
     val joinIdx = lines.indexWhere(_.contains("IntervalJoin"))
     val eventsScanIdx = lines.lastIndexWhere(_.contains("Scan parquet"))
     assert(joinIdx >= 0 && eventsScanIdx > joinIdx)
+  }
+
+  test("property: random interval sets — sweep equals the naive theta join") {
+    import spark.implicits._
+    // 8 seeded random worlds: clustered lo values (forced collisions),
+    // lengths including 0 (empty) and long overlapping spans, points
+    // drawn to land on lo/hi boundaries as well as between intervals
+    (0 until 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919 + 13)
+      val wins = (0 until 40).map { i =>
+        val lo = rnd.nextInt(200) * 5L // coarse grid -> duplicate los
+        val len = rnd.nextInt(4) match {
+          case 0 => 0L                  // empty interval, matches nothing
+          case 1 => 1L + rnd.nextInt(5) // narrow
+          case _ => 20L + rnd.nextInt(300) // long, overlaps neighbors
+        }
+        (i.toLong, lo, lo + len)
+      }.toDF("win_id", "lo", "hi")
+      val pts = (0 until 300).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(200) * 5L        // exactly on some lo
+          case 1 => rnd.nextInt(200) * 5L - 1    // just below a lo
+          case _ => rnd.nextInt(1200).toLong - 50 // anywhere incl. outside
+        }
+      }.toDF("us")
+
+      val got = IntervalJoin.intervalJoin(pts, wins, "us", "lo", "hi")
+        .groupBy(col("us"), col("w_win_id")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = pts.join(wins, pts("us") >= wins("lo") && pts("us") < wins("hi"))
+        .groupBy(col("us"), col("win_id")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"seed $seed: sweep diverges from the naive join")
+    }
   }
 
   test("native operator agrees with the q38 bin-trick composition row-for-row") {
