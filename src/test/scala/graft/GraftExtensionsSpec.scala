@@ -47,6 +47,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
           Seq(attr(rplan, "r_t"), attr(rplan, "r_id"))))
       assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"))
       assert(joined.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 9L)))
+
+      // and the interval-join strategy (extensions only, no install call)
+      val pts = Seq(15L, 99L).toDF("us")
+      val wins = Seq((1L, 10L, 20L)).toDF("win_id", "lo", "hi")
+      val ptsPlan = pts.queryExecution.analyzed
+      val winsPlan = wins.toDF("w_win_id", "w_lo", "w_hi").queryExecution.analyzed
+      val tagged = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        plans.IntervalJoinPlan(ptsPlan, winsPlan,
+          attr(ptsPlan, "us"), attr(winsPlan, "w_lo"), attr(winsPlan, "w_hi")))
+      assert(tagged.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+      assert(tagged.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((15L, 1L)))
     } finally spark.stop()
   }
 }
