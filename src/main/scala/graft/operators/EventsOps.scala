@@ -567,6 +567,51 @@ object EventsOps {
         |  CAST(SUM(w) AS DOUBLE) / 1073741824.0 AS decayed_score
         |FROM w
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin),
+
+    // -- sessionization, NATIVE operator path --------------------------
+    // The q21/q31 pairing applied to q19: the same 30-min-gap sessions
+    // through Spark's native session_window operator (SessionWindowing
+    // + MergingSessionsExec — ONE shuffle on the session key, sessions
+    // merged inside the aggregate, no window-function buffer) instead
+    // of the lag+running-sum window composition. Boundary contract:
+    // session_window starts a NEW session when the inter-event gap is
+    // >= the gap duration (an event at exactly prev+gap does not
+    // overlap [prev, prev+gap)), whereas q19's lag composition keeps
+    // equality in-session (> gap starts new) — the oracle mirrors the
+    // native >= semantics, so the two queries are distinct contracts
+    // that agree on every non-boundary gap. 100 TB: identical shuffle
+    // shape to q19 (events hash by user_id once); the merging agg is
+    // O(sessions) state instead of O(events) window buffer per user.
+    QueryDef.sql("q47_session_native",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            (unix_micros(col("session_window.end")) - gapUs).as("last_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN us - lag(us) OVER w >= $gapUs THEN 1
+         |         WHEN lag(us) OVER w IS NULL THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |g AS (
+         |  SELECT user_id, us,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+         |  FROM f)
+         |SELECT user_id, MIN(us) AS start_us, MAX(us) AS last_us,
+         |  COUNT(*) AS n_events
+         |FROM g
+         |GROUP BY user_id, sess_idx
+         |ORDER BY user_id, start_us""".stripMargin)
   )
 }

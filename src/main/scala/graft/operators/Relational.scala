@@ -805,6 +805,103 @@ object Relational {
         |  TRUE AS rank_ok
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin),
+
+    // -- exact value-based deciles WITHOUT a per-group global sort -----
+    // Per-priority price deciles computed the 100 TB way: the orders
+    // table contributes ONE map-side-partial groupBy to a bounded
+    // (priority, price_cents) histogram; cumulative counts and decile
+    // assignment are windows over the HISTOGRAM (distinct prices, not
+    // rows), so no executor ever sorts a full priority partition. A
+    // row's decile is value-based — least(9, cum_le*10 div n) — so
+    // price ties share a decile deterministically (ntile would split
+    // ties by physical order, which is neither deterministic nor
+    // computable from a histogram). q43 is the one-pass sketch tier for
+    // the same question; this is the exact tier that still scales.
+    QueryDef.sql("q48_price_deciles",
+      (s, d) => {
+        val hist = Tables.orders(s, d)
+          .withColumn("cents", (mon(col("o_totalprice")) * 100).cast("long"))
+          .groupBy(col("o_orderpriority"), col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("o_orderpriority"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        hist
+          .withColumn("cum_le", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .withColumn("decile", least(lit(9L), expr("cum_le * 10 div n")))
+          .groupBy(col("o_orderpriority"), col("decile"))
+          .agg(sum(col("cnt")).as("n_orders"),
+            (min(col("cents")).cast("double") / 100).as("min_price"),
+            (max(col("cents")).cast("double") / 100).as("max_price"),
+            (sum(col("cents") * col("cnt")).cast("double") / 100).as("revenue"))
+          .orderBy(col("o_orderpriority"), col("decile"))
+      },
+      """WITH hist AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT o_orderpriority, cents, cnt,
+        |    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le,
+        |    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM hist)
+        |SELECT o_orderpriority,
+        |  CAST(least(9, cum_le * 10 // n) AS BIGINT) AS decile,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_orders,
+        |  CAST(MIN(cents) AS DOUBLE) / 100 AS min_price,
+        |  CAST(MAX(cents) AS DOUBLE) / 100 AS max_price,
+        |  CAST(SUM(cents * cnt) AS DOUBLE) / 100 AS revenue
+        |FROM cum
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+
+    // -- inter-order gap analytics (lead/lag battery) ------------------
+    // Per-customer purchase cadence: consecutive-order day gaps via lag
+    // over (date, key) — ONE shuffle on o_custkey, O(1) window state
+    // per row, integer day arithmetic end-to-end (avg exposed as a
+    // centi-day integer ratio, no FP). Customers with < 3 orders are
+    // filtered AFTER the agg (the predicate needs the count), but the
+    // shuffle carries only (custkey, date, key) — fixed-width rows.
+    QueryDef.sql("q49_order_gaps",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+          .withColumn("gap_d",
+            datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("gap_d")).as("span_days"),
+            max(col("gap_d")).as("max_gap_days"),
+            min(col("gap_d")).as("min_gap_days"))
+          .filter(col("n_orders") >= 3)
+          .withColumn("avg_gap_centidays",
+            expr("span_days * 100 div (n_orders - 1)"))
+          .orderBy(col("o_custkey"))
+      },
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    date_diff('day',
+        |      lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      CAST(o_orderdate AS DATE)) AS gap_d
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(gap_d) AS BIGINT) AS span_days,
+        |    CAST(MAX(gap_d) AS INTEGER) AS max_gap_days,
+        |    CAST(MIN(gap_d) AS INTEGER) AS min_gap_days
+        |  FROM g GROUP BY o_custkey HAVING COUNT(*) >= 3)
+        |SELECT o_custkey, n_orders, span_days, max_gap_days, min_gap_days,
+        |  span_days * 100 // (n_orders - 1) AS avg_gap_centidays
+        |FROM a
+        |ORDER BY o_custkey""".stripMargin)
   )
 }
