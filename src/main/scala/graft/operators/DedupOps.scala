@@ -1109,6 +1109,73 @@ object DedupOps {
          |  ${oCurve(8, 2)} AS p_2bands_8rows
          |FROM j
          |ORDER BY a_id, b_id""".stripMargin
-      })
+      }),
+
+    // -- boilerplate-prefix dedup --------------------------------------
+    // The mirrored-crawl shape d01 misses: pages that share an identical
+    // leading span (template boilerplate, syndicated ledes, mirrored
+    // articles with differing tails) but are not byte-identical. Key =
+    // md5 of the first 32 words; keep-first per group. Same 100 TB plan
+    // as d01: the prefix reduces to a 16-byte binary hash MAP-SIDE, so
+    // the one shuffle carries (doc_id, 16-byte key) fixed-width rows —
+    // text never rides an exchange. On this corpus the perturbed twins
+    // (original minus last word) collide with their originals whenever
+    // the doc has > 32 words, so the group structure is non-trivial.
+    QueryDef.sql("d23_prefix_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("ph"))
+        corpus(s, d)
+          .select(col("doc_id"),
+            unhex(md5(concat_ws(" ", slice(words(col("t")), 1, 32)))).as("ph"))
+          .withColumn("group_n", count(lit(1)).over(w))
+          .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+          .select(col("doc_id"), col("group_n"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $oCorpus,
+         |p AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string((${oWords("t")})[1:32], ' ')) AS ph
+         |  FROM corpus)
+         |SELECT doc_id,
+         |  COUNT(*) OVER (PARTITION BY ph) AS group_n,
+         |  doc_id = MIN(doc_id) OVER (PARTITION BY ph) AS keep
+         |FROM p
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- soft dedup: per-doc training weight instead of drop ------------
+    // The data-constrained alternative to d14's hard materialization
+    // (repeat-tolerant regimes keep near-dup copies but downweight them
+    // so a cluster contributes ~one doc of gradient mass): weight_ppm =
+    // 1e6 div |cluster| from the d07 connected-component labels;
+    // singletons keep full weight. Doc rows meet the bounded label
+    // frame in an id-equi-join (the bucketed-store join shape at scale)
+    // — integer weights, no FP. Auditable against d14: a cluster's
+    // weights sum back to ~1e6 where d14 keeps exactly one member.
+    QueryDef.sql("d24_soft_dedup_weights",
+      (s, d) => {
+        val labels = clusterLabels(s, d)
+        val csize = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cn"))
+        val lw = labels.join(csize, Seq("cluster"))
+          .select(col("src").as("doc_id"), col("cluster"), col("cn"))
+        corpus(s, d).select(col("doc_id"))
+          .join(lw, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            coalesce(col("cn"), lit(1L)).as("cluster_n"),
+            expr("1000000 div coalesce(cn, 1)").as("weight_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH $oLabelCtes,
+         |csize AS (SELECT cluster, COUNT(*) AS cn FROM labels GROUP BY cluster),
+         |lw AS (
+         |  SELECT src AS doc_id, labels.cluster AS cluster, cn
+         |  FROM labels JOIN csize ON labels.cluster = csize.cluster)
+         |SELECT c.doc_id,
+         |  coalesce(lw.cluster, c.doc_id) AS cluster,
+         |  CAST(coalesce(lw.cn, 1) AS BIGINT) AS cluster_n,
+         |  CAST(1000000 // coalesce(lw.cn, 1) AS BIGINT) AS weight_ppm
+         |FROM corpus c LEFT JOIN lw ON lw.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin)
   )
 }
