@@ -215,7 +215,7 @@ object DedupOps {
     gram8Cache.remove(k).foreach(_.unpersist(true))
   }
 
-  private def gram8Agg(s: SparkSession, d: String): DataFrame =
+  private[operators] def gram8Agg(s: SparkSession, d: String): DataFrame =
     gram8AggCache.getOrElseUpdate((System.identityHashCode(s), d), {
       // Register the cache with AQE off: an ADAPTIVE cached plan
       // advertises UnknownPartitioning to consumers, which would

@@ -1003,6 +1003,54 @@ object SimilarityOps {
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
          |  FROM c)
          |SELECT q_id, rnk, label, n_id, cos FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin)
+         |ORDER BY q_id, rnk""".stripMargin),
+
+    // -- binary (sign-bit) embedding search ----------------------------
+    // The cheapest ANN tier of all: each vector reduces MAP-SIDE to a
+    // 60-bit sign mask in ONE BIGINT (dims 1..60; 61..64 dropped to
+    // keep the mask in positive-BIGINT range in both engines — at
+    // production dims the mask is an array of words), 64 doubles →
+    // 8 bytes, 64× less data than s01's scan and integer-only compare:
+    // rank = bit_count(xor(q, n)). s09's PQ needs a codebook; the sign
+    // mask needs nothing — it's the tier-0 shortlist in front of an
+    // exact re-rank. Top-10 per query by (hamming, n_id) — integers,
+    // bit-stable under any partitioning; WindowGroupLimit bounds each
+    // query's group before the (q_id, n_id, ham) fixed-width exchange.
+    QueryDef.sql("s16_binary_hamming",
+      (s, d) => {
+        val maskE = "aggregate(sequence(1, 60), CAST(0 AS BIGINT), " +
+          "(acc, i) -> acc + IF(element_at(v, i) > 0.0D, " +
+          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
+        val m = vecs(s, d).select(col("vec_id"), expr(maskE).as("mask"))
+        val q = m.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("mask").as("qm"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("hamming"), col("n_id"))
+        m.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("n_id"), col("mask"))
+          .join(broadcast(q))
+          .withColumn("hamming", expr("bit_count(qm ^ mask)"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("q_id"), col("rnk"), col("n_id"), col("hamming"))
+          .orderBy(col("q_id"), col("rnk"))
+      }, {
+      val oMask = "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, 61), " +
+        "i -> CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) " +
+        "ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)"
+      s"""WITH e AS ($oVecs),
+         |m AS (SELECT vec_id, $oMask AS mask FROM e),
+         |q AS (SELECT vec_id AS q_id, mask AS qm FROM m WHERE vec_id < 10),
+         |c AS (
+         |  SELECT q.q_id, m.vec_id AS n_id,
+         |    CAST(bit_count(xor(q.qm, m.mask)) AS INTEGER) AS hamming
+         |  FROM q CROSS JOIN m WHERE m.vec_id >= 10),
+         |r AS (
+         |  SELECT q_id, n_id, hamming,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rnk
+         |  FROM c)
+         |SELECT q_id, rnk, n_id, hamming FROM r WHERE rnk <= 10
+         |ORDER BY q_id, rnk""".stripMargin
+      })
   )
 }

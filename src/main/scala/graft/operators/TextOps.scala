@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import OpUtils._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -857,6 +858,73 @@ object TextOps {
          |  FROM sc)
          |SELECT doc_id, rnk, wh, tf, idf_bucket, score
          |FROM r WHERE rnk <= 3
-         |ORDER BY doc_id, rnk""".stripMargin)
+         |ORDER BY doc_id, rnk""".stripMargin),
+
+    // -- per-doc gram novelty (memorization / contribution proxy) ------
+    // What fraction of a doc's 8-gram mass does the doc INTRODUCE to
+    // the corpus (doc_id order = ingestion order)? Low novelty = the
+    // doc restates text already present — the per-doc complement of
+    // d08's duplication profile, and the signal a dedup-aware sampler
+    // weights by. Reads the SHARED 8-gram store: the min-doc window
+    // runs inside the store's HashPartitioning(h) with zero further
+    // exchanges (the d08 plan shape), then one doc_id rollup; only
+    // 16-byte hashes and longs ever shuffle. Integer ppm — bit-exact.
+    QueryDef.sql("t19_gram_novelty",
+      (s, d) => {
+        val w = Window.partitionBy(col("h"))
+        DedupOps.gram8Agg(s, d)
+          .withColumn("min_doc", min(col("doc_id")).over(w))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_grams"),
+            sum(when(col("doc_id") === col("min_doc"), col("c"))
+              .otherwise(lit(0L))).as("novel_grams"))
+          .withColumn("novelty_ppm", expr("novel_grams * 1000000 div n_grams"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(ws) < 8 THEN []
+         |         ELSE list_transform(range(1, len(ws) - 6),
+         |                i -> unhex(md5(array_to_string(ws[i:i+7], ' ')))) END) AS h
+         |  FROM w),
+         |gh AS (SELECT doc_id, h, COUNT(*) AS c FROM g GROUP BY doc_id, h),
+         |nv AS (
+         |  SELECT doc_id, c, MIN(doc_id) OVER (PARTITION BY h) AS min_doc
+         |  FROM gh),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN doc_id = min_doc THEN c ELSE 0 END) AS BIGINT)
+         |      AS novel_grams
+         |  FROM nv GROUP BY doc_id)
+         |SELECT doc_id, n_grams, novel_grams,
+         |  novel_grams * 1000000 // n_grams AS novelty_ppm
+         |FROM agg
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- word-length spectrum per language ------------------------------
+    // Tokenizer-design input (vocab sizing / byte-fallback budget): per
+    // (lang, word length), occurrence count and distinct-word count.
+    // Explode is map-side; the only shuffle is the two-phase distinct
+    // agg whose partial rows are bounded by |vocab| x |langs| per
+    // partition, not corpus volume. Output is the bounded spectrum.
+    QueryDef.sql("t20_word_length_profile",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("lang"), explode(words(col("text"))).as("wd"))
+          .select(col("lang"), length(col("wd")).as("len"), col("wd"))
+          .groupBy(col("lang"), col("len"))
+          .agg(count(lit(1)).as("n_words"),
+            countDistinct(col("wd")).as("n_distinct"))
+          .orderBy(col("lang"), col("len"))
+      },
+      s"""WITH t AS (
+         |  SELECT lang, unnest(${oWords("text")}) AS wd FROM documents)
+         |SELECT lang, CAST(length(wd) AS INTEGER) AS len,
+         |  COUNT(*) AS n_words,
+         |  CAST(COUNT(DISTINCT wd) AS BIGINT) AS n_distinct
+         |FROM t
+         |GROUP BY lang, len
+         |ORDER BY lang, len""".stripMargin)
   )
 }
