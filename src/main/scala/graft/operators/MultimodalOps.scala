@@ -255,6 +255,12 @@ object MultimodalOps {
     StructField("mean_amp", DoubleType, nullable = false),
     StructField("rms", DoubleType, nullable = false)))
 
+  val audioGateSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("n_clip", IntegerType, nullable = false),
+    StructField("n_quiet", IntegerType, nullable = false)))
+
   /** Deterministic RIFF/WAV payload for a doc id — REAL audio bytes:
     * 16-bit mono PCM at 8 kHz, 64..254 samples, sample k =
     * ((id·131 + k·17) mod 65536) − 32768. Every third doc carries an
@@ -1127,6 +1133,70 @@ object MultimodalOps {
          |       ELSE 'kept' END AS verdict
          |FROM jf
          |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // -- audio clipping / silence quality gate -------------------------
+    // The audio-corpus first pass (m10's move for sound): drop clips
+    // whose REALLY-decoded PCM is clipped (|sample| >= 30000 on > 10%
+    // of frames — a hard-limited recording) or near-silent (|sample| <
+    // 2000 on > 10% — dead air). Same corpus as m08 (payload =
+    // toneWavBytes(doc_id % 97): one clip rides many docs); decode
+    // happens per-partition via the same RIFF chunk walk, rules are
+    // integer cross-multiplied comparisons, verdict precedence
+    // clipped-first. Zero joins, zero row shuffles — audio bytes never
+    // leave the decode partition; the oracle recomputes the chirp
+    // samples analytically.
+    QueryDef.sql("m12_audio_gate",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 500)
+        val gate = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val samples = decodeWavSamples(toneWavBytes(id % 97))
+            var nClip = 0; var nQuiet = 0
+            var k = 0
+            while (k < samples.length) {
+              val a = math.abs(samples(k).toInt)
+              if (a >= 30000) nClip += 1
+              if (a < 2000) nQuiet += 1
+              k += 1
+            }
+            Row(id, samples.length, nClip, nQuiet)
+          }
+        }
+        s.createDataFrame(gate, audioGateSchema)
+          .withColumn("clip_ppm",
+            expr("CAST(n_clip AS BIGINT) * 1000000 div n_samples"))
+          .withColumn("quiet_ppm",
+            expr("CAST(n_quiet AS BIGINT) * 1000000 div n_samples"))
+          .withColumn("verdict",
+            when(col("n_clip") * 10 > col("n_samples"), "clipped")
+              .when(col("n_quiet") * 10 > col("n_samples"), "silent")
+              .otherwise("ok"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 97 AS aid, 64 + (doc_id % 97) % 191 AS n
+        |  FROM documents WHERE doc_id < 500),
+        |v AS (
+        |  SELECT doc_id, n, list_transform(range(0, n),
+        |    k -> (k * k * (17 + aid) + k * 29 + aid * 131) % 65536 - 32768) AS vs
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    len(list_filter(vs, x -> abs(x) >= 30000)) AS n_clip,
+        |    len(list_filter(vs, x -> abs(x) < 2000)) AS n_quiet
+        |  FROM v)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_samples,
+        |  CAST(n_clip AS INTEGER) AS n_clip,
+        |  CAST(n_quiet AS INTEGER) AS n_quiet,
+        |  CAST(n_clip AS BIGINT) * 1000000 // n AS clip_ppm,
+        |  CAST(n_quiet AS BIGINT) * 1000000 // n AS quiet_ppm,
+        |  CASE WHEN n_clip * 10 > n THEN 'clipped'
+        |       WHEN n_quiet * 10 > n THEN 'silent'
+        |       ELSE 'ok' END AS verdict
+        |FROM c
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -579,6 +579,64 @@ object PipelineOps {
          |  (n_docs - n_distinct) * 1000000 // n_docs AS exact_dup_ppm,
          |  n_under50 * 1000000 // n_docs AS under50_ppm,
          |  CAST(total_tokens AS DOUBLE) / n_docs AS mean_doc_tokens
-         |FROM a""".stripMargin)
+         |FROM a""".stripMargin),
+
+    // -- quality-curriculum training order -----------------------------
+    // The "clean data first" schedule: docs fall into three fixed-
+    // threshold quality phases (0 = cleanest — in-band length AND
+    // stopword evidence; 1 = mid; 2 = tail), computed MAP-SIDE from
+    // integer signals (no quantile pass — fixed thresholds are what a
+    // production curriculum pins anyway, so reruns and new shards are
+    // stable). Within a phase the order is p09's shard trick: pos =
+    // md5-rank inside (phase, shard), phase_ord = (pos-1)*16 + shard —
+    // a round-robin reader per phase reproduces the exact permutation
+    // with no global sort. ONE shuffle carrying (doc_id, h) longs.
+    QueryDef.sql("p11_quality_curriculum",
+      (s, d) => {
+        val nShards = 16
+        val h = md5Val(concat(col("doc_id").cast("string"), lit("#currm")), 15)
+        val w = Window.partitionBy(col("phase"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .withColumn("n", size(col("ws")))
+          .withColumn("stop_hits",
+            size(filter(col("ws"), x => x.isin("the", "a", "of", "and", "to"))))
+          .withColumn("phase",
+            when(col("n").between(20, 100000) && col("stop_hits") >= 4, 0)
+              .when(col("stop_hits") >= 2, 1)
+              .otherwise(2))
+          .select(col("doc_id"), col("phase"), h.as("h"))
+          .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
+          .withColumn("pos", row_number().over(w))
+          .withColumn("phase_ord", (col("pos") - 1) * nShards + col("shard"))
+          .select(col("doc_id"), col("phase"), col("shard"), col("pos"),
+            col("phase_ord"))
+          .orderBy(col("phase"), col("phase_ord"))
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${oWords("text")} AS ws,
+         |    ${OpUtils.oMd5Val("CAST(doc_id AS VARCHAR) || '#currm'", 15)} AS h
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, h, len(ws) AS n,
+         |    len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+         |      AS stop_hits
+         |  FROM w),
+         |ph AS (
+         |  SELECT doc_id, h,
+         |    CASE WHEN n BETWEEN 20 AND 100000 AND stop_hits >= 4 THEN 0
+         |         WHEN stop_hits >= 2 THEN 1
+         |         ELSE 2 END AS phase,
+         |    CAST(h % 16 AS INTEGER) AS shard
+         |  FROM m),
+         |p AS (
+         |  SELECT doc_id, phase, shard,
+         |    row_number() OVER (PARTITION BY phase, shard ORDER BY h, doc_id)
+         |      AS pos
+         |  FROM ph)
+         |SELECT doc_id, phase, shard, pos, (pos - 1) * 16 + shard AS phase_ord
+         |FROM p
+         |ORDER BY phase, phase_ord""".stripMargin)
   )
 }
