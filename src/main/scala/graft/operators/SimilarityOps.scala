@@ -1028,7 +1028,7 @@ object SimilarityOps {
           .orderBy(col("hamming"), col("n_id"))
         m.filter(col("vec_id") >= 10)
           .select(col("vec_id").as("n_id"), col("mask"))
-          .join(broadcast(q))
+          .join(q)
           .withColumn("hamming", expr("bit_count(qm ^ mask)"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 10)

@@ -368,6 +368,25 @@ object EventStreams {
       .select(col("window.start").as("win_start"),
         col("approx_users"), col("n_events"))
 
+  /** Streaming NATIVE session windows — the unbounded twin of q47
+    * (exactly as sessionize() is the unbounded twin of q19, but through
+    * Spark's first-class session_window operator instead of a custom
+    * flatMapGroupsWithState fold). State is one merging session range
+    * per open (user, session) — the minimum any gap-sessionizer can
+    * hold — and the watermark both finalizes sessions (append mode
+    * emits a session once no event can extend it) and evicts state.
+    * Same >=-gap boundary contract as q47's oracle. */
+  def sessionWindowStream(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"${gapUs / 1000000} seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("last_us"),
+        col("n_events"))
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

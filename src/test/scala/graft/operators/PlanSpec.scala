@@ -632,6 +632,78 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), p) // the exact multi-distinct expand
   }
 
+  test("q47: native session windows — one user shuffle into the merging agg") {
+    val p = plan("q47_session_native")
+    assert(p.contains("MergingSessions"), p)
+    assert(!p.contains("Join"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, s"expected only the user_id exchange:\n$p")
+  }
+
+  test("q48: deciles come from the histogram — orders contribute one partial agg") {
+    val p = plan("q48_price_deciles")
+    assert(!p.contains("Join"), p)
+    // hist groupBy + the priority re-key for the windows; the final
+    // (priority, decile) rollup rides the priority partitioning
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, p)
+    assert(p.contains("partial_count"), p) // map-side combine at the scan
+  }
+
+  test("q49: one custkey exchange feeds the gap window AND the rollup") {
+    val p = plan("q49_order_gaps")
+    assert(!p.contains("Join"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+  }
+
+  test("d23: prefix dedup shuffles 16-byte keys once — no join, text map-side") {
+    val p = plan("d23_prefix_dedup")
+    assert(!p.contains("Join"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+  }
+
+  test("d24: soft weights — label joins are hash/broadcast, never cartesian") {
+    val p = plan("d24_soft_dedup_weights")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s16: masks fold map-side; the 10-query set broadcasts; top-k bounded") {
+    val p = plan("s16_binary_hamming")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, s"expected only the q_id window exchange:\n$p")
+  }
+
+  test("t19: novelty window reuses the gram store's h-partitioning") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("t19_gram_novelty")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryRelation"), p) // the SHARED 8-gram store
+      val query = p.split("InMemoryRelation")(0)
+      val shuffles = query.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles === 1, s"expected only the doc_id rollup exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("t20: length spectrum is a two-phase distinct agg — no join") {
+    val p = plan("t20_word_length_profile")
+    assert(!p.contains("Join"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, p)
+  }
+
+  test("p11: curriculum phases map-side; one (phase, shard) exchange") {
+    val p = plan("p11_quality_curriculum")
+    assert(!p.contains("Join"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {

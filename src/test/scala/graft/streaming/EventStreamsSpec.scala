@@ -379,4 +379,44 @@ class EventStreamsSpec extends AnyFunSuite {
     // every doc gets exactly one verdict — nothing is silently dropped
     assert(got.size === docs.size)
   }
+
+  test("streaming native session windows match the batch q47 twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.sessionWindowStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesswin_out").start()
+
+    // event-time order so nothing falls behind the watermark; then two
+    // far-future sentinels (user -1) so the advancing watermark
+    // finalizes every real session in append mode
+    val events = EventStreams.eventsOf(spark, sf).collect()
+      .sortBy(e => (e.us, e.event_id)).toSeq
+    val maxUs = events.map(_.us).max
+    events.grouped(math.max(1, events.size / 3)).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    input.addData(EventStreams.Event(-1L, maxUs + 86400000000L, -1L, "x", 0.0))
+    query.processAllAvailable()
+    input.addData(EventStreams.Event(-2L, maxUs + 2 * 86400000000L, -1L, "x", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("sesswin_out")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_us"), col("last_us"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val want = EventsOps.all.find(_.name == "q47_session_native").get
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
 }
