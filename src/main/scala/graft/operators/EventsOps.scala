@@ -575,14 +575,13 @@ object EventsOps {
     // + MergingSessionsExec — ONE shuffle on the session key, sessions
     // merged inside the aggregate, no window-function buffer) instead
     // of the lag+running-sum window composition. Boundary contract:
-    // session_window starts a NEW session when the inter-event gap is
-    // >= the gap duration (an event at exactly prev+gap does not
-    // overlap [prev, prev+gap)), whereas q19's lag composition keeps
-    // equality in-session (> gap starts new) — the oracle mirrors the
-    // native >= semantics, so the two queries are distinct contracts
-    // that agree on every non-boundary gap. 100 TB: identical shuffle
-    // shape to q19 (events hash by user_id once); the merging agg is
-    // O(sessions) state instead of O(events) window buffer per user.
+    // session_window treats its window as CLOSED at the end — an event
+    // at exactly prev+gap still merges (verified by construction in
+    // SessionContractSpec), which is precisely q19's `> gap starts new`
+    // rule — so the two operators implement the SAME contract and must
+    // agree row-for-row. 100 TB: identical shuffle shape to q19 (events
+    // hash by user_id once); the merging agg is O(open sessions) state
+    // instead of O(events) window buffer per user.
     QueryDef.sql("q47_session_native",
       (s, d) => {
         Tables.events(s, d)
@@ -598,7 +597,7 @@ object EventsOps {
          |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
          |f AS (
          |  SELECT user_id, event_id, us,
-         |    CASE WHEN us - lag(us) OVER w >= $gapUs THEN 1
+         |    CASE WHEN us - lag(us) OVER w > $gapUs THEN 1
          |         WHEN lag(us) OVER w IS NULL THEN 1
          |         ELSE 0 END AS new_sess
          |  FROM e

@@ -375,7 +375,8 @@ object EventStreams {
     * per open (user, session) — the minimum any gap-sessionizer can
     * hold — and the watermark both finalizes sessions (append mode
     * emits a session once no event can extend it) and evicts state.
-    * Same >=-gap boundary contract as q47's oracle. */
+    * Same boundary contract as q19/q47: an event at exactly prev+gap
+    * still merges (SessionContractSpec pins this by construction). */
   def sessionWindowStream(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame =
     events
       .withColumn("ts", timestamp_micros(col("us")))

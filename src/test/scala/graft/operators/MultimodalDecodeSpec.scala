@@ -67,6 +67,29 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("m12 clip/quiet counts match the chirp recipe and discriminate clips") {
+    var nClipped = 0; var nOk = 0
+    (0L until 97L).foreach { aid =>
+      val samples = MultimodalOps.decodeWavSamples(MultimodalOps.toneWavBytes(aid))
+      val n = samples.length
+      // decoded-path counts (what m12's mapPartitions computes)
+      val decClip = samples.count(s => math.abs(s.toInt) >= 30000)
+      val decQuiet = samples.count(s => math.abs(s.toInt) < 2000)
+      // analytic recipe (what the oracle computes)
+      var anClip = 0; var anQuiet = 0
+      (0 until n).foreach { k =>
+        val v = (k.toLong * k * (17 + aid) + k * 29L + aid * 131) % 65536 - 32768
+        if (math.abs(v) >= 30000) anClip += 1
+        if (math.abs(v) < 2000) anQuiet += 1
+      }
+      assert(decClip == anClip && decQuiet == anQuiet, s"aid $aid count drift")
+      if (decClip * 10 > n) nClipped += 1
+      else if (decQuiet * 10 <= n) nOk += 1
+    }
+    // the gate is not vacuous: both verdict classes occur across clips
+    assert(nClipped > 0 && nOk > 0, s"clipped=$nClipped ok=$nOk")
+  }
+
   test("energy fingerprints discriminate between clips (m08 is not vacuous)") {
     // the wavBytes sawtooth would collapse every fingerprint to 0 (its
     // energies decrease monotonically); the chirp must not

@@ -16,6 +16,45 @@ class PipelineCompositionSpec extends AnyFunSuite {
     GraftSession.builder("pipeline-composition", "4").getOrCreate()
   val sfDir = "/root/testdata/sf0.001"
 
+  test("d24 weights: every cluster's soft mass sums back to ~1e6") {
+    // the soft-dedup invariant that makes it d14's alternative: a
+    // near-dup cluster contributes ONE document of training mass no
+    // matter how many copies it holds (up to integer-div truncation,
+    // < cluster_n ppm), and singletons carry exactly full weight
+    val rows = SparkEntry.queries("d24_soft_dedup_weights")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.filter(_._3 == 1L).foreach { case (id, cl, _, w) =>
+      assert(w == 1000000L, s"singleton $id (cluster $cl) weight $w")
+    }
+    val byCluster = rows.filter(_._3 > 1L).groupBy(_._2)
+    assert(byCluster.nonEmpty, "no non-trivial clusters — vacuous corpus")
+    byCluster.foreach { case (cl, ms) =>
+      val n = ms.head._3
+      assert(ms.length == n, s"cluster $cl: ${ms.length} rows vs cluster_n $n")
+      val mass = ms.map(_._4).sum
+      assert(mass <= 1000000L && mass > 1000000L - n,
+        s"cluster $cl mass $mass outside (1e6 - $n, 1e6]")
+    }
+  }
+
+  test("t19 novelty: the first doc introduces everything; repeats score less") {
+    // doc_id order = ingestion order, so the FIRST doc can only carry
+    // novel grams; the ratio must be internally consistent; and the
+    // metric must discriminate on this corpus (d08 proves cross-doc
+    // duplicated grams exist, so some later doc restates mass)
+    val rows = SparkEntry.queries("t19_gram_novelty")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val firstDoc = rows.minBy(_._1)
+    assert(firstDoc._4 == 1000000L, s"first doc novelty ${firstDoc._4}")
+    rows.foreach { case (id, nGrams, novel, ppm) =>
+      assert(novel >= 0 && novel <= nGrams, s"doc $id: $novel of $nGrams")
+      assert(ppm == novel * 1000000L / nGrams, s"doc $id ppm drift")
+    }
+    assert(rows.exists(_._4 < 1000000L), "no doc restates any gram — vacuous")
+  }
+
   test("d14 keeps exactly one doc per d07 cluster and every singleton") {
     val clusters = SparkEntry.queries("d07_neardup_clusters")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
