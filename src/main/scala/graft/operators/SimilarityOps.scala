@@ -89,6 +89,54 @@ object SimilarityOps {
       |                THEN v[j] ELSE -v[j] END), (a, b) -> a + b) > 0
       |         THEN (1 << p) ELSE 0 END), (a, b) -> a + b)""".stripMargin
 
+  /** s17's multi-table sign tensor: [table][plane][dim] over the 65-dim
+    * MIPS-augmented space. 16 tables × 5 planes — the recall lever
+    * single-table sign-LSH lacks (s08 MEASURES that tier at ~0.01
+    * recall@10 on this corpus; the union of 16 independent 32-bucket
+    * partitions reads 0.85 recall@3 at a 41% candidate fraction here).
+    * Seed recipe md5("{t}t{p}_{j}") keeps tables independent of each
+    * other and of the s02 planes. */
+  private val MipsTables = 16
+  private val MipsBits = 5
+  private val mipsSigns: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    (0 until MipsTables).map { t =>
+      (0 until MipsBits).map { p =>
+        (1 to 65).map { j =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val h = md.digest(s"${t}t${p}_$j".getBytes("UTF-8"))
+          if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+        }
+      }
+    }
+
+  /** Table-t bucket of the 65-dim augmented vector — the s02 unrolled
+    * left-associated fold per plane, so buckets are bitwise equal to
+    * the oracle's list_reduce. */
+  private def mipsBucketCol(t: Int, va: Column): Column =
+    (0 until MipsBits).map { p =>
+      val proj = mipsSigns(t)(p).zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (sgn, j0)) =>
+          val x = element_at(va, j0 + 1)
+          acc + (if (sgn > 0) x else -x)
+      }
+      when(proj > lit(0.0), lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** All 16 (table, bucket) pairs for an augmented vector, as one
+    * explodable array column. */
+  private def mipsTableBuckets(va: Column): Column =
+    array((0 until MipsTables).map(t =>
+      struct(lit(t).as("t"), mipsBucketCol(t, va).as("bucket"))): _*)
+
+  /** DuckDB mirror: bucket of `va` for table column `t`. */
+  private val oMipsBucketExpr =
+    s"""list_reduce([0] || list_transform(range(0, $MipsBits), p ->
+       |    CASE WHEN list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, 66),
+       |           j -> CASE WHEN instr('0123456789abcdef',
+       |                  (md5(t || 't' || p || '_' || j))[1:1]) - 1 >= 8
+       |                THEN va[j] ELSE -va[j] END), (a, b) -> a + b) > 0
+       |         THEN (1 << p) ELSE 0 END), (a, b) -> a + b)""".stripMargin
+
   /** d10's corpus-derived blocking granularity: cells = 2^k for the
     * largest k in 0..8 with n > 40·2^(k-1) — the integer-threshold form
     * of 2^ceil(log2(n / (10 labels × 4 docs/block))) clamped to
@@ -1051,6 +1099,116 @@ object SimilarityOps {
          |  FROM c)
          |SELECT q_id, rnk, n_id, hamming FROM r WHERE rnk <= 10
          |ORDER BY q_id, rnk""".stripMargin
-      })
+      }),
+
+    // -- MIPS (max inner product) through a multi-table LSH tier -------
+    // Recommendation/retrieval scores are raw dot products, which no
+    // cosine index answers directly. Two composed moves:
+    //  1. the norm-augmentation reduction (Bachrach et al. /
+    //     Shrivastava-Li): append sqrt(M² − ‖x‖²) to every corpus
+    //     vector (M = max corpus norm) and 0 to the query — every
+    //     augmented corpus vector then has norm exactly M, so
+    //     augmented-cosine order IS dot-product order and any
+    //     cosine-ANN structure serves MIPS unchanged;
+    //  2. the multi-table recall lever: s08 MEASURES the single-table
+    //     8-bit tier at ~0.01 recall@10 on this corpus — one sign
+    //     partition is simply too coarse a filter. 16 independent
+    //     5-plane tables, candidates = the union of same-(t, bucket)
+    //     matches, reads 0.85 avg recall@3 here. At scale the bit
+    //     count b grows with log(corpus) (the d10 ladder argument) to
+    //     hold the candidate fraction L/2^b down.
+    // Scale shape: buckets fold map-side; the 16× explosion carries
+    // ONLY (t, bucket, id) fixed-width rows — vectors re-join by id
+    // for the exact-dot re-rank after the candidate set is distinct.
+    // The s08 audit: recall@3 + candidate counts against the in-plan
+    // brute-force dot truth, so the tier's quality is oracle-checked.
+    QueryDef.sql("s17_mips_lsh",
+      (s, d) => {
+        val e = vecs(s, d).withColumn("n2", dot(col("v"), col("v")))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("dp").desc, col("n_id"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val corpus = e.filter(col("vec_id") >= 20)
+        val truth = q.join(corpus.select(col("vec_id").as("n_id"), col("v")))
+          .withColumn("dp", dot(col("qv"), col("v")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("q_id"), col("n_id"))
+        val m2 = corpus.agg(max(col("n2")).as("m2"))
+        val ct = corpus.crossJoin(m2)
+          .withColumn("va", concat(col("v"), array(sqrt(col("m2") - col("n2")))))
+          .select(col("vec_id"), explode(mipsTableBuckets(col("va"))).as("tb"))
+          .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+        val qt = q
+          .withColumn("va", concat(col("qv"), array(lit(0.0))))
+          .select(col("q_id"), explode(mipsTableBuckets(col("va"))).as("tb"))
+          .select(col("q_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+        // persist(): the candidate set feeds BOTH the per-query count
+        // and the exact-dot re-rank — without the barrier the whole
+        // 16-table bucket pipeline would run twice
+        val cand = qt.join(ct, Seq("t", "bucket"))
+          .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+          .persist()
+        val nc = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+        val mips = cand
+          .join(corpus.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
+          .join(q, Seq("q_id"))
+          .withColumn("dp", dot(col("qv"), col("v")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+        truth.join(mips, Seq("q_id", "n_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .join(broadcast(nc), Seq("q_id")) // aggregate-bounded: ≤1 row/query
+          .withColumn("recall", col("n_hit").cast("double") / col("n_truth"))
+          .select(col("q_id"), col("n_truth"), col("n_hit"), col("n_cand"),
+            col("recall"))
+          .orderBy(col("q_id"))
+      },
+      s"""WITH e AS (SELECT vec_id, v, ${oDot("v", "v")} AS n2 FROM ($oVecs)),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+         |tc AS (
+         |  SELECT q.q_id, e.vec_id AS n_id, ${oDot("q.qv", "e.v")} AS dp
+         |  FROM q CROSS JOIN e WHERE e.vec_id >= 20),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, n_id) AS rnk
+         |    FROM tc) WHERE rnk <= 3),
+         |m AS (SELECT MAX(n2) AS m2 FROM e WHERE vec_id >= 20),
+         |ca AS (
+         |  SELECT vec_id, v || [sqrt(m.m2 - n2)] AS va
+         |  FROM e, m WHERE vec_id >= 20),
+         |ct AS (
+         |  SELECT vec_id, t, $oMipsBucketExpr AS bucket
+         |  FROM ca, (SELECT unnest(range(0, $MipsTables)) AS t)),
+         |qa AS (SELECT q_id, qv || [CAST(0.0 AS DOUBLE)] AS va FROM q),
+         |qt AS (
+         |  SELECT q_id, t, $oMipsBucketExpr AS bucket
+         |  FROM qa, (SELECT unnest(range(0, $MipsTables)) AS t)),
+         |cand AS (
+         |  SELECT DISTINCT qt.q_id, ct.vec_id AS n_id
+         |  FROM qt JOIN ct ON qt.t = ct.t AND qt.bucket = ct.bucket),
+         |nc AS (SELECT q_id, COUNT(*) AS n_cand FROM cand GROUP BY q_id),
+         |mc AS (
+         |  SELECT cand.q_id, cand.n_id, ${oDot("q.qv", "e.v")} AS dp
+         |  FROM cand JOIN e ON e.vec_id = cand.n_id JOIN q ON q.q_id = cand.q_id),
+         |mips AS (
+         |  SELECT q_id, n_id, 1 AS hit FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, n_id) AS rnk
+         |    FROM mc) WHERE rnk <= 3)
+         |SELECT t.q_id, COUNT(*) AS n_truth,
+         |  CAST(SUM(COALESCE(l.hit, 0)) AS BIGINT) AS n_hit,
+         |  CAST(MIN(nc.n_cand) AS BIGINT) AS n_cand,
+         |  CAST(SUM(COALESCE(l.hit, 0)) AS DOUBLE) / COUNT(*) AS recall
+         |FROM truth t
+         |LEFT JOIN mips l ON l.q_id = t.q_id AND l.n_id = t.n_id
+         |JOIN nc ON nc.q_id = t.q_id
+         |GROUP BY t.q_id
+         |ORDER BY t.q_id""".stripMargin)
   )
 }

@@ -925,6 +925,63 @@ object TextOps {
          |  CAST(COUNT(DISTINCT wd) AS BIGINT) AS n_distinct
          |FROM t
          |GROUP BY lang, len
-         |ORDER BY lang, len""".stripMargin)
+         |ORDER BY lang, len""".stripMargin),
+
+    // -- head-coverage curve over 3-gram types -------------------------
+    // The compression-potential read on a corpus (and the t15 vocab
+    // curve's mass-weighted complement): what fraction of total 3-gram
+    // MASS do the top-10/100/1000 types carry? High head coverage =
+    // templated/boilerplate corpus; the unigram vocab here closes at
+    // ~31 words, so 3-grams are the honest unit (t15's argument).
+    // Grams reduce to 60-bit md5 longs map-side (the t09 rule: never
+    // shuffle strings); counts are two-phase partial aggs; the head cut
+    // is TakeOrdered(1000) — never a full sort — and the rank window
+    // runs on that 1000-row frame. Totals are a 1-row aggregate
+    // broadcast; integer ppm end-to-end.
+    QueryDef.sql("t21_head_coverage",
+      (s, d) => {
+        // persist(): tot and the head cut both read the counted frame —
+        // without the barrier Catalyst would inline (= run twice) the
+        // explode+count pipeline, the dominant cost at corpus scale
+        val gc = Tables.documents(s, d)
+          .select(explode(grams3(words(col("text")))).as("g"))
+          .select(md5Val(col("g"), 15).as("gh"))
+          .groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+          .persist()
+        val tot = gc.agg(sum(col("cnt")).as("n_grams"),
+          count(lit(1)).as("n_types"))
+        val wTop = Window.orderBy(col("cnt").desc, col("gh"))
+        gc.orderBy(col("cnt").desc, col("gh")).limit(1000)
+          .withColumn("rnk", row_number().over(wTop))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("n_grams"), col("n_types"))
+          .agg(sum(when(col("rnk") <= 10, col("cnt")).otherwise(0L)).as("m10"),
+            sum(when(col("rnk") <= 100, col("cnt")).otherwise(0L)).as("m100"),
+            sum(col("cnt")).as("m1000"))
+          .select(col("n_grams"), col("n_types"),
+            expr("m10 * 1000000 div n_grams").as("top10_ppm"),
+            expr("m100 * 1000000 div n_grams").as("top100_ppm"),
+            expr("m1000 * 1000000 div n_grams").as("top1000_ppm"))
+      },
+      s"""WITH w AS (SELECT ${oWords("text")} AS ws FROM documents),
+         |g AS (SELECT unnest(${oGrams3("ws")}) AS g FROM w),
+         |gc AS (
+         |  SELECT gh, COUNT(*) AS cnt
+         |  FROM (SELECT ${oMd5Val("g", 15)} AS gh FROM g)
+         |  GROUP BY gh),
+         |tot AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_grams, COUNT(*) AS n_types
+         |  FROM gc),
+         |top AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, gh) AS rnk
+         |  FROM gc QUALIFY rnk <= 1000)
+         |SELECT n_grams, n_types,
+         |  CAST(SUM(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) AS BIGINT)
+         |    * 1000000 // n_grams AS top10_ppm,
+         |  CAST(SUM(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+         |    * 1000000 // n_grams AS top100_ppm,
+         |  CAST(SUM(cnt) AS BIGINT) * 1000000 // n_grams AS top1000_ppm
+         |FROM top, tot
+         |GROUP BY n_grams, n_types""".stripMargin)
   )
 }

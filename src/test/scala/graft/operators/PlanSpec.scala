@@ -704,6 +704,26 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles === 1, p)
   }
 
+  test("s17: only the truth arm pays a corpus NLJ; candidates hash-join on (t, bucket)") {
+    val p = plan("s17_mips_lsh")
+    // the persisted candidate cache renders its subtree once per
+    // consumer — count DISTINCT nested-loop nodes, not renderings
+    val nlj = p.split("\n")
+      .filter(l => l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      .map(_.replaceAll("^[\\s:+|-]+", "")).distinct.length
+    assert(nlj <= 2, p) // brute-force truth + the 1-row M² broadcast
+    // (truth ⟕ top-3 may SMJ in the static plan — both sides are
+    // query-sample-sized aggregates; AQE converts it at runtime)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("t21: head cut is TakeOrdered over the persisted count frame — no full sort") {
+    val p = plan("t21_head_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("InMemoryRelation"), p) // counts materialized once
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
