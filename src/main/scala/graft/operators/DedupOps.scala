@@ -156,17 +156,25 @@ object DedupOps {
     * materialization). Only docs that appear in some pair get a row;
     * singleton docs are implicitly their own cluster. */
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    // persist() barriers are load-bearing twice over: the edge frame is
+    // referenced 4 ways by the union and TWICE per doubling self-join,
+    // and each dbl() output feeds the next level twice — without the
+    // barriers Catalyst inlines (= recomputes) the whole
+    // candidate-pair verification pipeline at every reference, which
+    // benched d24 at 84 s vs 8 s on 10× data (the r7c super-linear
+    // outlier). Both frames are bounded by the verified pair count.
     val p = candidatePairs(s, d).select(col("a_id"), col("b_id"))
     val e = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .unionAll(p.select(col("a_id").as("src"), col("a_id").as("dst")))
       .unionAll(p.select(col("b_id").as("src"), col("b_id").as("dst")))
       .distinct()
+      .persist()
     def dbl(r: DataFrame): DataFrame =
       r.as("x").join(r.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
         .distinct()
-    dbl(dbl(e)).groupBy(col("src")).agg(min(col("dst")).as("cluster"))
+    dbl(dbl(e).persist()).groupBy(col("src")).agg(min(col("dst")).as("cluster"))
   }
 
   /** Shared word-8-gram store over `documents` — ONE gram pipeline for
