@@ -223,9 +223,14 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   // query results: serving memory stays O(batch), reads get N-way
   // parallelism instead of one task decoding the whole stream.
   private val spillCache = scala.collection.concurrent.TrieMap[String, Vector[String]]()
+  @volatile private var spillRootCreated = false
+  /** Spill dir if one was materialized (spec hook for stop() cleanup). */
+  private[server] def spillRootPath: Option[java.nio.file.Path] =
+    if (spillRootCreated) Some(spillRoot) else None
   private lazy val spillRoot = {
     val p = java.nio.file.Files.createTempDirectory("graft-qsplit")
     p.toFile.deleteOnExit()
+    spillRootCreated = true
     p
   }
 
@@ -518,7 +523,22 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     } finally exchange.close()
 
   def start(): ArrowHttpServer = { server.start(); this }
-  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
+  def stop(): Unit = {
+    server.stop(0); pool.shutdownNow()
+    // Reclaim the qsplit spill artifacts NOW, not at JVM exit:
+    // deleteOnExit() cannot remove non-empty directories, so a
+    // long-lived process (or a bench looping servers) would leak one
+    // ~payload-sized dir per server instance — 25 leaked 100M-loop
+    // spills filled the round-7 build box's disk before this cleanup.
+    if (spillRootCreated) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(spillRoot.toFile)
+      spillCache.clear()
+    }
+  }
 }
 
 object ArrowHttpServer {

@@ -431,4 +431,24 @@ class ArrowHttpSpec extends AnyFunSuite {
     val plan = back.select("price").queryExecution.executedPlan.toString
     assert(plan.contains("price"))
   }
+
+  test("stop() reclaims the qsplit spill directory (no per-server disk leak)") {
+    // deleteOnExit() cannot remove non-empty dirs, and a process that
+    // loops server instances (the bench's transport loops) would leak
+    // one payload-sized spill dir per instance — this filled the
+    // round-7 build box (25 × 3.1 GB) before stop() learned to clean
+    val s2 = new ArrowHttpServer(spark)
+    s2.register("leakcheck", Generators.flightBench(spark, 1000, 2))
+    s2.start()
+    try {
+      val conn = URI.create(s2.baseUrl + "/qsplit/leakcheck").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(conn.getResponseCode === 200)
+      conn.getInputStream.readAllBytes()
+    } finally s2.stop()
+    val root = s2.spillRootPath
+    assert(root.isDefined, "qsplit never spilled — vacuous")
+    assert(java.nio.file.Files.notExists(root.get),
+      s"spill dir survived stop(): ${root.get}")
+  }
 }
