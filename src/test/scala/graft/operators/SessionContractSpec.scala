@@ -60,4 +60,41 @@ class SessionContractSpec extends AnyFunSuite {
       .collect().map(_.getLong(2)).sorted.toSeq
     assert(composedSessions === nativeSessions) // one contract, two operators
   }
+
+  test("property: random worlds — native sessions equal a by-hand gap fold") {
+    import spark.implicits._
+    val gapUs = 100000000L // 100 s gap
+    (0 until 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919 + 3)
+      // coarse 20 s grid: inter-event gaps hit EXACTLY the 100 s gap
+      // often, so the boundary contract is exercised, not dodged
+      val events = (0 until 200).map(i =>
+        (i.toLong, 1L + rnd.nextInt(5), rnd.nextInt(40) * 20000000L))
+
+      val native = events.toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .groupBy(col("user_id"), session_window(col("ts"), "100 seconds"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+
+      // independent reference: per-user sorted fold, > gap starts new
+      val want = events.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+        val ts = es.map(_._3).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        ts.foreach { t =>
+          if (sessions.nonEmpty && t - sessions.last._2 <= gapUs)
+            sessions(sessions.length - 1) = (sessions.last._1, t)
+          else sessions += ((t, t))
+        }
+        // recount events per [start, last] span
+        sessions.map { case (s0, s1) =>
+          (u, s0, ts.count(t => t >= s0 && t <= s1).toLong)
+        }
+      }.sorted
+      assert(native === want, s"seed $seed")
+    }
+  }
 }
