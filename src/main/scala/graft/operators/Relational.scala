@@ -902,6 +902,86 @@ object Relational {
         |SELECT o_custkey, n_orders, span_days, max_gap_days, min_gap_days,
         |  span_days * 100 // (n_orders - 1) AS avg_gap_centidays
         |FROM a
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin),
+
+    // -- Market-basket part co-occurrence ------------------------------
+    // Which parts ship together in the same order (the recommender /
+    // affinity staple)? 100 TB shape: NO self-join of the fact table —
+    // one groupBy(l_orderkey) collects the order's distinct part LIST
+    // (bounded by the order's line count, ≤7 in TPC-H shapes — this is
+    // the safe bounded use of a collected set, unlike an unbounded
+    // collect_list), pairs are generated MAP-SIDE from the sorted array
+    // (i<j index walk), then one (pk1, pk2) rollup with a support floor.
+    // Two fixed-width shuffles total: (orderkey, partkey) longs in, pair
+    // longs out; per-order fan-out is C(items, 2) — data-bounded, not
+    // corpus-bounded.
+    QueryDef.sql("q50_basket_pairs",
+      (s, d) => {
+        val ps = sort_array(collect_set(col("l_partkey")))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(ps.as("ps"))
+          .filter(size(col("ps")) >= 2)
+          .select(explode(flatten(transform(
+            sequence(lit(1), size(col("ps")) - 1),
+            i => transform(sequence(i + 1, size(col("ps"))),
+              j => struct(element_at(col("ps"), i).as("pk1"),
+                element_at(col("ps"), j).as("pk2")))))).as("p"))
+          .groupBy(col("p.pk1").as("pk1"), col("p.pk2").as("pk2"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+          .orderBy(col("pk1"), col("pk2"))
+      },
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pk1, b.l_partkey AS pk2,
+        |  COUNT(*) AS n_orders
+        |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY pk1, pk2""".stripMargin),
+
+    // -- Month-over-month revenue growth -------------------------------
+    // The time-series trend read every dashboard ships: revenue per
+    // (priority tier, month) with the previous month's figure and an
+    // integer growth rate. 100 TB shape: one narrow (priority, month)
+    // agg with full map-side partials — the lag window then runs over
+    // the BOUNDED agg result (tiers × months rows), so its extra
+    // exchange moves a few hundred rows at any corpus size. Money stays
+    // exact: cents as BIGINT end-to-end, growth_ppm integer-div, the
+    // only doubles are final single-rounding casts.
+    QueryDef.sql("q51_revenue_growth",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+            (mon(col("o_totalprice")) * 100).cast("long").as("cents"))
+          .groupBy(col("o_orderpriority"), col("month"))
+          .agg(sum(col("cents")).as("rev_cents"))
+          .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+          .select(col("o_orderpriority"), col("month"),
+            (col("rev_cents").cast("double") / 100).as("revenue"),
+            (col("prev_cents").cast("double") / 100).as("prev_revenue"),
+            expr("(rev_cents - prev_cents) * 1000000 div prev_cents")
+              .as("growth_ppm"))
+          .orderBy(col("o_orderpriority"), col("month"))
+      },
+      """WITH m AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (
+        |  SELECT *, lag(rev_cents) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY month) AS prev_cents FROM m)
+        |SELECT o_orderpriority, month,
+        |  CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+        |  CAST(prev_cents AS DOUBLE) / 100 AS prev_revenue,
+        |  CAST((rev_cents - prev_cents) * 1000000 // prev_cents AS BIGINT)
+        |    AS growth_ppm
+        |FROM l
+        |ORDER BY o_orderpriority, month""".stripMargin)
   )
 }

@@ -982,6 +982,98 @@ object TextOps {
          |    * 1000000 // n_grams AS top100_ppm,
          |  CAST(SUM(cnt) AS BIGINT) * 1000000 // n_grams AS top1000_ppm
          |FROM top, tot
-         |GROUP BY n_grams, n_types""".stripMargin)
+         |GROUP BY n_grams, n_types""".stripMargin),
+
+    // -- Readability battery -------------------------------------------
+    // Per-doc readability signals, all integer (div) so both engines
+    // agree bit-for-bit: chars-per-word (centi), complex-word fraction
+    // (≥7 chars — the Gunning-fog term), and the Automated Readability
+    // Index in centi-units. ARI needs a sentence count; this corpus has
+    // ZERO sentence punctuation (verified), so the documented fallback
+    // s = max(1, punct_count) applies — the cpw/complex columns carry
+    // the real signal, ari_centi degrades gracefully to a length-dominated
+    // score instead of dividing by zero. 100 TB shape: pure map-side
+    // projection, zero shuffles at any scale (PlanSpec-pinned).
+    QueryDef.sql("t22_readability",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .select(col("doc_id"),
+            size(col("ws")).as("n_words"),
+            length(concat_ws("", col("ws"))).as("n_word_chars"),
+            size(filter(col("ws"), x => length(x) >= 7)).as("n_complex"),
+            greatest(lit(1),
+              length(col("text")) -
+                length(regexp_replace(col("text"), "[.!?]", ""))).as("n_sentences"))
+          .select(col("doc_id"), col("n_words"), col("n_complex"),
+            expr("n_word_chars * 100 div n_words").as("cpw_centi"),
+            expr("n_complex * 1000000 div n_words").as("complex_ppm"),
+            expr("471 * n_word_chars div n_words + 50 * n_words div n_sentences - 2143")
+              .as("ari_centi"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${oWords("text")} AS ws,
+         |    GREATEST(1, length(text) -
+         |      length(regexp_replace(text, '[.!?]', '', 'g'))) AS n_sentences
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |    length(array_to_string(ws, '')) AS n_word_chars,
+         |    len(list_filter(ws, x -> length(x) >= 7)) AS n_complex,
+         |    n_sentences
+         |  FROM w)
+         |SELECT doc_id, n_words, n_complex,
+         |  n_word_chars * 100 // n_words AS cpw_centi,
+         |  n_complex * 1000000 // n_words AS complex_ppm,
+         |  471 * n_word_chars // n_words + 50 * n_words // n_sentences - 2143
+         |    AS ari_centi
+         |FROM c
+         |ORDER BY doc_id""".stripMargin),
+
+    // -- Zipf doubling-ratio curve -------------------------------------
+    // Does the corpus follow a power law, and with what slope? For rank
+    // r ∈ {1,2,4,…,512}: freq(2r)/freq(r) in ppm — under perfect Zipf
+    // (f ∝ 1/r) every cell reads ~500000; systematic deviation flags
+    // boilerplate (flat head) or templated tails. 3-gram types are the
+    // honest unit on this corpus (t15's argument; the unigram vocab
+    // closes at ~31 words). 100 TB shape: grams reduce to 60-bit md5
+    // longs map-side, two-phase count agg, ONE TakeOrdered(1024) head
+    // cut — never a full sort; the rank window and the r→2r self-join
+    // run on the bounded 1024-row head.
+    QueryDef.sql("t23_zipf_curve",
+      (s, d) => {
+        val powers = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+        val gc = Tables.documents(s, d)
+          .select(explode(grams3(words(col("text")))).as("g"))
+          .select(md5Val(col("g"), 15).as("gh"))
+          .groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+        val wTop = Window.orderBy(col("cnt").desc, col("gh"))
+        val ranked = gc.orderBy(col("cnt").desc, col("gh")).limit(1024)
+          .withColumn("rnk", row_number().over(wTop))
+          .select(col("rnk"), col("cnt")).persist()
+        val a = ranked.filter(col("rnk").isin(powers: _*))
+          .select(col("rnk").as("r"), col("cnt").as("freq_r"))
+        val b = ranked.select(col("rnk").as("r2"), col("cnt").as("freq_2r"))
+        a.join(b, col("r2") === col("r") * 2)
+          .select(col("r"), col("freq_r"), col("freq_2r"),
+            expr("freq_2r * 1000000 div freq_r").as("ratio_ppm"))
+          .orderBy(col("r"))
+      },
+      s"""WITH w AS (SELECT ${oWords("text")} AS ws FROM documents),
+         |g AS (SELECT unnest(${oGrams3("ws")}) AS g FROM w),
+         |gc AS (
+         |  SELECT gh, COUNT(*) AS cnt
+         |  FROM (SELECT ${oMd5Val("g", 15)} AS gh FROM g)
+         |  GROUP BY gh),
+         |rk AS (
+         |  SELECT CAST(cnt AS BIGINT) AS cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, gh) AS rnk
+         |  FROM gc QUALIFY rnk <= 1024)
+         |SELECT a.rnk AS r, a.cnt AS freq_r, b.cnt AS freq_2r,
+         |  b.cnt * 1000000 // a.cnt AS ratio_ppm
+         |FROM rk a JOIN rk b ON b.rnk = a.rnk * 2
+         |WHERE a.rnk IN (1,2,4,8,16,32,64,128,256,512)
+         |ORDER BY r""".stripMargin)
   )
 }
