@@ -1184,6 +1184,41 @@ object DedupOps {
          |  CAST(coalesce(lw.cn, 1) AS BIGINT) AS cluster_n,
          |  CAST(1000000 // coalesce(lw.cn, 1) AS BIGINT) AS weight_ppm
          |FROM corpus c LEFT JOIN lw ON lw.doc_id = c.doc_id
-         |ORDER BY c.doc_id""".stripMargin)
+         |ORDER BY c.doc_id""".stripMargin),
+
+    // -- dedup threshold sweep -----------------------------------------
+    // The "where do we set τ?" audit a curation run reads BEFORE picking
+    // the d14 drop threshold: for τ ∈ {50..95}%, how many verified pairs
+    // survive and how many distinct docs they touch. Derives entirely
+    // from the persisted verified pair list (bounded by the near-dup
+    // count, not the corpus) crossed with a 6-row literal threshold
+    // frame — pair jaccards are bit-identical cross-engine (d03's
+    // contract), so the >= comparisons agree exactly even at threshold
+    // boundaries. No new text pass at any scale.
+    QueryDef.sql("d25_threshold_sweep",
+      (s, d) => {
+        val tf = { import s.implicits._; Seq(50, 60, 70, 80, 90, 95).toDF("tau_centi") }
+        candidatePairs(s, d)
+          .crossJoin(broadcast(tf))
+          .filter(col("jaccard") >= col("tau_centi").cast("double") / 100)
+          .select(col("tau_centi"), explode(array(col("a_id"), col("b_id"))).as("id"))
+          .groupBy(col("tau_centi"))
+          .agg(expr("count(1) div 2").as("n_pairs"),
+            countDistinct(col("id")).as("n_docs"))
+          .orderBy(col("tau_centi"))
+      },
+      s"""WITH $oPairCtes,
+         |taus AS (SELECT unnest([50, 60, 70, 80, 90, 95]) AS tau_centi),
+         |hit AS (
+         |  SELECT tau_centi, a_id, b_id FROM pairs, taus
+         |  WHERE jaccard >= CAST(tau_centi AS DOUBLE) / 100),
+         |ex AS (
+         |  SELECT tau_centi, a_id AS id FROM hit
+         |  UNION ALL SELECT tau_centi, b_id FROM hit)
+         |SELECT tau_centi, COUNT(*) // 2 AS n_pairs,
+         |  COUNT(DISTINCT id) AS n_docs
+         |FROM ex
+         |GROUP BY tau_centi
+         |ORDER BY tau_centi""".stripMargin)
   )
 }

@@ -637,6 +637,64 @@ object PipelineOps {
          |  FROM ph)
          |SELECT doc_id, phase, shard, pos, (pos - 1) * 16 + shard AS phase_ord
          |FROM p
-         |ORDER BY phase, phase_ord""".stripMargin)
+         |ORDER BY phase, phase_ord""".stripMargin),
+
+    // -- Temporal train/val/test split with embargo --------------------
+    // The time-series leakage guard p03 can't express (p03 fences
+    // near-dup CLUSTERS; this fences TIME): 70/15/15 split at integer
+    // positions of the [min_ts, max_ts] span, with a 1-hour EMBARGO
+    // band after each boundary — events inside a band are EXCLUDED so
+    // models can't read just-past-the-fence context (the standard
+    // financial-ML purge). All integer micros: boundaries come from one
+    // 1-row min/max agg (broadcast — the q42 scalar pattern), verdicts
+    // are map-side comparisons, and the only row shuffle is the
+    // (split, event_type) rollup's fixed-width partial-agg rows.
+    QueryDef.sql("p12_temporal_split",
+      (s, d) => {
+        val gapUs = 3600000000L // 1 h embargo
+        val bounds = Tables.events(s, d)
+          .agg(min(unix_micros(col("ts"))).as("lo"),
+            max(unix_micros(col("ts"))).as("hi"))
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .crossJoin(broadcast(bounds))
+          .withColumn("t1", expr("lo + (hi - lo + 1) * 70 div 100"))
+          .withColumn("t2", expr("lo + (hi - lo + 1) * 85 div 100"))
+          .withColumn("split",
+            when(col("us") < col("t1"), "train")
+              .when(col("us") < col("t1") + gapUs, "embargo")
+              .when(col("us") < col("t2"), "val")
+              .when(col("us") < col("t2") + gapUs, "embargo")
+              .otherwise("test"))
+          .groupBy(col("split"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("us")).as("first_us"),
+            max(col("us")).as("last_us"))
+          .orderBy(col("split"), col("event_type"))
+      },
+      """WITH b AS (
+        |  SELECT MIN(epoch_ns(ts) // 1000) AS lo,
+        |    MAX(epoch_ns(ts) // 1000) AS hi FROM events),
+        |v AS (
+        |  SELECT event_type, user_id, epoch_ns(ts) // 1000 AS us,
+        |    lo + (hi - lo + 1) * 70 // 100 AS t1,
+        |    lo + (hi - lo + 1) * 85 // 100 AS t2
+        |  FROM events, b),
+        |s AS (
+        |  SELECT event_type, user_id, us,
+        |    CASE WHEN us < t1 THEN 'train'
+        |         WHEN us < t1 + 3600000000 THEN 'embargo'
+        |         WHEN us < t2 THEN 'val'
+        |         WHEN us < t2 + 3600000000 THEN 'embargo'
+        |         ELSE 'test' END AS split
+        |  FROM v)
+        |SELECT split, event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(MIN(us) AS BIGINT) AS first_us,
+        |  CAST(MAX(us) AS BIGINT) AS last_us
+        |FROM s
+        |GROUP BY 1, 2
+        |ORDER BY split, event_type""".stripMargin)
   )
 }
