@@ -1209,6 +1209,139 @@ object SimilarityOps {
          |LEFT JOIN mips l ON l.q_id = t.q_id AND l.n_id = t.n_id
          |JOIN nc ON nc.q_id = t.q_id
          |GROUP BY t.q_id
-         |ORDER BY t.q_id""".stripMargin)
+         |ORDER BY t.q_id""".stripMargin),
+
+    // -- k-NN label classification (embedding-quality eval) ------------
+    // Does the embedding space separate the labels? Leave-one-out 3-NN
+    // majority vote on a deterministic 20% query sample, per-label
+    // accuracy in integer ppm — the standard probe read before trusting
+    // embeddings for curation (a collapsed space scores ~chance). Both
+    // the top-3 cut and the vote are (count DESC, label ASC) total
+    // orders, so prediction ties break identically cross-engine. 100 TB
+    // shape: the s01 contract — query side is a bounded sample, the
+    // per-query windows are WindowGroupLimit-bounded, and the final
+    // rollup is label-wide (10 rows).
+    QueryDef.sql("s18_knn_classify",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+            col("v").as("qv"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        val top = q.join(
+            e.select(col("vec_id").as("n_id"), col("label").as("n_label"), col("v")),
+            col("n_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("qv"), col("v")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+        val wv = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("n_label"))
+        top.groupBy(col("q_id"), col("true_label"), col("n_label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wv))
+          .filter(col("vr") === 1)
+          .groupBy(col("true_label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("n_label") === col("true_label"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("acc_ppm", expr("n_correct * 1000000 div n_queries"))
+          .orderBy(col("true_label"))
+      },
+      s"""WITH e AS ($oVecs),
+         |q AS (
+         |  SELECT vec_id AS q_id, label AS true_label, v AS qv
+         |  FROM e WHERE vec_id % 5 = 0),
+         |c AS (
+         |  SELECT q.q_id, q.true_label, e.vec_id AS n_id, e.label AS n_label,
+         |    ${oCosine("q.qv", "e.v")} AS cos
+         |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id),
+         |r AS (
+         |  SELECT q_id, true_label, n_label,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM c),
+         |t AS (
+         |  SELECT q_id, true_label, n_label, COUNT(*) AS votes
+         |  FROM r WHERE rnk <= 3 GROUP BY 1, 2, 3),
+         |p AS (
+         |  SELECT q_id, true_label, n_label,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY votes DESC, n_label) AS vr
+         |  FROM t)
+         |SELECT true_label, COUNT(*) AS n_queries,
+         |  CAST(SUM(CASE WHEN n_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(SUM(CASE WHEN n_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // COUNT(*) AS acc_ppm
+         |FROM p WHERE vr = 1
+         |GROUP BY true_label
+         |ORDER BY true_label""".stripMargin),
+
+    // -- one k-means (Lloyd) iteration over the IVF codebook -----------
+    // The codebook REFINEMENT step s04/s09 assume has already happened:
+    // re-assign every vector to its best cell (the d16 map-side argmax
+    // fold over the broadcast centroid array — no per-vector window, no
+    // corpus shuffle beyond the cell rollup), recompute per-cell means
+    // with the same exact fixed-point DECIMAL sums as s03 (O(1) agg
+    // state, order-independent), and report each cell's population,
+    // defection count, and mean drift on the probe dims. Iterating this
+    // operator IS distributed k-means; one step is enough to pin the
+    // arithmetic contract. 100 TB shape: one fixed-width (cell) shuffle
+    // of partial-agg rows; the 10-row codebook join is broadcast.
+    QueryDef.sql("s19_kmeans_step",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = centroids(s, d, e)
+          .select(col("label").cast("long").as("cell"), col("cv"))
+        val centArr = cents.agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+        val assigned = e.crossJoin(broadcast(centArr))
+          .withColumn("best", aggregate(col("cents"),
+            struct(lit(-2.0).as("s"), lit(-1L).as("c")),
+            (acc, x) => {
+              val sc = cosine(col("v"), x.getField("cv"))
+              when(sc > acc.getField("s") ||
+                  (sc === acc.getField("s") && x.getField("cell") < acc.getField("c")),
+                struct(sc.as("s"), x.getField("cell").as("c")))
+                .otherwise(acc)
+            }))
+          .select(col("vec_id"), col("label"), col("v"),
+            col("best").getField("c").as("cell"))
+        def fxSum(dim: Int) =
+          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+            .cast("double") / lit(1e7)
+        assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(when(col("label").cast("long") =!= col("cell"), 1L).otherwise(0L))
+              .as("n_defectors"),
+            (fxSum(1) / count(lit(1))).as("new_mean_d1"),
+            (fxSum(64) / count(lit(1))).as("new_mean_d64"))
+          .join(cents, Seq("cell"))
+          .select(col("cell"), col("n_assigned"), col("n_defectors"),
+            col("new_mean_d1"), col("new_mean_d64"),
+            (col("new_mean_d1") - element_at(col("cv"), 1)).as("shift_d1"),
+            (col("new_mean_d64") - element_at(col("cv"), 64)).as("shift_d64"))
+          .orderBy(col("cell"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents0 AS ($oCents),
+         |cents AS (SELECT CAST(label AS BIGINT) AS cell, cv FROM cents0),
+         |ass0 AS (
+         |  SELECT e.vec_id, e.label, e.v, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCosine("e.v", "c.cv")} DESC, c.cell) AS r
+         |  FROM e CROSS JOIN cents c),
+         |ass AS (SELECT vec_id, label, v, cell FROM ass0 WHERE r = 1),
+         |n AS (
+         |  SELECT cell, COUNT(*) AS n_assigned,
+         |    CAST(SUM(CASE WHEN CAST(label AS BIGINT) <> cell THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_defectors,
+         |    CAST(SUM(CAST(round(v[1] * 1e7) AS DECIMAL(28,0))) AS DOUBLE)
+         |      / 1e7 / COUNT(*) AS new_mean_d1,
+         |    CAST(SUM(CAST(round(v[64] * 1e7) AS DECIMAL(28,0))) AS DOUBLE)
+         |      / 1e7 / COUNT(*) AS new_mean_d64
+         |  FROM ass GROUP BY cell)
+         |SELECT n.cell, n_assigned, n_defectors, new_mean_d1, new_mean_d64,
+         |  new_mean_d1 - c.cv[1] AS shift_d1,
+         |  new_mean_d64 - c.cv[64] AS shift_d64
+         |FROM n JOIN cents c ON c.cell = n.cell
+         |ORDER BY n.cell""".stripMargin)
   )
 }
