@@ -1197,6 +1197,66 @@ object MultimodalOps {
         |       WHEN n_quiet * 10 > n THEN 'silent'
         |       ELSE 'ok' END AS verdict
         |FROM c
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- video duration / integrity gate --------------------------------
+    // The clip-corpus first pass in front of m09's fingerprint dedup:
+    // frame count and duration from the REAL container walk — length
+    // prefixes only, every frame seek-skipped, NOTHING decoded (strictly
+    // cheaper than m09's every-2nd-frame decode), plus an integrity
+    // verdict (the walk must land exactly on the buffer end — a
+    // truncated upload fails here, not three stages later). Nominal
+    // 2 fps → duration_ms = 500·n_frames; gates are integer compares.
+    // 100 TB shape: video bytes never leave the walk partition, zero
+    // joins, zero row shuffles (PlanSpec); the oracle recomputes the
+    // frame count analytically and the intact contract emits literal
+    // TRUE (the q34 move).
+    QueryDef.sql("m13_video_length_gate",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val walked = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val b = framesBytes(id % 60)
+            val bb = java.nio.ByteBuffer.wrap(b)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nf = bb.getInt
+            var f = 0
+            while (f < nf) {
+              val len = bb.getInt
+              bb.position(bb.position() + len) // seek only — never decode
+              f += 1
+            }
+            Row(id, nf, bb.remaining() == 0)
+          }
+        }
+        s.createDataFrame(walked, StructType(Seq(
+            StructField("doc_id", LongType, nullable = false),
+            StructField("n_frames", IntegerType, nullable = false),
+            StructField("intact", BooleanType, nullable = false))))
+          .withColumn("duration_ms", col("n_frames") * 500)
+          .withColumn("reason",
+            when(!col("intact"), "corrupt")
+              .when(col("n_frames") < 3, "too_short")
+              .when(col("n_frames") > 5, "too_long")
+              .otherwise("ok"))
+          .withColumn("keep", col("reason") === "ok")
+          .orderBy(col("doc_id"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id, 2 + (doc_id % 60) % 5 AS nf
+        |  FROM documents WHERE doc_id < 1000),
+        |v AS (
+        |  SELECT doc_id, nf, TRUE AS intact, nf * 500 AS duration_ms,
+        |    CASE WHEN nf < 3 THEN 'too_short'
+        |         WHEN nf > 5 THEN 'too_long'
+        |         ELSE 'ok' END AS reason
+        |  FROM b)
+        |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames, intact,
+        |  CAST(duration_ms AS INTEGER) AS duration_ms, reason,
+        |  reason = 'ok' AS keep
+        |FROM v
         |ORDER BY doc_id""".stripMargin)
   )
 }
