@@ -59,20 +59,23 @@ object SparkEntry {
       // oracle gate but NOT in the timed set.
       "q39_retention_cohorts", "q40_latest_compaction", "q43_approx_quantiles",
       "q46_interval_native", "q47_session_native", "q48_price_deciles",
+      "q50_basket_pairs", "q51_revenue_growth",
       "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "d16_semantic_dedup", "d17_line_dedup", "d21_contamination_report",
-      "d23_prefix_dedup", "d24_soft_dedup_weights",
+      "d23_prefix_dedup", "d24_soft_dedup_weights", "d25_threshold_sweep",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "s08_recall_eval",
       "s09_pq_search", "s11_ivfpq_search", "s13_cascade_rerank",
       "s14_embedding_health", "s16_binary_hamming", "s17_mips_lsh",
+      "s18_knn_classify", "s19_kmeans_step",
       "t02_quality_score",
       "t09_word_rarity", "t11_dsir_weights", "t14_doc_freq", "t16_bigram_lm",
       "t18_keyword_tfidf", "t19_gram_novelty", "t21_head_coverage",
+      "t22_readability", "t23_zipf_curve",
       "p01_curated_corpus", "p02_token_packing",
       "p04_domain_mixture", "p06_curation_funnel", "p07_doc_chunks",
-      "p09_shuffle_shards", "p11_quality_curriculum",
-      "m11_pair_gate", "m12_audio_gate")
+      "p09_shuffle_shards", "p11_quality_curriculum", "p12_temporal_split",
+      "m11_pair_gate", "m12_audio_gate", "m13_video_length_gate")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)
