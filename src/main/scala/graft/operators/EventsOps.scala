@@ -611,6 +611,52 @@ object EventsOps {
          |  COUNT(*) AS n_events
          |FROM g
          |GROUP BY user_id, sess_idx
-         |ORDER BY user_id, start_us""".stripMargin)
+         |ORDER BY user_id, start_us""".stripMargin),
+
+    // -- SCD-2 state history (change capture) ---------------------------
+    // Slowly-changing-dimension build from an append-only event log: per
+    // user, the event_type is the tracked attribute; consecutive repeats
+    // are suppressed (change-only compaction), each surviving change gets
+    // a [valid_from, valid_to) validity interval via lead(), and the
+    // open-ended current state carries valid_to NULL. Complements
+    // q40_latest_compaction (which keeps ONLY the latest row) with the
+    // full auditable history. 100 TB: ONE exchange on user_id — the
+    // change filter preserves the window's partitioning AND sort order,
+    // so the second window pass (lead) adds no exchange and no re-sort
+    // (PlanSpec pins 1 shuffle). Only (user_id, type, us) triples move.
+    QueryDef.sql("q54_scd2_history",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+          .select(col("user_id"), col("event_id").as("change_id"),
+            col("event_type").as("state"), col("us").as("valid_from"),
+            lead(col("us"), 1).over(w).as("valid_to"))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy(col("user_id"), col("valid_from"), col("change_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, us FROM c
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_id AS change_id, event_type AS state,
+        |  us AS valid_from,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS valid_to,
+        |  (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    IS NULL) AS is_current
+        |FROM f
+        |ORDER BY user_id, valid_from, change_id""".stripMargin)
   )
 }

@@ -786,6 +786,40 @@ class PlanSpec extends AnyFunSuite {
       l.contains("hashpartitioning(label")), p)
   }
 
+  test("q52: bucketed scans co-locate the join — zero exchange on either side") {
+    val p = plan("q52_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+    // the only hash exchange is the 5-key priority rollup AFTER the join
+    val shuffles = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffles.length === 1, p)
+    assert(shuffles.forall(_.contains("o_orderpriority")), p)
+    // both scans read all 8 buckets as co-located partitions; the SMJ's
+    // Sorts are partition-LOCAL (no exchange) — modern Spark ignores the
+    // on-disk bucket sort order without the legacy flag, and a local
+    // sort of one bucket is the cheap part at any scale
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+  }
+
+  test("q53: the salt is a join key and the hot side is never broadcast") {
+    val p = plan("q53_salted_join")
+    val smj = p.split("\n").filter(_.contains("SortMergeJoin"))
+    assert(smj.nonEmpty && smj.head.contains("fsalt") && smj.head.contains("dsalt"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // replication is map-side explode of a literal: no extra exchange for it
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 3, p) // two join sides + final rollup
+  }
+
+  test("q54: change filter preserves partitioning — both windows share one shuffle") {
+    val p = plan("q54_scd2_history")
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+    assert(!p.contains("Join"), p)
+    // second window (lead) must not re-sort the change rows
+    assert(p.split("\n").count(_.trim.startsWith("+- Sort")) <= 2, p)
+  }
+
   test("m13: container walk shuffles no rows — video bytes stay in the partition") {
     val p = plan("m13_video_length_gate")
     assert(!p.contains("Exchange hashpartitioning"), p)
