@@ -68,14 +68,15 @@ object SparkEntry {
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "s08_recall_eval",
       "s09_pq_search", "s11_ivfpq_search", "s13_cascade_rerank",
       "s14_embedding_health", "s16_binary_hamming", "s17_mips_lsh",
-      "s18_knn_classify", "s19_kmeans_step",
+      "s18_knn_classify", "s19_kmeans_step", "s20_embedding_covariance",
       "t02_quality_score",
       "t09_word_rarity", "t11_dsir_weights", "t14_doc_freq", "t16_bigram_lm",
       "t18_keyword_tfidf", "t19_gram_novelty", "t21_head_coverage",
-      "t22_readability", "t23_zipf_curve",
+      "t22_readability", "t23_zipf_curve", "t24_heavy_hitters",
       "p01_curated_corpus", "p02_token_packing",
       "p04_domain_mixture", "p06_curation_funnel", "p07_doc_chunks",
       "p09_shuffle_shards", "p11_quality_curriculum", "p12_temporal_split",
+      "p13_priority_sample",
       "m11_pair_gate", "m12_audio_gate", "m13_video_length_gate")
     val have = queries.keySet
     val picked = preferred.filter(have)

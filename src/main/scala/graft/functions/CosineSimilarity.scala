@@ -115,6 +115,12 @@ object GraftFunctions {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_agg",
+      exprs => CountMinAgg(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_estimate",
+      exprs => CountMinEstimate(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API over the registered function. */

@@ -695,6 +695,53 @@ object PipelineOps {
         |  CAST(MAX(us) AS BIGINT) AS last_us
         |FROM s
         |GROUP BY 1, 2
-        |ORDER BY split, event_type""".stripMargin)
+        |ORDER BY split, event_type""".stripMargin),
+
+    // -- Weighted sample: priority sampling per stratum -----------------
+    // Duffield-Lund-Thorup priority sampling, the weighted-sample scheme
+    // that actually distributes: each doc gets priority w/u with u a
+    // fixed uniform from its own id, and the per-language sample is the
+    // top-k by priority — equivalently the BOTTOM-k by u/w, which is the
+    // form both engines compute identically (u = md5-derived integer
+    // < 2^52, so u and the token-count weight are both exact in double
+    // and the single division is one deterministic IEEE rounding — no
+    // pow/ln, the transcendental-free determinism rule). 100 TB: weights
+    // and keys are map-side projections; the only shuffle is the
+    // language re-key, and the rank is WindowGroupLimit-bounded so each
+    // partition retains k rows, not the corpus.
+    QueryDef.sql("p13_priority_sample",
+      (s, d) => {
+        val k = 20
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("sample_key"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            greatest(size(words(col("text"))), lit(1)).cast("long")
+              .as("n_tokens"),
+            md5Val(concat(lit("psamp:"), col("doc_id").cast("string")), 13)
+              .as("u"))
+          .withColumn("sample_key",
+            (col("u") + 1).cast("double") / col("n_tokens").cast("double"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("lang"), col("rk").cast("long").as("rk"),
+            col("doc_id"), col("n_tokens"), col("sample_key"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    GREATEST(len(${OpUtils.oWords("text")}), 1) AS n_tokens,
+         |    ${OpUtils.oMd5Val("'psamp:' || CAST(doc_id AS VARCHAR)", 13)} AS u
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    CAST(u + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sample_key,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY CAST(u + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+         |        doc_id) AS rk
+         |  FROM b)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_tokens, sample_key
+         |FROM r WHERE rk <= 20
+         |ORDER BY lang, rk""".stripMargin)
   )
 }

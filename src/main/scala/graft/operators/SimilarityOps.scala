@@ -1342,6 +1342,63 @@ object SimilarityOps {
          |  new_mean_d1 - c.cv[1] AS shift_d1,
          |  new_mean_d64 - c.cv[64] AS shift_d64
          |FROM n JOIN cents c ON c.cell = n.cell
-         |ORDER BY n.cell""".stripMargin)
+         |ORDER BY n.cell""".stripMargin),
+
+    // -- Exact embedding covariance matrix ------------------------------
+    // The statistic behind whitening / PCA / drift monitors: the full
+    // 64×64 covariance upper triangle in ONE distributed pass. Exactness
+    // recipe: vectors are quantized to 1/64-grid integers map-side
+    // (floor(x*64+.5) — floor, not round: round's tie rule diverges
+    // across engines on exact .5 fractions, floor+0.5 doesn't), so every
+    // per-row product and both running sums are exact BIGINTs —
+    // order-independent under any partitioning, no decimal needed. The
+    // pair explode is map-side CPU feeding partial aggregation: the
+    // shuffle carries only 2080 (i,j) cells × partitions, and the two
+    // per-dim sum frames join back by broadcast. n·Σxy−ΣxΣy stays under
+    // 2^63 up to ~10M rows per corpus slice; beyond that the same plan
+    // runs with DECIMAL(38) sums. cov is in original units (÷64²).
+    QueryDef.sql("s20_embedding_covariance",
+      (s, d) => {
+        val q = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("q"))
+        val ds = q.select(posexplode(col("q")).as(Seq("i0", "qi")))
+          .groupBy((col("i0") + 1).cast("long").as("i"))
+          .agg(sum(col("qi")).as("s"))
+        val pairs = q.select(explode(flatten(transform(
+            sequence(lit(1), lit(64)), i => transform(sequence(i, lit(64)),
+              j => struct(i.cast("long").as("i"), j.cast("long").as("j"),
+                (element_at(col("q"), i) * element_at(col("q"), j)).as("p"))))))
+            .as("e"))
+          .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+          .agg(count(lit(1)).as("n"), sum(col("e.p")).as("spq"))
+        pairs
+          .join(broadcast(ds.select(col("i").as("ii"), col("s").as("si"))),
+            col("i") === col("ii"))
+          .join(broadcast(ds.select(col("i").as("jj"), col("s").as("sj"))),
+            col("j") === col("jj"))
+          .select(col("i"), col("j"), col("n"),
+            ((col("n") * col("spq") - col("si") * col("sj")).cast("double") /
+              (col("n") * col("n")) / lit(4096)).as("cov"))
+          .orderBy(col("i"), col("j"))
+      },
+      """WITH qv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, unnest(q) AS qi,
+        |    unnest(range(1, 65)) AS i FROM qv),
+        |ds AS (SELECT i, CAST(SUM(qi) AS BIGINT) AS s FROM ex GROUP BY i),
+        |agg AS (
+        |  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+        |    CAST(SUM(a.qi * b.qi) AS BIGINT) AS spq
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT agg.i, agg.j, agg.n,
+        |  CAST(agg.n * agg.spq - di.s * dj.s AS DOUBLE)
+        |    / (agg.n * agg.n) / 4096 AS cov
+        |FROM agg JOIN ds di ON agg.i = di.i JOIN ds dj ON agg.j = dj.i
+        |ORDER BY agg.i, agg.j""".stripMargin)
   )
 }

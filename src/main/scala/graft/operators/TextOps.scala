@@ -1074,6 +1074,42 @@ object TextOps {
          |  b.cnt * 1000000 // a.cnt AS ratio_ppm
          |FROM rk a JOIN rk b ON b.rnk = a.rnk * 2
          |WHERE a.rnk IN (1,2,4,8,16,32,64,128,256,512)
-         |ORDER BY r""".stripMargin)
+         |ORDER BY r""".stripMargin),
+
+    // -- Heavy hitters via the native Count-Min sketch ------------------
+    // The sketch path for word frequencies at a scale where the exact
+    // (word, count) rollup's shuffle dominates: ONE CountMinAgg
+    // (graft's native TypedImperativeAggregate) folds the corpus into a
+    // fixed 4×4096-counter state per partition, partials merge by
+    // elementwise add (order-free ⇒ the sketch — and so every estimate —
+    // is bit-identical under ANY partitioning; CmsSpec pins this), and
+    // only depth×width longs per partition ever shuffle. The exact
+    // top-30 here is the audit frame the CMS contract is checked
+    // against: est ≥ exact (structural CMS guarantee) and est ≤ corpus
+    // total, both as oracle-pinned booleans — the q34/q43 sketch-
+    // contract pattern, since no SQL engine can replay the sketch.
+    QueryDef.sql("t24_heavy_hitters",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val wordsDf = Tables.documents(s, d)
+          .select(explode(words(col("text"))).as("word"))
+        val sk = wordsDf.agg(call_function("cms_agg", col("word")).as("sk"))
+        wordsDf.groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word")).limit(30)
+          .crossJoin(broadcast(sk))
+          .select(col("word"), col("n"),
+            (call_function("cms_estimate", col("sk"), col("word")) >= col("n"))
+              .as("est_ge_exact"),
+            (call_function("cms_estimate", col("sk"), col("word")) <=
+              element_at(col("sk"), 4 * 4096 + 1)).as("est_le_total"))
+          .orderBy(col("n").desc, col("word"))
+      },
+      s"""WITH w AS (
+         |  SELECT unnest(${oWords("text")}) AS word FROM documents),
+         |c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word
+         |  ORDER BY n DESC, word LIMIT 30)
+         |SELECT word, n, TRUE AS est_ge_exact, TRUE AS est_le_total
+         |FROM c
+         |ORDER BY n DESC, word""".stripMargin)
   )
 }

@@ -820,6 +820,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("\n").count(_.trim.startsWith("+- Sort")) <= 2, p)
   }
 
+  test("s20: covariance is partial-agg over map-side pair explode, dims broadcast back") {
+    val p = plan("s20_embedding_covariance")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // pair rollup (2080 keys) + dim rollup (64 keys): fixed-width cells,
+    // never vectors, cross the wire
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 3, p)
+  }
+
+  test("p13: sample keys are map-side; the per-language rank retains k rows per partition") {
+    val p = plan("p13_priority_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Join"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+  }
+
+  test("t24: the CMS folds partially map-side — fixed sketch state, not words, shuffles") {
+    val p = plan("t24_heavy_hitters")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass before its exchange: each partition ships one
+    // 4×4096-counter buffer regardless of corpus size
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_cms_agg"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("m13: container walk shuffles no rows — video bytes stay in the partition") {
     val p = plan("m13_video_length_gate")
     assert(!p.contains("Exchange hashpartitioning"), p)
