@@ -60,7 +60,7 @@ object SparkEntry {
       "q39_retention_cohorts", "q40_latest_compaction", "q43_approx_quantiles",
       "q46_interval_native", "q47_session_native", "q48_price_deciles",
       "q50_basket_pairs", "q51_revenue_growth", "q52_bucketed_join",
-      "q53_salted_join", "q54_scd2_history",
+      "q53_salted_join", "q54_scd2_history", "q55_sliding_velocity",
       "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "d16_semantic_dedup", "d17_line_dedup", "d21_contamination_report",

@@ -657,6 +657,39 @@ object EventsOps {
         |  (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
         |    IS NULL) AS is_current
         |FROM f
-        |ORDER BY user_id, valid_from, change_id""".stripMargin)
+        |ORDER BY user_id, valid_from, change_id""".stripMargin),
+
+    // -- Sliding-window velocity flags ----------------------------------
+    // The fraud/rate-limit staple q18's tumbling windows can't express:
+    // "N+ events by one user within ANY 10-minute span" needs windows
+    // that OVERLAP, or a burst straddling a tumbling boundary goes
+    // unseen. Spark's window(ts, 10min, 5min) assigns each event to its
+    // 2 covering epoch-aligned slides map-side (fan-out = window/slide,
+    // a constant), then it's one (window, user) rollup with map-side
+    // partials — same shuffle shape as tumbling, 2× the rows in. The
+    // oracle mirrors the assignment arithmetic with an explicit 2-slide
+    // unnest of the event's bin and its predecessor.
+    QueryDef.sql("q55_sliding_velocity",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .filter(col("n_events") >= 2)
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("user_id"), col("n_events"))
+          .orderBy(col("win_start_us"), col("user_id"))
+      },
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |x AS (
+        |  SELECT user_id,
+        |    unnest([us // 300000000 - 1, us // 300000000]) * 300000000
+        |      AS win_start_us
+        |  FROM e)
+        |SELECT win_start_us, user_id, COUNT(*) AS n_events
+        |FROM x
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY win_start_us, user_id""".stripMargin)
   )
 }

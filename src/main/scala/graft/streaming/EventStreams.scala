@@ -304,6 +304,46 @@ object EventStreams {
         (col("purchase_us") - col("best.view_us")).as("gap_us"))
   }
 
+  /** Streaming LEFT-OUTER attribution — the semantics asofStream's
+    * inner join cannot express: every purchase gets a row, including
+    * the never-attributed ones. The outer side of a stream-stream join
+    * has a distinct finalization contract: a purchase with no matching
+    * view is held in state until the VIEW-side watermark proves no
+    * match can still arrive, then emitted with nulls — so "unattributed"
+    * is a watermark-certified fact, not a race. Same eviction envelope
+    * as asofStream (state ∝ rate × horizon per side); the chained
+    * windowed agg then reduces match rows to one verdict per purchase
+    * (attributed flag + latest view inside the horizon), append-
+    * finalized a window past the watermark. EventStreamsSpec replays
+    * the corpus and checks every purchase against the batch q21 twin
+    * under the horizon contract. */
+  def attributionStream(events: DataFrame, horizon: String = "2 hours"): DataFrame = {
+    val base = events.withColumn("ts", timestamp_micros(col("us")))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"), col("us").as("view_us"))
+      .withWatermark("v_ts", horizon)
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("us").as("purchase_us"))
+      .withWatermark("p_ts", horizon)
+    purchases.join(views,
+        col("v_user") === col("user_id") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"interval $horizon") &&
+          (col("v_ts") < col("p_ts") || col("view_id") < col("purchase_id")),
+        "leftOuter")
+      .groupBy(window(col("p_ts"), "1 minute"), col("purchase_id"),
+        col("user_id"), col("purchase_us"))
+      .agg(count(col("view_id")).as("n_views"),
+        max(struct(col("view_us"), col("view_id"))).as("best"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        (col("n_views") > 0).as("attributed"),
+        when(col("n_views") > 0, col("best.view_id")).as("last_view_id"),
+        when(col("n_views") > 0, col("purchase_us") - col("best.view_us"))
+          .as("gap_us"))
+  }
+
   final case class LatestState(us: Long, eventId: Long, eventType: String,
       value: Double, n: Long)
   final case class LatestOut(user_id: Long, n_versions: Long, event_id: Long,

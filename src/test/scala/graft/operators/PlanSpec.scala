@@ -848,6 +848,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q55: sliding windows expand map-side (constant fan-out), one rollup shuffle") {
+    val p = plan("q55_sliding_velocity")
+    assert(!p.contains("Join"), p)
+    // the 2-slide expansion is an Expand/Generate BELOW the partial agg
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("m13: container walk shuffles no rows — video bytes stay in the partition") {
     val p = plan("m13_video_length_gate")
     assert(!p.contains("Exchange hashpartitioning"), p)

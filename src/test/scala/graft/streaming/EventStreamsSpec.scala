@@ -209,6 +209,53 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("left-outer attribution covers EVERY purchase and matches the batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val horizonUs = 2L * 3600 * 1000000
+
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.attributionStream(input.toDF(), "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+
+    val ordered = EventStreams.eventsOf(spark, sf).collect()
+      .sortBy(e => (e.us, e.event_id)).toSeq
+    ordered.grouped(math.max(1, ordered.size / 3)).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    val far = ordered.last.us + 10L * horizonUs
+    input.addData(Seq(
+      EventStreams.Event(-1L, far, -1L, "view", 0.0),
+      EventStreams.Event(-2L, far, -1L, "purchase", 0.0)))
+    query.processAllAvailable()
+    query.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getBoolean(3),
+      Option(r.get(4)).map(_.asInstanceOf[Long]),
+      Option(r.get(5)).map(_.asInstanceOf[Long]))
+    val got = spark.table("attr_out").filter(col("user_id") >= 0)
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("attributed"), col("last_view_id"), col("gap_us"))
+      .collect().map(key).toSet
+
+    // batch twin: q21 keeps every purchase (last-view columns null when
+    // no prior view); the horizon contract demotes a too-old view to
+    // "unattributed"
+    val want = EventsOps.all.find(_.name == "q21_asof_join").get.fn(spark, sf)
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        (col("gap_us").isNotNull && col("gap_us") <= horizonUs).as("attributed"),
+        when(col("gap_us").isNotNull && col("gap_us") <= horizonUs,
+          col("last_view_id")).as("last_view_id"),
+        when(col("gap_us").isNotNull && col("gap_us") <= horizonUs,
+          col("gap_us")).as("gap_us"))
+      .collect().map(key).toSet
+
+    assert(want.exists(!_._4), "corpus has no unattributed purchase — test is vacuous")
+    assert(got === want)
+  }
+
   test("stream-static interval tag matches a naive range-predicate batch join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
