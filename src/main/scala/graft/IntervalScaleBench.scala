@@ -84,7 +84,9 @@ object IntervalScaleBench {
 
       def run(df: DataFrame): (Double, Long) = {
         mat(df) // warm untimed
-        val n = df.agg(sum(col("n"))).collect()(0).getLong(0)
+        // sum over empty input is NULL — coalesce so a zero-row variant
+        // reports 0 instead of NPE-crashing the bench cell (r7 ADVICE)
+        val n = df.agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
         (timed(mat(df)), n)
       }
 

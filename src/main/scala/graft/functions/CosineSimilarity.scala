@@ -116,6 +116,8 @@ object GraftFunctions {
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mips_buckets", exprs => MipsBuckets(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_agg",
       exprs => CountMinAgg(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -135,6 +137,9 @@ object GraftFunctions {
 
   def int8Dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("int8_dot", a, b)
+
+  def mipsBuckets(va: Column): Column =
+    org.apache.spark.sql.functions.call_function("mips_buckets", va)
 
   def bloomMightContain(bf: Column, k: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", bf, k)

@@ -17,6 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object OpUtils {
 
+  /** Bounded per-query persist: some operators persist a mid-plan frame
+    * consumed by two downstream branches (s17's candidate set, t21/t23's
+    * head counts). A bare `.persist()` there leaks — the frame can't be
+    * unpersisted before the lazy result materializes, so every bench /
+    * gate replay pinned another copy for the session lifetime (r7
+    * ADVICE). This registry keeps AT MOST ONE live frame per
+    * (session, tag): re-invoking the same query releases the previous
+    * invocation's frame (each rep still recomputes — the timing
+    * semantics are unchanged), and [[releaseTransients]] drops them all.
+    */
+  private val transients =
+    scala.collection.concurrent.TrieMap[(Int, String), org.apache.spark.sql.DataFrame]()
+
+  def transientPersist(s: org.apache.spark.sql.SparkSession, tag: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = (System.identityHashCode(s), tag)
+    transients.remove(k).foreach(_.unpersist(false))
+    val p = df.persist()
+    transients(k) = p
+    p
+  }
+
+  /** Release every transient frame registered for `s`. */
+  def releaseTransients(s: org.apache.spark.sql.SparkSession): Unit = {
+    val sid = System.identityHashCode(s)
+    transients.keys.filter(_._1 == sid).foreach { k =>
+      transients.remove(k).foreach(_.unpersist(true))
+    }
+  }
+
   /** Whitespace-tokenized words of the trimmed text. */
   def words(text: Column): Column = split(trim(text), " +")
 

@@ -1040,7 +1040,136 @@ object Relational {
          |  COUNT(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1
-         |ORDER BY c_mktsegment""".stripMargin)
+         |ORDER BY c_mktsegment""".stripMargin),
+
+    // -- Returned-item reporting (the TPC-H Q10 shape) ------------------
+    // Which customers returned the most revenue in a quarter? lineitem
+    // filtered to returns, orders to the quarter (both pushed to the
+    // scans), customer keyed join, nation broadcast. The top-20 cut is
+    // TakeOrderedAndProject — never a global sort of the customer agg.
+    // Output ordering key is the exact cents BIGINT (not the rounded
+    // double), so the cut is deterministic cross-engine.
+    QueryDef.sql("q56_returned_items",
+      (s, d) => {
+        // revenue is DECIMAL scale 4 — fixed-point at 1e4 is exactly
+        // integral (×100 would leave 2 fractional digits, and Spark's
+        // decimal→long cast truncates where DuckDB's rounds)
+        val rev_i = (revenue * 10000).cast("long")
+        val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1996-05-01 00:00:00"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(rev_i).as("rev_i"), count(lit(1)).as("n_returns"))
+          .orderBy(col("rev_i").desc, col("c_custkey"))
+          .limit(20)
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            (col("rev_i").cast("double") / 10000).as("revenue"),
+            col("n_returns"))
+      },
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(SUM(CAST($orev * 10000 AS BIGINT)) AS DOUBLE) / 10000
+         |    AS revenue,
+         |  COUNT(*) AS n_returns
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-05-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY SUM(CAST($orev * 10000 AS BIGINT)) DESC, c_custkey
+         |LIMIT 20""".stripMargin),
+
+    // -- Cheapest supplier per part (the TPC-H Q2 argmin shape) ---------
+    // No partsupp table in TESTDATA, so the price book is lineitem's
+    // observed unit prices: per part, the single cheapest (supplier,
+    // unit price) observation. The argmin is a row_number window —
+    // WindowGroupLimit keeps only each part's best row PRE-exchange, so
+    // the shuffle carries ~|parts| rows, not |lineitem|. Unit price is
+    // one IEEE double division (identical in both engines); every tie
+    // breaks on (suppkey, orderkey, linenumber).
+    QueryDef.sql("q57_cheapest_supplier",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("unit_price"), col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber"))
+        Tables.lineitem(s, d)
+          .withColumn("unit_price", col("l_extendedprice") / col("l_quantity"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("p_partkey"), col("s_name"),
+            col("unit_price"))
+          .orderBy(col("p_partkey"))
+      },
+      """WITH u AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    l_extendedprice / l_quantity AS unit_price,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_extendedprice / l_quantity, l_suppkey, l_orderkey,
+        |        l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_partkey AS p_partkey, s_name, unit_price
+        |FROM u JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1
+        |ORDER BY p_partkey""".stripMargin),
+
+    // -- National market share inside a region (the TPC-H Q8 shape) -----
+    // Per order-year: NATION_2's share of all ASIA-supplier revenue.
+    // Dims (supplier, nation, region) broadcast, so the fact side
+    // shuffles once — orders⋈lineitem on the order key — and the share
+    // arithmetic is exact cents with an integer-ppm division (no
+    // cross-engine double-division drift on aggregates).
+    QueryDef.sql("q58_market_share",
+      (s, d) => {
+        // same 1e4 fixed point as q56: revenue is DECIMAL scale 4
+        val rev_i = (revenue * 10000).cast("long")
+        val asiaSup = Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("s_suppkey").as("sk"), col("n_name"))
+        Tables.lineitem(s, d)
+          .join(broadcast(asiaSup), col("l_suppkey") === col("sk"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(sum(rev_i).as("total_i"),
+            sum(when(col("n_name") === "NATION_2", rev_i)
+              .otherwise(0L)).as("nation_i"))
+          .select(col("o_year"),
+            (col("total_i").cast("double") / 10000).as("asia_revenue"),
+            (col("nation_i").cast("double") / 10000).as("nation_revenue"),
+            expr("nation_i * 1000000 div total_i").as("share_ppm"))
+          .orderBy(col("o_year"))
+      },
+      s"""WITH sup AS (
+         |  SELECT s_suppkey AS sk, n_name
+         |  FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA'),
+         |a AS (
+         |  SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+         |    CAST(SUM(CAST($orev * 10000 AS BIGINT)) AS BIGINT) AS total_i,
+         |    CAST(SUM(CASE WHEN n_name = 'NATION_2'
+         |      THEN CAST($orev * 10000 AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS nation_i
+         |  FROM lineitem
+         |  JOIN sup ON l_suppkey = sk
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1)
+         |SELECT o_year,
+         |  CAST(total_i AS DOUBLE) / 10000 AS asia_revenue,
+         |  CAST(nation_i AS DOUBLE) / 10000 AS nation_revenue,
+         |  CAST(nation_i * 1000000 // total_i AS BIGINT) AS share_ppm
+         |FROM a
+         |ORDER BY o_year""".stripMargin)
   )
 
   /** Bucketed copies of orders/lineitem (8 buckets on the order key,
@@ -1053,16 +1182,34 @@ object Relational {
 
   private def bucketedStore(s: SparkSession, d: String): (String, String) =
     bucketCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      val tag = java.lang.Integer.toHexString(System.identityHashCode(s)) +
-        "_" + java.lang.Integer.toHexString(d.hashCode).replace('-', 'n')
+      // tag derives ONLY from the data dir (md5, collision-safe unlike
+      // hashCode): repeated sessions over the same dir reuse ONE
+      // deterministic pair of warehouse tables instead of accumulating
+      // per-session copies keyed by identityHashCode (r7 ADVICE).
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val tag = md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val ot = s"graft_bkt_orders_$tag"
       val lt = s"graft_bkt_lineitem_$tag"
-      Tables.orders(s, d).repartition(8, col("o_orderkey"))
-        .write.format("parquet").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
-      Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
-        .write.format("parquet").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
+      // existence check against the CATALOG, not the in-memory map: a
+      // prior session in this catalog already wrote these exact tables
+      // (the dir is immutable per round) — reuse, don't rebuild
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+        // a FRESH catalog (new JVM) may still see the previous JVM's
+        // warehouse directories under the deterministic tag — managed
+        // CREATE refuses an existing location, so reclaim them first
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        Seq(ot, lt).foreach { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        Tables.orders(s, d).repartition(8, col("o_orderkey"))
+          .write.format("parquet").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
+        Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+          .write.format("parquet").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
+      }
       (ot, lt)
     })
 }

@@ -98,7 +98,7 @@ object SimilarityOps {
     * other and of the s02 planes. */
   private val MipsTables = 16
   private val MipsBits = 5
-  private val mipsSigns: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+  private[graft] val mipsSigns: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
     (0 until MipsTables).map { t =>
       (0 until MipsBits).map { p =>
         (1 to 65).map { j =>
@@ -111,8 +111,11 @@ object SimilarityOps {
 
   /** Table-t bucket of the 65-dim augmented vector — the s02 unrolled
     * left-associated fold per plane, so buckets are bitwise equal to
-    * the oracle's list_reduce. */
-  private def mipsBucketCol(t: Int, va: Column): Column =
+    * the oracle's list_reduce. Retired from s17's plan (the unrolled
+    * form is a compile bomb — see functions/MipsBuckets.scala); kept as
+    * the independent truth MipsBucketsSpec checks the native expression
+    * against. */
+  private[graft] def mipsBucketCol(t: Int, va: Column): Column =
     (0 until MipsBits).map { p =>
       val proj = mipsSigns(t)(p).zipWithIndex.foldLeft(lit(0.0)) {
         case (acc, (sgn, j0)) =>
@@ -123,8 +126,8 @@ object SimilarityOps {
     }.reduce(_ + _)
 
   /** All 16 (table, bucket) pairs for an augmented vector, as one
-    * explodable array column. */
-  private def mipsTableBuckets(va: Column): Column =
+    * explodable array column. Spec-only — see [[mipsBucketCol]]. */
+  private[graft] def mipsTableBuckets(va: Column): Column =
     array((0 until MipsTables).map(t =>
       struct(lit(t).as("t"), mipsBucketCol(t, va).as("bucket"))): _*)
 
@@ -1136,20 +1139,29 @@ object SimilarityOps {
           .filter(col("rnk") <= 3)
           .select(col("q_id"), col("n_id"))
         val m2 = corpus.agg(max(col("n2")).as("m2"))
+        // native mips_buckets: one codegen'd plan node computing all 16
+        // table buckets (bitwise equal to the unrolled fold —
+        // MipsBucketsSpec); the former declarative form was a
+        // ~5,200-node tree whose analysis+codegen alone cost 42-61 s
+        // cold (r7 verdict). posexplode's pos IS the table index.
         val ct = corpus.crossJoin(m2)
           .withColumn("va", concat(col("v"), array(sqrt(col("m2") - col("n2")))))
-          .select(col("vec_id"), explode(mipsTableBuckets(col("va"))).as("tb"))
-          .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+          .select(col("vec_id"),
+            posexplode(graft.functions.GraftFunctions.mipsBuckets(col("va")))
+              .as(Seq("t", "bucket")))
         val qt = q
           .withColumn("va", concat(col("qv"), array(lit(0.0))))
-          .select(col("q_id"), explode(mipsTableBuckets(col("va"))).as("tb"))
-          .select(col("q_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-        // persist(): the candidate set feeds BOTH the per-query count
-        // and the exact-dot re-rank — without the barrier the whole
-        // 16-table bucket pipeline would run twice
-        val cand = qt.join(ct, Seq("t", "bucket"))
-          .select(col("q_id"), col("vec_id").as("n_id")).distinct()
-          .persist()
+          .select(col("q_id"),
+            posexplode(graft.functions.GraftFunctions.mipsBuckets(col("va")))
+              .as(Seq("t", "bucket")))
+        // transientPersist: the candidate set feeds BOTH the per-query
+        // count and the exact-dot re-rank — without the barrier the
+        // whole 16-table bucket pipeline would run twice. Routed
+        // through the bounded registry so replays release the previous
+        // frame instead of pinning one per invocation (r7 ADVICE).
+        val cand = OpUtils.transientPersist(s, s"s17:$d",
+          qt.join(ct, Seq("t", "bucket"))
+            .select(col("q_id"), col("vec_id").as("n_id")).distinct())
         val nc = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
         val mips = cand
           .join(corpus.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
@@ -1218,13 +1230,16 @@ object SimilarityOps {
     // embeddings for curation (a collapsed space scores ~chance). Both
     // the top-3 cut and the vote are (count DESC, label ASC) total
     // orders, so prediction ties break identically cross-engine. 100 TB
-    // shape: the s01 contract — query side is a bounded sample, the
-    // per-query windows are WindowGroupLimit-bounded, and the final
-    // rollup is label-wide (10 rows).
+    // shape: the s01 contract — the query side is an ABSOLUTE cap
+    // (vec_id < 100), not a proportional sample: a pmod-style 20%
+    // sample theta-joined against the corpus is O(n²/5) — 20× the work
+    // on 10× data (r7 verdict "What's wrong #4"). The accuracy read
+    // needs a fixed-size probe, not a census; per-query windows stay
+    // WindowGroupLimit-bounded and the final rollup is label-wide.
     QueryDef.sql("s18_knn_classify",
       (s, d) => {
         val e = vecs(s, d)
-        val q = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        val q = e.filter(col("vec_id") < 100)
           .select(col("vec_id").as("q_id"), col("label").as("true_label"),
             col("v").as("qv"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -1249,7 +1264,7 @@ object SimilarityOps {
       s"""WITH e AS ($oVecs),
          |q AS (
          |  SELECT vec_id AS q_id, label AS true_label, v AS qv
-         |  FROM e WHERE vec_id % 5 = 0),
+         |  FROM e WHERE vec_id < 100),
          |c AS (
          |  SELECT q.q_id, q.true_label, e.vec_id AS n_id, e.label AS n_label,
          |    ${oCosine("q.qv", "e.v")} AS cos

@@ -940,14 +940,16 @@ object TextOps {
     // broadcast; integer ppm end-to-end.
     QueryDef.sql("t21_head_coverage",
       (s, d) => {
-        // persist(): tot and the head cut both read the counted frame —
-        // without the barrier Catalyst would inline (= run twice) the
-        // explode+count pipeline, the dominant cost at corpus scale
-        val gc = Tables.documents(s, d)
-          .select(explode(grams3(words(col("text")))).as("g"))
-          .select(md5Val(col("g"), 15).as("gh"))
-          .groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
-          .persist()
+        // transientPersist: tot and the head cut both read the counted
+        // frame — without the barrier Catalyst would inline (= run
+        // twice) the explode+count pipeline, the dominant cost at
+        // corpus scale. Bounded registry: replays release the previous
+        // frame (r7 ADVICE).
+        val gc = OpUtils.transientPersist(s, s"t21:$d",
+          Tables.documents(s, d)
+            .select(explode(grams3(words(col("text")))).as("g"))
+            .select(md5Val(col("g"), 15).as("gh"))
+            .groupBy(col("gh")).agg(count(lit(1)).as("cnt")))
         val tot = gc.agg(sum(col("cnt")).as("n_grams"),
           count(lit(1)).as("n_types"))
         val wTop = Window.orderBy(col("cnt").desc, col("gh"))
@@ -1049,9 +1051,11 @@ object TextOps {
           .select(md5Val(col("g"), 15).as("gh"))
           .groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
         val wTop = Window.orderBy(col("cnt").desc, col("gh"))
-        val ranked = gc.orderBy(col("cnt").desc, col("gh")).limit(1024)
-          .withColumn("rnk", row_number().over(wTop))
-          .select(col("rnk"), col("cnt")).persist()
+        // bounded registry, not a bare persist (r7 ADVICE)
+        val ranked = OpUtils.transientPersist(s, s"t23:$d",
+          gc.orderBy(col("cnt").desc, col("gh")).limit(1024)
+            .withColumn("rnk", row_number().over(wTop))
+            .select(col("rnk"), col("cnt")))
         val a = ranked.filter(col("rnk").isin(powers: _*))
           .select(col("rnk").as("r"), col("cnt").as("freq_r"))
         val b = ranked.select(col("rnk").as("r2"), col("cnt").as("freq_2r"))

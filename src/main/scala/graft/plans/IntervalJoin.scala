@@ -99,7 +99,11 @@ final case class IntervalJoinExec(
         val b = boundsProj(r)
         (b.getLong(0), b.getLong(1), r.copy())
       }.filter(iv => iv._2 > iv._1).sortBy(_._1)
-      numIntervals.set(intervals.length)
+      // task-local SQLMetric values merge by ADDITION on the driver —
+      // setting in every task would report intervals × left partitions.
+      // One task owns the metric (every task sees the same broadcast).
+      if (org.apache.spark.TaskContext.getPartitionId() == 0)
+        numIntervals.set(intervals.length)
       val loArr = intervals.map(_._1)
       val maxLen = if (intervals.isEmpty) 0L
         else intervals.map(iv => iv._2 - iv._1).max

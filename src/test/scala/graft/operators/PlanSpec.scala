@@ -770,6 +770,12 @@ class PlanSpec extends AnyFunSuite {
   test("s18: per-query top-3 and vote windows are WindowGroupLimit-bounded") {
     val p = plan("s18_knn_classify")
     assert(p.contains("WindowGroupLimit"), p)
+    // the query side must carry an ABSOLUTE literal cap: a proportional
+    // sample (pmod-style) theta-joined with the corpus is O(n²) at
+    // scale (r7 verdict #4). The bound reaches the scan as a pushed
+    // LessThan, visible as a literal comparison in the plan.
+    assert("vec_id#\\d+L? < 100".r.findFirstIn(p).isDefined ||
+      p.contains("LessThan(vec_id,100)"), p)
   }
 
   test("s19: assignment is a map-side fold — no per-vector window, no SMJ") {
@@ -867,9 +873,12 @@ class PlanSpec extends AnyFunSuite {
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, LocalRelation, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
     val dimPrefixes = Seq("r_", "n_", "s_")
     analyzed.foreach {
-      case h: ResolvedHint =>
+      // only broadcast-strategy hints can OOM at scale; MERGE/SHUFFLE_HASH
+      // hints on unbounded frames are the scale-SAFE direction (q52/q53)
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
         // Deduplicate (distinct) is an aggregation over all columns —
         // same cardinality-reduction justification as Aggregate
         val hasAgg = h.child.collectFirst {
