@@ -1257,6 +1257,60 @@ object MultimodalOps {
         |  CAST(duration_ms AS INTEGER) AS duration_ms, reason,
         |  reason = 'ok' AS keep
         |FROM v
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // -- aspect-ratio bucketing for batched image training -------------
+    // Vision trainers batch same-aspect images together (variable-aspect
+    // batches waste pixels on padding): classify each image into
+    // tall / square / wide by integer cross-multiplication (w·4 > h·5
+    // ⟺ w/h > 1.25 — no FP ratio, no cross-engine division), then per
+    // bucket report the population, the dim envelope, and how many
+    // 32-image batches the bucket fills (ceil by integer arithmetic).
+    // Scale shape: headers decode in mapPartitions (image bytes never
+    // shuffle — the m03 contract), only (id, w, h) rows reach the
+    // 3-row bucket agg.
+    QueryDef.sql("m14_aspect_buckets",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val dims = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val (w, h, _, _, _, _, _) = decodePpm(ppmBytes(id % 40))
+            Row(id, w, h)
+          }
+        }
+        s.createDataFrame(dims, StructType(Seq(
+            StructField("doc_id", LongType, nullable = false),
+            StructField("width", IntegerType, nullable = false),
+            StructField("height", IntegerType, nullable = false))))
+          .withColumn("bucket",
+            when(col("width") * 4 > col("height") * 5, "wide")
+              .when(col("height") * 4 > col("width") * 5, "tall")
+              .otherwise("square"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_images"),
+            min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+            min(col("height")).as("min_h"), max(col("height")).as("max_h"))
+          .withColumn("n_batches", expr("(n_images + 31) div 32"))
+          .orderBy(col("bucket"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    4 + (doc_id % 40) % 13 AS w, 4 + ((doc_id % 40) * 3) % 11 AS h
+        |  FROM documents WHERE doc_id < 1000),
+        |v AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN w * 4 > h * 5 THEN 'wide'
+        |         WHEN h * 4 > w * 5 THEN 'tall'
+        |         ELSE 'square' END AS bucket
+        |  FROM b)
+        |SELECT bucket, COUNT(*) AS n_images,
+        |  CAST(MIN(w) AS INTEGER) AS min_w, CAST(MAX(w) AS INTEGER) AS max_w,
+        |  CAST(MIN(h) AS INTEGER) AS min_h, CAST(MAX(h) AS INTEGER) AS max_h,
+        |  CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches
+        |FROM v
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin)
   )
 }

@@ -742,6 +742,99 @@ object PipelineOps {
          |  FROM b)
          |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_tokens, sample_key
          |FROM r WHERE rk <= 20
-         |ORDER BY lang, rk""".stripMargin)
+         |ORDER BY lang, rk""".stripMargin),
+
+    // -- per-source token-budget allocation (mixture planning) ---------
+    // The sheet that turns mixture intent into sampling quotas: a
+    // global budget (half the corpus tokens here) is split across
+    // sources in proportion to QUALITY mass (sum of t02 scores in
+    // integer milli-units), capped at what each source actually has;
+    // the surplus a capped source couldn't absorb is re-granted to the
+    // uncapped sources in one deterministic redistribution pass —
+    // integer arithmetic throughout, so both engines derive the exact
+    // same quotas. 100 TB shape: the corpus is scanned ONCE into a
+    // ≤|sources| row frame (transient-persisted — the totals pass and
+    // the output both read it without a rescan); everything after is
+    // arithmetic on that bounded frame via two 1-row broadcast aggs.
+    QueryDef.sql("p14_token_budget",
+      (s, d) => {
+        val per = OpUtils.transientPersist(s, s"p14:$d",
+          Tables.documents(s, d)
+            .withColumn("ws", words(col("text")))
+            .withColumn("n", size(col("ws")))
+            .withColumn("stop_hits",
+              size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
+            .withColumn("sum_len",
+              aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+            .withColumn("quality",
+              least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
+                (col("stop_hits").cast("double") / col("n")) * 0.3 +
+                least((col("sum_len").cast("double") / col("n")) / 8.0, lit(1.0)) * 0.2)
+            .groupBy(col("source"))
+            .agg(sum(col("n")).as("avail"),
+              sum(floor(col("quality") * 1000.0).cast("long")).as("w_m")))
+        val tot = per.agg(sum(col("avail")).as("tot_avail"),
+          sum(col("w_m")).as("q_tot"))
+        val pass1 = per.crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
+          .withColumn("budget", expr("tot_avail div 2"))
+          .withColumn("alloc1", expr("budget * w_m div q_tot"))
+          .withColumn("capped", col("alloc1") > col("avail"))
+          .withColumn("grant1", least(col("alloc1"), col("avail")))
+        val redo = pass1.agg(sum(col("grant1")).as("granted"),
+          sum(when(!col("capped"), col("w_m")).otherwise(0L)).as("q_unc"))
+        pass1.crossJoin(broadcast(redo)) // aggregate-bounded: 1 row
+          .withColumn("alloc_final",
+            least(col("grant1") + when(!col("capped"),
+              expr("(budget - granted) * w_m div q_unc")).otherwise(lit(0L)),
+              col("avail")))
+          .select(col("source"), col("avail"), col("w_m"), col("capped"),
+            col("alloc_final"),
+            expr("alloc_final * 1000000 div avail").as("fill_ppm"))
+          .orderBy(col("source"))
+      },
+      s"""WITH q AS (
+         |  SELECT source, ${oWords("text")} AS ws FROM documents),
+         |m AS (
+         |  SELECT source, len(ws) AS n,
+         |    len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to')))
+         |      AS stop_hits,
+         |    list_reduce([0] || list_transform(ws, w -> length(w)),
+         |      (a, b) -> a + b) AS sum_len
+         |  FROM q),
+         |sc AS (
+         |  SELECT source, n,
+         |    least(CAST(n AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |      (CAST(stop_hits AS DOUBLE) / n) * 0.3 +
+         |      least((CAST(sum_len AS DOUBLE) / n) / 8.0, 1.0) * 0.2 AS quality
+         |  FROM m),
+         |per AS (
+         |  SELECT source, CAST(SUM(n) AS BIGINT) AS avail,
+         |    CAST(SUM(CAST(floor(quality * 1000.0) AS BIGINT)) AS BIGINT) AS w_m
+         |  FROM sc GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(SUM(avail) AS BIGINT) AS tot_avail,
+         |    CAST(SUM(w_m) AS BIGINT) AS q_tot FROM per),
+         |p1 AS (
+         |  SELECT source, avail, w_m,
+         |    tot_avail // 2 AS budget,
+         |    (tot_avail // 2) * w_m // q_tot AS alloc1
+         |  FROM per, tot),
+         |p2 AS (
+         |  SELECT *, alloc1 > avail AS capped,
+         |    least(alloc1, avail) AS grant1 FROM p1),
+         |re AS (
+         |  SELECT CAST(SUM(grant1) AS BIGINT) AS granted,
+         |    CAST(SUM(CASE WHEN NOT capped THEN w_m ELSE 0 END) AS BIGINT)
+         |      AS q_unc
+         |  FROM p2)
+         |SELECT source, avail, w_m, capped,
+         |  CAST(least(grant1 + CASE WHEN NOT capped
+         |    THEN (budget - granted) * w_m // q_unc ELSE 0 END, avail)
+         |    AS BIGINT) AS alloc_final,
+         |  CAST(least(grant1 + CASE WHEN NOT capped
+         |    THEN (budget - granted) * w_m // q_unc ELSE 0 END, avail)
+         |    * 1000000 // avail AS BIGINT) AS fill_ppm
+         |FROM p2, re
+         |ORDER BY source""".stripMargin)
   )
 }

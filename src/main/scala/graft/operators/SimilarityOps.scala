@@ -1414,6 +1414,51 @@ object SimilarityOps {
         |  CAST(agg.n * agg.spq - di.s * dj.s AS DOUBLE)
         |    / (agg.n * agg.n) / 4096 AS cov
         |FROM agg JOIN ds di ON agg.i = di.i JOIN ds dj ON agg.j = dj.i
-        |ORDER BY agg.i, agg.j""".stripMargin)
+        |ORDER BY agg.i, agg.j""".stripMargin),
+
+    // -- pairwise-similarity histogram (anisotropy probe) --------------
+    // The distribution read taken before trusting cosine thresholds
+    // anywhere else (d10/d16's cut points, s12's radius): if random-pair
+    // similarity piles up near a single value the space is anisotropic
+    // and every threshold needs re-centering. Probe = ALL pairs of an
+    // absolute 200-vector sample (≤19,900 pairs at any SF — the s01/s18
+    // bounded-probe contract, never a census). Buckets are
+    // floor((cos+1)·10) clamped to 19 — one exact double op chain, so
+    // bucket ids are bit-identical cross-engine; shares are integer ppm.
+    QueryDef.sql("s21_similarity_histogram",
+      (s, d) => {
+        val e = vecs(s, d).filter(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("i"), col("v").as("vi"))
+        val b = e.select(col("vec_id").as("j"), col("v").as("vj"))
+        // transientPersist: the ≤20-row histogram feeds both the total
+        // and the output — without the barrier Catalyst inlines the
+        // whole pair pipeline into the total agg (= cosines computed
+        // twice; the PlanSpec guard caught exactly this)
+        val g = OpUtils.transientPersist(s, s"s21:$d",
+          a.join(b, col("i") < col("j"))
+            .withColumn("cos", cosine(col("vi"), col("vj")))
+            .withColumn("bucket",
+              least(floor((col("cos") + 1.0) * 10.0).cast("int"), lit(19)))
+            .groupBy(col("bucket"))
+            .agg(count(lit(1)).as("n_pairs")))
+        val tot = g.agg(sum(col("n_pairs")).as("tot_pairs"))
+        g.crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
+          .select(col("bucket"), col("n_pairs"),
+            expr("n_pairs * 1000000 div tot_pairs").as("share_ppm"))
+          .orderBy(col("bucket"))
+      },
+      s"""WITH e AS ($oVecs),
+         |a AS (SELECT vec_id AS i, v AS vi FROM e WHERE vec_id < 200),
+         |b AS (SELECT vec_id AS j, v AS vj FROM e WHERE vec_id < 200),
+         |p AS (
+         |  SELECT LEAST(CAST(floor((${oCosine("a.vi", "b.vj")} + 1.0) * 10.0)
+         |    AS INTEGER), 19) AS bucket
+         |  FROM a JOIN b ON a.i < b.j),
+         |g AS (SELECT bucket, COUNT(*) AS n_pairs FROM p GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot_pairs FROM g)
+         |SELECT bucket, n_pairs,
+         |  CAST(n_pairs * 1000000 // tot_pairs AS BIGINT) AS share_ppm
+         |FROM g, t
+         |ORDER BY bucket""".stripMargin)
   )
 }

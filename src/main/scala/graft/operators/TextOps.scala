@@ -1114,6 +1114,72 @@ object TextOps {
          |  ORDER BY n DESC, word LIMIT 30)
          |SELECT word, n, TRUE AS est_ge_exact, TRUE AS est_le_total
          |FROM c
-         |ORDER BY n DESC, word""".stripMargin)
+         |ORDER BY n DESC, word""".stripMargin),
+
+    // -- quality-score band sheet (cutoff selection) -------------------
+    // The sheet read before choosing t02's keep-threshold: docs and
+    // tokens per 0.05-wide score band, with the cumulative share kept
+    // if the cut were placed just below each band. p01/p11 consume a
+    // fixed threshold; this is how that number gets picked. 100 TB
+    // shape: the banding is a map-side projection (same score chain as
+    // t02, one exact double op order), the agg is ≤20 rows, and the
+    // cumulative window runs over that bounded frame — the corpus is
+    // touched exactly once, no joins. Shares are integer ppm.
+    QueryDef.sql("t25_quality_bands",
+      (s, d) => {
+        // transientPersist: the ≤20-row band frame feeds both the total
+        // and the output — without the barrier Catalyst inlines the
+        // corpus scan into the total agg (= corpus read twice; the
+        // PlanSpec guard caught exactly this)
+        val g = OpUtils.transientPersist(s, s"t25:$d",
+          Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .withColumn("n", size(col("ws")))
+          .withColumn("stop_hits",
+            size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
+          .withColumn("sum_len",
+            aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+          .withColumn("quality",
+            least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
+              (col("stop_hits").cast("double") / col("n")) * 0.3 +
+              least((col("sum_len").cast("double") / col("n")) / 8.0, lit(1.0)) * 0.2)
+          .withColumn("band",
+            least(floor(col("quality") * 20.0).cast("int"), lit(19)))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens")))
+        val tot = g.agg(sum(col("n_docs")).as("tot_docs"))
+        val w = Window.orderBy(col("band").desc) // ≤20 rows: bounded frame
+        g.crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
+          .withColumn("cum_docs", sum(col("n_docs")).over(w))
+          .select(col("band"), col("n_docs"), col("n_tokens"), col("cum_docs"),
+            expr("cum_docs * 1000000 div tot_docs").as("cum_share_ppm"))
+          .orderBy(col("band"))
+      },
+      s"""WITH q AS (
+         |  SELECT ${oWords("text")} AS ws FROM documents),
+         |m AS (
+         |  SELECT len(ws) AS n,
+         |    len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to')))
+         |      AS stop_hits,
+         |    list_reduce([0] || list_transform(ws, w -> length(w)),
+         |      (a, b) -> a + b) AS sum_len
+         |  FROM q),
+         |sc AS (
+         |  SELECT n,
+         |    least(CAST(n AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |      (CAST(stop_hits AS DOUBLE) / n) * 0.3 +
+         |      least((CAST(sum_len AS DOUBLE) / n) / 8.0, 1.0) * 0.2 AS quality
+         |  FROM m),
+         |g AS (
+         |  SELECT LEAST(CAST(floor(quality * 20.0) AS INTEGER), 19) AS band,
+         |    COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+         |  FROM sc GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM g)
+         |SELECT band, n_docs, n_tokens,
+         |  CAST(SUM(n_docs) OVER (ORDER BY band DESC) AS BIGINT) AS cum_docs,
+         |  CAST(SUM(n_docs) OVER (ORDER BY band DESC) * 1000000 // tot_docs
+         |    AS BIGINT) AS cum_share_ppm
+         |FROM g, t
+         |ORDER BY band""".stripMargin)
   )
 }

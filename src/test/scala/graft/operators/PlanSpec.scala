@@ -869,6 +869,62 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q56: top-20 is TakeOrdered over the customer agg; nation broadcasts") {
+    val p = plan("q56_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q57: the per-part argmin is WindowGroupLimit-bounded pre-exchange") {
+    val p = plan("q57_cheapest_supplier")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q58: supplier/nation/region collapse to one broadcast build — facts shuffle once each") {
+    val p = plan("q58_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    // lineitem + orders sides of the key join, plus the bounded year agg
+    assert(shuffles <= 3, p)
+  }
+
+  test("s21: both pair sides carry the absolute 200-vector cap; cosines compute once") {
+    val p = plan("s21_similarity_histogram")
+    assert("vec_id#\\d+L? < 200".r.findFirstIn(p).isDefined ||
+      p.contains("LessThan(vec_id,200)"), p)
+    // the whole pair pipeline lives INSIDE the persisted histogram's
+    // build plan — the total agg must read the cache, not re-cross
+    assert(p.contains("InMemoryRelation"), p)
+    assert(!p.split("InMemoryRelation")(0).contains("cosinesimilarity"), p)
+  }
+
+  test("t25: one corpus pass — the band frame persists; totals read the cache") {
+    val p = plan("t25_quality_bands")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("InMemoryRelation"), p)
+    // no corpus scan above the cached band frame (inlining = 2 passes)
+    assert(!p.split("InMemoryRelation")(0).contains("documents.parquet"), p)
+  }
+
+  test("p14: corpus scanned once into the persisted per-source frame; totals broadcast") {
+    val p = plan("p14_token_budget")
+    assert(p.contains("InMemoryRelation"), p) // transient-persisted source frame
+    assert(!p.contains("SortMergeJoin"), p)
+    // every documents scan lives INSIDE the cached frame's build plan —
+    // the query above it must not re-scan the corpus
+    val above = p.split("InMemoryRelation")(0)
+    assert(!above.contains("documents.parquet"), p)
+  }
+
+  test("m14: dims-only rows reach the 3-row bucket agg — no join, no image bytes") {
+    val p = plan("m14_aspect_buckets")
+    assert(!p.contains("Join"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
