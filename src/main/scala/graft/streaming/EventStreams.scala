@@ -428,6 +428,35 @@ object EventStreams {
         (unix_micros(col("session_window.end")) - gapUs).as("last_us"),
         col("n_events"))
 
+  /** Streaming quality-band monitor — t25's cutoff sheet kept live at
+    * the point of ingest: per 0.05-wide t02-score band, running doc and
+    * token counts. The per-doc score and banding compute map-side with
+    * exactly t25's op order (EventStreamsSpec proves the final complete-
+    * mode table equals the batch band frame on the same corpus), and
+    * the grouped state is bounded at ≤20 band rows REGARDLESS of stream
+    * volume — the rare streaming agg that needs no watermark to stay
+    * finite. A live feed of this is the corpus drift alarm: a degrading
+    * source slides its mass down-band long before any downstream eval
+    * notices. */
+  def qualityBandStream(docs: DataFrame): DataFrame = {
+    import graft.operators.OpUtils.words
+    docs
+      .withColumn("ws", words(col("text")))
+      .withColumn("n", size(col("ws")))
+      .withColumn("stop_hits",
+        size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
+      .withColumn("sum_len",
+        aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+      .withColumn("quality",
+        least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (col("stop_hits").cast("double") / col("n")) * 0.3 +
+          least((col("sum_len").cast("double") / col("n")) / 8.0, lit(1.0)) * 0.2)
+      .withColumn("band",
+        least(floor(col("quality") * 20.0).cast("int"), lit(19)))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+  }
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

@@ -184,7 +184,8 @@ class PlanSpec extends AnyFunSuite {
               org.apache.spark.sql.functions.trim(
                 org.apache.spark.sql.functions.col("text")))).as("h"))),
       "intervalTagStream" -> EventStreams.intervalTagStream(ev,
-        Seq((1L, 0L, 300000000L)).toDF("win_id", "lo", "hi")))
+        Seq((1L, 0L, 300000000L)).toDF("win_id", "lo", "hi")),
+      "qualityBandStream" -> EventStreams.qualityBandStream(docs))
     plans.foreach { case (name, df) =>
       assertBoundedHints(s"EventStreams.$name", df.queryExecution.analyzed)
     }

@@ -466,4 +466,32 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got === want)
   }
+
+  test("streaming quality bands equal the batch t25 band frame") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect().toSeq
+    val input = MemoryStream[String]
+    val query = EventStreams.qualityBandStream(input.toDF().toDF("text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qband_out").start()
+    // two chunks: the complete-mode table must converge incrementally
+    val (a, b) = texts.splitAt(texts.size / 2)
+    input.addData(a); query.processAllAvailable()
+    input.addData(b); query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("qband_out")
+      .select(col("band"), col("n_docs"), col("n_tokens"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // truth = the oracle-checked batch operator's band frame (its cum
+    // columns are derived from these three)
+    val want = graft.SparkEntry.queries("t25_quality_bands")(spark, sf)
+      .select(col("band"), col("n_docs"), col("n_tokens"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
 }
