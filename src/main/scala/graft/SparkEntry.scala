@@ -70,7 +70,7 @@ object SparkEntry {
       "s09_pq_search", "s11_ivfpq_search", "s13_cascade_rerank",
       "s14_embedding_health", "s16_binary_hamming", "s17_mips_lsh",
       "s18_knn_classify", "s19_kmeans_step", "s20_embedding_covariance",
-      "s21_similarity_histogram",
+      "s21_similarity_histogram", "s22_ivf_balance",
       "t02_quality_score",
       "t09_word_rarity", "t11_dsir_weights", "t14_doc_freq", "t16_bigram_lm",
       "t18_keyword_tfidf", "t19_gram_novelty", "t21_head_coverage",

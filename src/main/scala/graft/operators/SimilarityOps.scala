@@ -1459,6 +1459,62 @@ object SimilarityOps {
          |SELECT bucket, n_pairs,
          |  CAST(n_pairs * 1000000 // tot_pairs AS BIGINT) AS share_ppm
          |FROM g, t
-         |ORDER BY bucket""".stripMargin)
+         |ORDER BY bucket""".stripMargin),
+
+    // -- IVF inverted-list balance audit -------------------------------
+    // The index-health read every IVF deployment watches (faiss calls
+    // it the imbalance factor): probe latency is governed by the
+    // LARGEST visited list, not the average — a skewed codebook
+    // quietly turns top-k into a scan. Re-derive each vector's best
+    // cell with the d16/s19 map-side argmax over the broadcast
+    // codebook (no per-vector window, one bounded (cell) shuffle of
+    // partials), then per cell: population, corpus share, and load
+    // vs the perfectly balanced list — load_ppm > 1e6 is overloaded,
+    // and max(load_ppm) IS the imbalance factor in ppm.
+    QueryDef.sql("s22_ivf_balance",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = centroids(s, d, e)
+          .select(col("label").cast("long").as("cell"), col("cv"))
+        val centArr = cents.agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+        val assigned = e.crossJoin(broadcast(centArr))
+          .withColumn("best", aggregate(col("cents"),
+            struct(lit(-2.0).as("s"), lit(-1L).as("c")),
+            (acc, x) => {
+              val sc = cosine(col("v"), x.getField("cv"))
+              when(sc > acc.getField("s") ||
+                  (sc === acc.getField("s") && x.getField("cell") < acc.getField("c")),
+                struct(sc.as("s"), x.getField("cell").as("c")))
+                .otherwise(acc)
+            }))
+          .select(col("best").getField("c").as("cell"))
+        // transientPersist: the ≤|cells| frame feeds the totals AND the
+        // output — the barrier keeps the corpus argmax to one pass
+        val g = OpUtils.transientPersist(s, s"s22:$d",
+          assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs")))
+        val tot = g.agg(sum(col("n_vecs")).as("tot"), count(lit(1)).as("n_cells"))
+        g.crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
+          .select(col("cell"), col("n_vecs"),
+            expr("n_vecs * 1000000 div tot").as("share_ppm"),
+            expr("n_vecs * n_cells * 1000000 div tot").as("load_ppm"))
+          .orderBy(col("cell"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents0 AS ($oCents),
+         |cents AS (SELECT CAST(label AS BIGINT) AS cell, cv FROM cents0),
+         |ass0 AS (
+         |  SELECT e.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCosine("e.v", "c.cv")} DESC, c.cell) AS r
+         |  FROM e CROSS JOIN cents c),
+         |g AS (SELECT cell, COUNT(*) AS n_vecs FROM ass0 WHERE r = 1
+         |  GROUP BY cell),
+         |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot,
+         |  COUNT(*) AS n_cells FROM g)
+         |SELECT cell, n_vecs,
+         |  CAST(n_vecs * 1000000 // tot AS BIGINT) AS share_ppm,
+         |  CAST(n_vecs * n_cells * 1000000 // tot AS BIGINT) AS load_ppm
+         |FROM g, t
+         |ORDER BY cell""".stripMargin)
   )
 }

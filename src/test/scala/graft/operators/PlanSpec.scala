@@ -901,6 +901,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.split("InMemoryRelation")(0).contains("cosinesimilarity"), p)
   }
 
+  test("s22: argmax is in-row over the broadcast codebook — no window, one corpus pass") {
+    val p = plan("s22_ivf_balance")
+    assert(!p.contains("Window"), p) // assignment folds inside the row
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("InMemoryRelation"), p)
+    assert(!p.split("InMemoryRelation")(0).contains("embeddings.parquet"), p)
+  }
+
   test("t25: one corpus pass — the band frame persists; totals read the cache") {
     val p = plan("t25_quality_bands")
     assert(!p.contains("SortMergeJoin"), p)
