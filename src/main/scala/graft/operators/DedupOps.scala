@@ -1219,6 +1219,64 @@ object DedupOps {
          |  COUNT(DISTINCT id) AS n_docs
          |FROM ex
          |GROUP BY tau_centi
-         |ORDER BY tau_centi""".stripMargin)
+         |ORDER BY tau_centi""".stripMargin),
+
+    // -- duplication trend over ingestion time -------------------------
+    // Is the crawl getting MORE duplicated as it runs? (It does: the
+    // frontier revisits templates and syndication networks compound.)
+    // Per doc_id decile — doc_id is ingestion order — the fraction of
+    // its 10-word lines that are REPEAT occurrences of a line already
+    // seen at an earlier (doc_id, pos). Same machinery as d17 (lines
+    // reduce to 16-byte md5s map-side, ONE repartition(h) feeds the
+    // first-occurrence window), then a 10-row decile rollup whose
+    // partials combine map-side. The doc-count scan for the decile
+    // width prunes to the doc_id column only. Trend output is integer
+    // ppm — bit-exact at any scale.
+    QueryDef.sql("d26_dup_trend",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), trim(col("text")).as("t"))
+        val tot = docs.agg(count(lit(1)).as("n_docs"))
+        val lines = docs
+          .withColumn("ws", words(col("t")))
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), ((size(col("ws")) - 1) / lit(10)).cast("int")),
+            k => struct((k * 10 + 1).as("pos"),
+              unhex(md5(concat_ws(" ", slice(col("ws"), k * 10 + 1, lit(10))))).as("h"))))
+            .as("ln"))
+          .select(col("doc_id"), col("ln.pos").as("pos"), col("ln.h").as("h"))
+        val byH = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+        lines.repartition(col("h"))
+          .withColumn("rn", row_number().over(byH))
+          .crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
+          .groupBy(expr("doc_id * 10 div n_docs").as("decile"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("rn") >= 2, 1L).otherwise(0L)).as("n_repeat_lines"))
+          .select(col("decile"), col("n_lines"), col("n_repeat_lines"),
+            expr("n_repeat_lines * 1000000 div n_lines").as("repeat_ppm"))
+          .orderBy(col("decile"))
+      },
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+         |tot AS (SELECT COUNT(*) AS n_docs FROM docs),
+         |lw AS (SELECT doc_id, ${oWords("t")} AS ws FROM docs),
+         |lx AS (
+         |  SELECT doc_id, l['pos'] AS pos, l['h'] AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, (len(ws) - 1) // 10 + 1),
+         |      k -> {'pos': k * 10 + 1,
+         |            'h': unhex(md5(array_to_string(ws[k*10+1:k*10+10], ' ')))})) AS l
+         |    FROM lw)),
+         |c AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM lx),
+         |a AS (
+         |  SELECT doc_id * 10 // n_docs AS decile, COUNT(*) AS n_lines,
+         |    SUM(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS n_repeat_lines
+         |  FROM c, tot GROUP BY 1)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |  CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(n_repeat_lines AS BIGINT) AS n_repeat_lines,
+         |  CAST(n_repeat_lines * 1000000 // n_lines AS BIGINT) AS repeat_ppm
+         |FROM a ORDER BY decile""".stripMargin)
   )
 }

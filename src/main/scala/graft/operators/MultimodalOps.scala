@@ -503,6 +503,36 @@ object MultimodalOps {
     (nf, fp)
   }
 
+  /** Scene-cut statistics over the sampled frames of a container: walks
+    * the length prefixes like [[videoFingerprint]] (non-sampled frames
+    * seek-skipped), dHashes each sampled frame, and compares CONSECUTIVE
+    * sampled hashes by Hamming distance — a transition past `thresh`
+    * bits is a cut. Returns (n_sampled, n_cuts, max_hamming). */
+  def sceneCutStats(b: Array[Byte], k: Int, thresh: Int): (Int, Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nf = bb.getInt
+    var prev = -1L // dhashPpm is a 56-bit non-negative value
+    var sampled = 0; var cuts = 0; var maxH = 0
+    var f = 0
+    while (f < nf) {
+      val len = bb.getInt
+      if (f % k == 0) {
+        val frame = new Array[Byte](len)
+        bb.get(frame)
+        val hsh = dhashPpm(frame)
+        if (prev >= 0) {
+          val hd = java.lang.Long.bitCount(prev ^ hsh)
+          if (hd > maxH) maxH = hd
+          if (hd > thresh) cuts += 1
+        }
+        prev = hsh
+        sampled += 1
+      } else bb.position(bb.position() + len)
+      f += 1
+    }
+    (sampled, cuts, maxH)
+  }
+
   /** documents.text re-framed as an opaque binary payload column with a
     * metadata struct — the multimodal table shape. */
   def binaryTable(s: SparkSession, d: String): DataFrame =
@@ -1311,6 +1341,77 @@ object MultimodalOps {
         |  CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches
         |FROM v
         |GROUP BY bucket
-        |ORDER BY bucket""".stripMargin)
+        |ORDER BY bucket""".stripMargin),
+
+    // -- video scene-cut profile ---------------------------------------
+    // The shot-boundary read a video curation pass runs before clip
+    // extraction: per container, how many sampled-frame transitions
+    // jump more than half the dHash bits (a hard cut), and the largest
+    // jump seen. Reuses the m09 machinery — length-prefix walk with
+    // non-sampled frames seek-skipped, per-frame 56-bit dHash — but
+    // compares CONSECUTIVE sampled hashes by Hamming distance instead
+    // of chaining them into one print. Decode and the cut fold stay in
+    // the partition that holds the bytes (zero shuffles, m10's shape);
+    // only (doc_id, 3 ints) rows flow on. The oracle re-derives every
+    // frame hash analytically from the generation recipe and pairs
+    // fi with fi+2 — integer-only end-to-end.
+    QueryDef.sql("m15_scene_cuts",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val cuts = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val (ns, nc, mh) = sceneCutStats(framesBytes(id % 60), 2, 28)
+            Row(id, ns, nc, mh)
+          }
+        }
+        s.createDataFrame(cuts, StructType(Seq(
+            StructField("doc_id", LongType, nullable = false),
+            StructField("n_sampled", IntegerType, nullable = false),
+            StructField("n_cuts", IntegerType, nullable = false),
+            StructField("max_hamming", IntegerType, nullable = false))))
+          .orderBy(col("doc_id"))
+      }, {
+      // frame fi of group clip gid is ppmBytes(gid*7 + fi); sampled
+      // frames are fi % 2 == 0; dHash recipe shared with the m09 oracle
+      def oGray(sx: String, sy: String): String =
+        s"""((fid*31 + (3*(($sy)*w+($sx)))*7) % 256
+           | + (fid*31 + (3*(($sy)*w+($sx))+1)*7) % 256
+           | + (fid*31 + (3*(($sy)*w+($sx))+2)*7) % 256)""".stripMargin
+      val sy = "((j // 7) * h) // 8"
+      val sx0 = "((j % 7) * w) // 8"
+      val sx1 = "(((j % 7) + 1) * w) // 8"
+      s"""WITH b AS (
+         |  SELECT doc_id, doc_id % 60 AS gid, 2 + (doc_id % 60) % 5 AS nf
+         |  FROM documents WHERE doc_id < 1000),
+         |f AS (
+         |  SELECT doc_id, gid, nf, unnest(range(0, nf)) AS fi FROM b),
+         |d AS (
+         |  SELECT doc_id, nf, fi, gid*7+fi AS fid,
+         |    4 + (gid*7+fi) % 13 AS w, 4 + ((gid*7+fi)*3) % 11 AS h
+         |  FROM f WHERE fi % 2 = 0),
+         |hsh AS (
+         |  SELECT doc_id, fi,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 56), j ->
+         |      CASE WHEN ${oGray(sx1, sy)} > ${oGray(sx0, sy)}
+         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+         |      (acc, bit) -> acc + bit) AS dhash
+         |  FROM d),
+         |ns AS (SELECT doc_id, COUNT(*) AS n_sampled FROM hsh GROUP BY 1),
+         |tr AS (
+         |  SELECT a.doc_id,
+         |    CAST(bit_count(CAST(xor(a.dhash, b.dhash) AS BIGINT)) AS INTEGER) AS hd
+         |  FROM hsh a JOIN hsh b ON a.doc_id = b.doc_id AND b.fi = a.fi + 2),
+         |agg AS (
+         |  SELECT doc_id, SUM(CASE WHEN hd > 28 THEN 1 ELSE 0 END) AS n_cuts,
+         |    MAX(hd) AS max_hamming
+         |  FROM tr GROUP BY 1)
+         |SELECT ns.doc_id, CAST(n_sampled AS INTEGER) AS n_sampled,
+         |  CAST(COALESCE(n_cuts, 0) AS INTEGER) AS n_cuts,
+         |  CAST(COALESCE(max_hamming, 0) AS INTEGER) AS max_hamming
+         |FROM ns LEFT JOIN agg ON ns.doc_id = agg.doc_id
+         |ORDER BY ns.doc_id""".stripMargin
+      })
   )
 }

@@ -835,6 +835,72 @@ object PipelineOps {
          |    THEN (budget - granted) * w_m // q_unc ELSE 0 END, avail)
          |    * 1000000 // avail AS BIGINT) AS fill_ppm
          |FROM p2, re
-         |ORDER BY source""".stripMargin)
+         |ORDER BY source""".stripMargin),
+
+    // -- packing-efficiency audit --------------------------------------
+    // The sheet read after p02 decides HOW documents become training
+    // blocks: per source — blocks minted, padding burned in the final
+    // partial block, utilization ppm, and how many docs straddle a
+    // block boundary (straddlers take truncated-attention hits, so a
+    // high straddle rate argues for sorting-by-length or best-fit
+    // packing instead). All quantities derive from p02's EXACT integer
+    // arithmetic (cum token offsets, 2048-token blocks) — one
+    // source-keyed shuffle of fixed-width partials feeds the per-source
+    // window and rollup; PipelineCompositionSpec ties the counts back
+    // to p02's per-doc frame.
+    QueryDef.sql("p15_pack_efficiency",
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(words(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("first_seq", floor((col("cum") - col("n_tokens")) / 2048.0).cast("long"))
+          .withColumn("last_seq",
+            when(col("n_tokens") === 0, col("first_seq"))
+              .otherwise(floor((col("cum") - 1) / 2048.0).cast("long")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+              .as("n_straddlers"))
+          .withColumn("n_blocks", expr("(total_tokens + 2047) div 2048"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("n_blocks"),
+            (col("n_blocks") * 2048 - col("total_tokens")).as("pad_tokens"),
+            expr("total_tokens * 1000000 div (n_blocks * 2048)").as("util_ppm"),
+            col("n_straddlers"))
+          .orderBy(col("source"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(${oWords("text")}) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t),
+         |x AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS first_seq,
+         |    CASE WHEN n_tokens = 0
+         |      THEN CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
+         |      ELSE CAST(floor((cum - 1) / 2048.0) AS BIGINT) END AS last_seq
+         |  FROM c),
+         |a AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    SUM(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+         |      AS n_straddlers
+         |  FROM x GROUP BY 1)
+         |SELECT source, n_docs, total_tokens,
+         |  CAST((total_tokens + 2047) // 2048 AS BIGINT) AS n_blocks,
+         |  CAST(((total_tokens + 2047) // 2048) * 2048 - total_tokens
+         |    AS BIGINT) AS pad_tokens,
+         |  CAST(total_tokens * 1000000
+         |    // (((total_tokens + 2047) // 2048) * 2048) AS BIGINT) AS util_ppm,
+         |  CAST(n_straddlers AS BIGINT) AS n_straddlers
+         |FROM a ORDER BY source""".stripMargin)
   )
 }

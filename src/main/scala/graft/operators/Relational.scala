@@ -1169,7 +1169,160 @@ object Relational {
          |  CAST(nation_i AS DOUBLE) / 10000 AS nation_revenue,
          |  CAST(nation_i * 1000000 // total_i AS BIGINT) AS share_ppm
          |FROM a
-         |ORDER BY o_year""".stripMargin)
+         |ORDER BY o_year""".stripMargin),
+
+    // -- Shipping-priority mix per line status (the TPC-H Q12 shape) ----
+    // Did late/open lines carry the urgent orders? The ship-year filter
+    // is pushed to the lineitem scan, the one shuffle is the
+    // orders⋈lineitem order key, and the priority split is a pair of
+    // conditional counts that partial-aggregate map-side after the join
+    // — integer-only output, nothing to drift.
+    QueryDef.sql("q59_priority_shipping",
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1998-01-01 00:00:00"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin),
+
+    // -- Promotion revenue share per ship month (the TPC-H Q14 shape) ---
+    // What fraction of each month's revenue moved promoted parts? The
+    // part join keys on l_partkey with NO broadcast hint: part is
+    // fact-proportional (at 100 TB it is a second fact table), so the
+    // right plan is a shuffled equi-join AQE can re-plan — only the
+    // 6-month lineitem slice (pushed to the scan) rides it. Shares are
+    // exact cents + an integer-ppm division (the q58 pattern).
+    QueryDef.sql("q60_promo_revenue",
+      (s, d) => {
+        val rev_i = (revenue * 10000).cast("long")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1997-07-01 00:00:00"))
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .as("ship_month"))
+          .agg(sum(when(col("p_type") === "PROMO", rev_i).otherwise(0L))
+            .as("promo_i"), sum(rev_i).as("total_i"))
+          .select(col("ship_month"),
+            (col("promo_i").cast("double") / 10000).as("promo_revenue"),
+            (col("total_i").cast("double") / 10000).as("total_revenue"),
+            expr("promo_i * 1000000 div total_i").as("promo_ppm"))
+          .orderBy(col("ship_month"))
+      },
+      s"""WITH a AS (
+         |  SELECT year(CAST(l_shipdate AS DATE)) * 100
+         |      + month(CAST(l_shipdate AS DATE)) AS ship_month,
+         |    SUM(CASE WHEN p_type = 'PROMO'
+         |      THEN CAST($orev * 10000 AS BIGINT) ELSE 0 END) AS promo_i,
+         |    SUM(CAST($orev * 10000 AS BIGINT)) AS total_i
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT CAST(ship_month AS BIGINT) AS ship_month,
+         |  CAST(promo_i AS DOUBLE) / 10000 AS promo_revenue,
+         |  CAST(total_i AS DOUBLE) / 10000 AS total_revenue,
+         |  CAST(promo_i * 1000000 // total_i AS BIGINT) AS promo_ppm
+         |FROM a ORDER BY ship_month""".stripMargin),
+
+    // -- Large-volume orders (the TPC-H Q18 shape) ----------------------
+    // Orders whose total line quantity tops 300. The heavy step is the
+    // per-order quantity rollup — full map-side partial agg on the
+    // natural lineitem grouping key; the >300 HAVING leaves a tiny
+    // survivor set that AQE turns into the BUILD side of the orders and
+    // customer joins (never the reverse). Quantities are integral
+    // doubles — cast to BIGINT per row, summed exactly; the top-50 cut
+    // is TakeOrdered on (sum_qty DESC, o_orderkey).
+    QueryDef.sql("q61_large_orders",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 300L)
+        big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("sum_qty"))
+          .orderBy(col("sum_qty").desc, col("o_orderkey"))
+          .limit(50)
+      },
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 50""".stripMargin),
+
+    // -- Bilateral trade volume (the TPC-H Q7 shape) --------------------
+    // Revenue shipped between NATION_1 and NATION_2, both directions,
+    // per ship year. Both nation filters are applied to the DIMENSION
+    // sides before any fact join — the 2-nation supplier slice
+    // broadcasts into lineitem (semi-reducing it immediately), and the
+    // 2-nation customer slice joins orders on the customer key. Two
+    // fact shuffles total (order key, customer key) — the Q7 floor;
+    // revenue is the exact 1e4 fixed point.
+    QueryDef.sql("q62_trade_volume",
+      (s, d) => {
+        val rev_i = (revenue * 10000).cast("long")
+        val nations = Seq("NATION_1", "NATION_2")
+        val supN = Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .filter(col("n_name").isin(nations: _*))
+          .select(col("s_suppkey").as("sk"), col("n_name").as("supp_nation"))
+        val custN = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_name").isin(nations: _*))
+          .select(col("c_custkey").as("ck"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .join(broadcast(supN), col("l_suppkey") === col("sk"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(custN, col("o_custkey") === col("ck"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("ship_year"))
+          .agg(sum(rev_i).as("rev_i"))
+          .select(col("supp_nation"), col("cust_nation"), col("ship_year"),
+            (col("rev_i").cast("double") / 10000).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      },
+      s"""WITH supn AS (
+         |  SELECT s_suppkey AS sk, n_name AS supp_nation
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+         |custn AS (
+         |  SELECT c_custkey AS ck, n_name AS cust_nation
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE n_name IN ('NATION_1', 'NATION_2'))
+         |SELECT supp_nation, cust_nation,
+         |  year(CAST(l_shipdate AS DATE)) AS ship_year,
+         |  CAST(SUM(CAST($orev * 10000 AS BIGINT)) AS DOUBLE) / 10000
+         |    AS revenue
+         |FROM lineitem
+         |JOIN supn ON l_suppkey = sk
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN custn ON o_custkey = ck
+         |WHERE supp_nation <> cust_nation
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin)
   )
 
   /** Bucketed copies of orders/lineitem (8 buckets on the order key,

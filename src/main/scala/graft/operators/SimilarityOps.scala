@@ -1515,6 +1515,107 @@ object SimilarityOps {
          |  CAST(n_vecs * 1000000 // tot AS BIGINT) AS share_ppm,
          |  CAST(n_vecs * n_cells * 1000000 // tot AS BIGINT) AS load_ppm
          |FROM g, t
-         |ORDER BY cell""".stripMargin)
+         |ORDER BY cell""".stripMargin),
+
+    // -- kNN-graph reciprocity audit -----------------------------------
+    // A kNN graph (the input to graph-based dedup, label propagation,
+    // and HNSW-style index builds) is healthy when edges are MUTUAL —
+    // low reciprocity means hubs are absorbing everyone's edge budget
+    // and graph traversals will funnel through a few nodes. Per probe
+    // vector: its top-3 neighbors' ids and how many of those edges
+    // point back. Probe = absolute 200-vector sample (the s01/s21
+    // bounded contract — the read needs a fixed-size sample, never a
+    // census); pairs are probe×probe, top-3 bounded by WindowGroupLimit
+    // BEFORE any exchange; the mutual check is a self-join of the ≤600
+    // directed edges (transient-persisted so the pair pipeline runs
+    // once — the s21 lesson).
+    QueryDef.sql("s23_knn_graph",
+      (s, d) => {
+        val e = vecs(s, d).filter(col("vec_id") < 200)
+        val q = e.select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
+        val n = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        val top3 = OpUtils.transientPersist(s, s"s23:$d",
+          q.join(n, col("q_id") =!= col("n_id"))
+            .withColumn("cos", cosine(col("qv"), col("nv")))
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 3)
+            .select(col("q_id"), col("label"), col("n_id"), col("rnk")))
+        val back = top3.select(col("q_id").as("b_q"), col("n_id").as("b_n"))
+        val mutual = top3.join(back,
+            col("q_id") === col("b_n") && col("n_id") === col("b_q"))
+          .groupBy(col("q_id").as("m_q"))
+          .agg(count(lit(1)).as("n_mutual"))
+        top3.filter(col("rnk") === 1)
+          .join(mutual, col("q_id") === col("m_q"), "left")
+          .select(col("q_id").as("vec_id"), col("label"),
+            col("n_id").as("nn1_id"),
+            coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH e AS ($oVecs),
+         |q AS (SELECT vec_id AS q_id, label, v AS qv FROM e WHERE vec_id < 200),
+         |n AS (SELECT vec_id AS n_id, v AS nv FROM e WHERE vec_id < 200),
+         |top3 AS (
+         |  SELECT q_id, label, n_id, rnk FROM (
+         |    SELECT q.q_id, q.label, n.n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${oCosine("q.qv", "n.nv")} DESC, n.n_id) AS rnk
+         |    FROM q JOIN n ON q.q_id <> n.n_id)
+         |  WHERE rnk <= 3),
+         |m AS (
+         |  SELECT a.q_id AS m_q, COUNT(*) AS n_mutual
+         |  FROM top3 a JOIN top3 b ON a.q_id = b.n_id AND a.n_id = b.q_id
+         |  GROUP BY 1)
+         |SELECT t.q_id AS vec_id, t.label, t.n_id AS nn1_id,
+         |  CAST(COALESCE(m.n_mutual, 0) AS BIGINT) AS n_mutual
+         |FROM top3 t LEFT JOIN m ON t.q_id = m.m_q
+         |WHERE t.rnk = 1
+         |ORDER BY vec_id""".stripMargin),
+
+    // -- ANN hubness audit ---------------------------------------------
+    // The other kNN-graph pathology: in high dimensions a few vectors
+    // appear in EVERYONE's top-k (hubness grows with dimension —
+    // Radovanović et al.), which skews recall measurements and makes
+    // graph walks degenerate. Count each vector's in-degree over the
+    // probe set's top-3 lists and surface the 20 biggest hubs with
+    // their share of the total edge budget in ppm. Same bounded probe
+    // and WindowGroupLimit shape as s23; the in-degree agg runs over
+    // ≤600 directed edges.
+    QueryDef.sql("s24_ann_hubness",
+      (s, d) => {
+        val e = vecs(s, d).filter(col("vec_id") < 200)
+        val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val n = e.select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        val top3 = q.join(n, col("q_id") =!= col("n_id"))
+          .withColumn("cos", cosine(col("qv"), col("nv")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("n_id"), col("label"))
+        top3.groupBy(col("n_id"), col("label"))
+          .agg(count(lit(1)).as("in_degree"))
+          .withColumn("share_ppm", expr("in_degree * 1000000 div 600"))
+          .orderBy(col("in_degree").desc, col("n_id"))
+          .limit(20)
+          .select(col("n_id").as("vec_id"), col("label"),
+            col("in_degree"), col("share_ppm"))
+      },
+      s"""WITH e AS ($oVecs),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 200),
+         |n AS (SELECT vec_id AS n_id, label, v AS nv FROM e WHERE vec_id < 200),
+         |top3 AS (
+         |  SELECT n_id, label FROM (
+         |    SELECT q.q_id, n.n_id, n.label,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${oCosine("q.qv", "n.nv")} DESC, n.n_id) AS rnk
+         |    FROM q JOIN n ON q.q_id <> n.n_id)
+         |  WHERE rnk <= 3)
+         |SELECT n_id AS vec_id, label, COUNT(*) AS in_degree,
+         |  CAST(COUNT(*) * 1000000 // 600 AS BIGINT) AS share_ppm
+         |FROM top3 GROUP BY 1, 2
+         |ORDER BY in_degree DESC, n_id LIMIT 20""".stripMargin)
   )
 }

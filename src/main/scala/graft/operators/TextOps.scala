@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import OpUtils._
@@ -1180,6 +1181,55 @@ object TextOps {
          |  CAST(SUM(n_docs) OVER (ORDER BY band DESC) * 1000000 // tot_docs
          |    AS BIGINT) AS cum_share_ppm
          |FROM g, t
-         |ORDER BY band""".stripMargin)
+         |ORDER BY band""".stripMargin),
+
+    // -- character-class spectrum per source ---------------------------
+    // The byte-level complement of t10's word-level health sheet, and
+    // the input to tokenizer byte-fallback sizing: per source, what
+    // fraction of characters are digits / uppercase / sentence
+    // punctuation / spaces. A digit-heavy source is tables and logs, an
+    // uppercase-heavy one is shouting boilerplate — both get different
+    // treatment than prose. Counts are length-differences after
+    // class-stripping regexp_replace (identical ASCII classes both
+    // engines, so non-Latin text simply contributes zeros), computed
+    // map-side per doc; ONE source-keyed shuffle of integer partials;
+    // shares are integer per-mille.
+    QueryDef.sql("t26_char_classes",
+      (s, d) => {
+        val t = trim(col("text"))
+        def ccount(pat: String): Column =
+          (length(t) - length(regexp_replace(t, pat, ""))).cast("long")
+        Tables.documents(s, d)
+          .select(col("source"), length(t).cast("long").as("n"),
+            ccount("[0-9]").as("dg"), ccount("[A-Z]").as("up"),
+            ccount("[.,!?]").as("pu"), ccount(" ").as("sp"))
+          .groupBy(col("source"))
+          .agg(sum(col("n")).as("n_chars"), sum(col("dg")).as("dg"),
+            sum(col("up")).as("up"), sum(col("pu")).as("pu"),
+            sum(col("sp")).as("sp"))
+          .select(col("source"), col("n_chars"),
+            expr("dg * 1000 div n_chars").as("digit_pm"),
+            expr("up * 1000 div n_chars").as("upper_pm"),
+            expr("pu * 1000 div n_chars").as("punct_pm"),
+            expr("sp * 1000 div n_chars").as("space_pm"))
+          .orderBy(col("source"))
+      },
+      """WITH m AS (
+        |  SELECT source, length(trim(text)) AS n,
+        |    length(trim(text)) - length(regexp_replace(trim(text), '[0-9]', '', 'g')) AS dg,
+        |    length(trim(text)) - length(regexp_replace(trim(text), '[A-Z]', '', 'g')) AS up,
+        |    length(trim(text)) - length(regexp_replace(trim(text), '[.,!?]', '', 'g')) AS pu,
+        |    length(trim(text)) - length(regexp_replace(trim(text), ' ', '', 'g')) AS sp
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, SUM(n) AS n_chars, SUM(dg) AS dg, SUM(up) AS up,
+        |    SUM(pu) AS pu, SUM(sp) AS sp
+        |  FROM m GROUP BY 1)
+        |SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(dg * 1000 // n_chars AS BIGINT) AS digit_pm,
+        |  CAST(up * 1000 // n_chars AS BIGINT) AS upper_pm,
+        |  CAST(pu * 1000 // n_chars AS BIGINT) AS punct_pm,
+        |  CAST(sp * 1000 // n_chars AS BIGINT) AS space_pm
+        |FROM a ORDER BY source""".stripMargin)
   )
 }

@@ -457,6 +457,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
   }
 
+  /** Streaming heavy-hitter sketch — t24's Count-Min tier kept live at
+    * the point of ingest: the native `cms_agg` TypedImperativeAggregate
+    * runs as the streaming aggregate, so the per-query state is the
+    * fixed 4×4096(+1)-long sketch buffer REGARDLESS of stream volume or
+    * vocabulary size — the canonical sketch-not-census answer to
+    * "what's trending in the feed". Probe words are estimated from the
+    * live sketch each micro-batch. Because CMS partials merge by
+    * elementwise ADD (associative + commutative), the final streaming
+    * sketch is BIT-IDENTICAL to the batch sketch over the same corpus,
+    * whatever the micro-batch arrival order — EventStreamsSpec pins
+    * sketch equality itself, not just estimate equality. */
+  def heavyHitterStream(docs: DataFrame, probes: Seq[String]): DataFrame = {
+    import graft.operators.OpUtils.words
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(explode(words(col("text"))).as("word"))
+      .agg(call_function("cms_agg", col("word")).as("sk"))
+      .select(col("sk"), explode(array(probes.map(w =>
+        struct(lit(w).as("word"),
+          call_function("cms_estimate", col("sk"), lit(w)).as("est"))): _*)).as("p"))
+      .select(col("sk"), col("p.word").as("word"), col("p.est").as("est"))
+  }
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

@@ -934,6 +934,83 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles === 1, p)
   }
 
+  test("q59: ship-year filter reaches the lineitem scan; priority split is one agg") {
+    val p = plan("q59_priority_shipping")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.split("PushedFilters").exists(s =>
+      s.take(400).contains("l_shipdate")), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 3, p) // two key-join sides + the 2-row status agg
+  }
+
+  test("q60: part joins as an equi-join (AQE-replannable), never a loop join") {
+    val p = plan("q60_promo_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("PushedFilters").exists(s =>
+      s.take(400).contains("l_shipdate")), p)
+  }
+
+  test("q61: the >300 HAVING survivors become the join build side, never the probe") {
+    val p = plan("q61_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q62: the 2-nation supplier slice broadcasts into lineitem") {
+    val p = plan("q62_trade_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d26: trend shuffles line hashes and the 10-row decile partials — never text") {
+    val p = plan("d26_dup_trend")
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
+    assert(shuffled.length <= 2, p) // repartition(h) + decile agg
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("s23: probe carries the absolute 200 cap; top-3 bounded; edges read the cache") {
+    val p = plan("s23_knn_graph")
+    assert("vec_id#\\d+L? < 200".r.findFirstIn(p).isDefined ||
+      p.contains("LessThan(vec_id,200)"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    // the pair pipeline lives inside the persisted top-3 frame — the
+    // mutual-edge self-join must read the cache, not re-cross the probe
+    assert(p.contains("InMemoryRelation"), p)
+    assert(!p.split("InMemoryRelation")(0).contains("cosinesimilarity"), p)
+  }
+
+  test("s24: hub in-degree aggregates the bounded top-3 edges; top-20 is TakeOrdered") {
+    val p = plan("s24_ann_hubness")
+    assert("vec_id#\\d+L? < 200".r.findFirstIn(p).isDefined ||
+      p.contains("LessThan(vec_id,200)"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("t26: char classes count map-side — one source shuffle of integer partials") {
+    val p = plan("t26_char_classes")
+    assert(!p.contains("Join"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+  }
+
+  test("p15: the source shuffle feeds both the packing window and the rollup") {
+    val p = plan("p15_pack_efficiency")
+    assert(!p.contains("Join"), p)
+    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, p)
+  }
+
+  test("m15: scene cuts fold where the bytes sit — zero row shuffles, no join") {
+    val p = plan("m15_scene_cuts")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {

@@ -494,4 +494,46 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got === want)
   }
+
+  test("streaming heavy-hitter sketch is bit-identical to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect().toSeq
+    val probes = Seq("the", "a", "of", "and", "to")
+    val input = MemoryStream[String]
+    val query = EventStreams.heavyHitterStream(input.toDF().toDF("text"), probes)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out").start()
+    // two chunks: the sketch state must accumulate across micro-batches
+    val (a, b) = texts.splitAt(texts.size / 2)
+    input.addData(a); query.processAllAvailable()
+    input.addData(b); query.processAllAvailable()
+    query.stop()
+
+    val out = spark.table("hh_out")
+      .select(col("sk"), col("word"), col("est")).collect()
+    val gotEst = out.map(r => (r.getString(1), r.getLong(2))).toMap
+    val gotSk = out.head.getSeq[Long](0)
+
+    val wordsDf = graft.Tables.documents(spark, sf)
+      .select(explode(graft.operators.OpUtils.words(col("text"))).as("word"))
+    val batchRow = wordsDf
+      .agg(call_function("cms_agg", col("word")).as("sk")).collect()(0)
+    val batchSk = batchRow.getSeq[Long](0)
+    // CMS merge is an elementwise add — order-free — so the streaming
+    // sketch must equal the batch sketch EXACTLY, counter for counter
+    assert(gotSk === batchSk)
+
+    val exact = wordsDf.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(col("word").isin(probes: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    probes.foreach { w =>
+      // structural CMS guarantee, from the live-stream sketch
+      assert(gotEst(w) >= exact.getOrElse(w, 0L))
+      assert(gotEst(w) <= batchSk(4 * 4096)) // ≤ total ingested words
+    }
+  }
 }
