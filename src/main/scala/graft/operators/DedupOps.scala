@@ -1277,6 +1277,55 @@ object DedupOps {
          |  CAST(n_lines AS BIGINT) AS n_lines,
          |  CAST(n_repeat_lines AS BIGINT) AS n_repeat_lines,
          |  CAST(n_repeat_lines * 1000000 // n_lines AS BIGINT) AS repeat_ppm
-         |FROM a ORDER BY decile""".stripMargin)
+         |FROM a ORDER BY decile""".stripMargin),
+
+    // -- cross-source line-duplication matrix ---------------------------
+    // d19 asks "which sources LOOK alike" (sketch-level); this asks
+    // "which sources literally SHARE text" — the syndication/re-host
+    // edge list at line granularity, the evidence sheet behind a
+    // drop-the-mirror curation call. For every unordered source pair:
+    // how many distinct 10-word lines both carry, and how many
+    // (occurrence_a × occurrence_b) cross-pairings those lines induce.
+    // 100 TB shape: lines reduce to 16-byte md5s map-side; ONE
+    // repartition(h) feeds the (h, source) rollup (h alone satisfies
+    // the subset clustering), and the self-join probes INSIDE the
+    // persisted rollup's partitioning — no exchange between the cache
+    // and the join (PlanSpec-pinned). Join fan-out per line is bounded
+    // by the source count squared, never by corpus volume; only the
+    // ≤ sources² pair partials ride the final shuffle.
+    QueryDef.sql("d27_cross_source_lines",
+      (s, d) => {
+        val lines = Tables.documents(s, d)
+          .select(col("source"), trim(col("text")).as("t"))
+          .withColumn("ws", words(col("t")))
+          .select(col("source"), explode(transform(
+            sequence(lit(0), ((size(col("ws")) - 1) / lit(10)).cast("int")),
+            k => unhex(md5(concat_ws(" ", slice(col("ws"), k * 10 + 1, lit(10)))))))
+            .as("h"))
+        val grp = OpUtils.transientPersist(s, "d27grp",
+          lines.repartition(col("h"))
+            .groupBy(col("h"), col("source")).agg(count(lit(1)).as("cnt")))
+        val a = grp.select(col("h"), col("source").as("src_a"), col("cnt").as("cnt_a"))
+        val b = grp.select(col("h"), col("source").as("src_b"), col("cnt").as("cnt_b"))
+        a.join(b, Seq("h"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("shared_lines"),
+            sum(col("cnt_a") * col("cnt_b")).as("line_pairs"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      s"""WITH lw AS (
+         |  SELECT source, ${oWords("trim(text)")} AS ws FROM documents),
+         |lx AS (
+         |  SELECT source, unnest(list_transform(range(0, (len(ws) - 1) // 10 + 1),
+         |    k -> unhex(md5(array_to_string(ws[k*10+1:k*10+10], ' '))))) AS h
+         |  FROM lw),
+         |g AS (SELECT h, source, COUNT(*) AS cnt FROM lx GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  COUNT(*) AS shared_lines,
+         |  CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS line_pairs
+         |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2
+         |ORDER BY src_a, src_b""".stripMargin)
   )
 }

@@ -131,6 +131,51 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  /** Integer per-channel pixel sums and squared sums of a P6 PPM
+    * payload — the exact-arithmetic tier under m16's corpus
+    * normalization constants (channel means are ratios of these
+    * BIGINTs; stds derive from the integer variance numerator
+    * n·Σx² − (Σx)², so both engines compute identical doubles). Same
+    * REAL parse as [[decodePpm]] (magic, comments, dims, maxval),
+    * integer accumulation instead of means.
+    * Returns (n_pixels, Σr, Σg, Σb, Σr², Σg², Σb²). */
+  def ppmChannelSums(b: Array[Byte]): (Long, Long, Long, Long, Long, Long, Long) = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos)
+        if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else go = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val s0 = pos
+      while (pos < b.length && !Character.isWhitespace(b(pos).toChar)) pos += 1
+      new String(b, s0, pos - s0, "US-ASCII")
+    }
+    require(token() == "P6", "not a binary PPM (P6) payload")
+    val w = token().toInt
+    val h = token().toInt
+    require(token().toInt == 255, "unsupported maxval")
+    pos += 1
+    val n = w * h
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var r2 = 0L; var g2 = 0L; var b2 = 0L
+    var p = 0
+    while (p < n) {
+      val r = b(pos + 3 * p) & 0xff
+      val g = b(pos + 3 * p + 1) & 0xff
+      val bl = b(pos + 3 * p + 2) & 0xff
+      rs += r; gs += g; bs += bl
+      r2 += r.toLong * r; g2 += g.toLong * g; b2 += bl.toLong * bl
+      p += 1
+    }
+    (n.toLong, rs, gs, bs, r2, g2, b2)
+  }
+
   /** Output schema of the real image feature extractor. */
   val imageFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -1412,6 +1457,97 @@ object MultimodalOps {
          |  CAST(COALESCE(max_hamming, 0) AS INTEGER) AS max_hamming
          |FROM ns LEFT JOIN agg ON ns.doc_id = agg.doc_id
          |ORDER BY ns.doc_id""".stripMargin
-      })
+      }),
+
+    // -- per-source channel normalization constants ---------------------
+    // The mean/std-per-channel sheet a vision trainer bakes into its
+    // input transform (the ImageNet-mean move, computed on YOUR
+    // corpus, per source — a source whose constants sit far off the
+    // pool is mis-exposed or mis-decoded). Exactness recipe: each
+    // image REALLY decodes (the m03 P6 parse) to integer channel sums
+    // and squared sums; per-source totals are BIGINT adds; means are
+    // ratios of exact integers and stds come from the integer variance
+    // numerator n·Σx²−(Σx)² (one sqrt on an exactly-agreed double —
+    // correctly rounded in both engines). 100 TB shape: decode happens
+    // where the bytes sit (mapPartitions), only 7 BIGINTs per image
+    // reach the source rollup's map-side partials — the constants cost
+    // one scan and a source-count-row shuffle.
+    QueryDef.sql("m16_channel_norm",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).filter(col("doc_id") < 500)
+        val sums = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val (n, rs, gs, bs, r2, g2, b2) = ppmChannelSums(ppmBytes(id))
+            Row(id, r.getString(1), n, rs, gs, bs, r2, g2, b2)
+          }
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("source", StringType, nullable = false),
+          StructField("n", LongType, nullable = false),
+          StructField("rs", LongType, nullable = false),
+          StructField("gs", LongType, nullable = false),
+          StructField("bs", LongType, nullable = false),
+          StructField("r2", LongType, nullable = false),
+          StructField("g2", LongType, nullable = false),
+          StructField("b2", LongType, nullable = false)))
+        def std(sq: String, sm: String) =
+          sqrt((col("n_px") * col(sq) - col(sm) * col(sm)).cast("double")) /
+            col("n_px")
+        s.createDataFrame(sums, schema)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_images"), sum(col("n")).as("n_px"),
+            sum(col("rs")).as("rs"), sum(col("gs")).as("gs"),
+            sum(col("bs")).as("bs"), sum(col("r2")).as("r2"),
+            sum(col("g2")).as("g2"), sum(col("b2")).as("b2"))
+          .select(col("source"), col("n_images"), col("n_px"),
+            (col("rs").cast("double") / col("n_px")).as("mean_r"),
+            (col("gs").cast("double") / col("n_px")).as("mean_g"),
+            (col("bs").cast("double") / col("n_px")).as("mean_b"),
+            std("r2", "rs").as("std_r"),
+            std("g2", "gs").as("std_g"),
+            std("b2", "bs").as("std_b"))
+          .orderBy(col("source"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id, source, 4 + doc_id % 13 AS w, 4 + (doc_id * 3) % 11 AS h
+        |  FROM documents WHERE doc_id < 500),
+        |v AS (
+        |  SELECT doc_id, source, w * h AS n,
+        |    list_transform(range(0, w * h),
+        |      p -> (doc_id * 31 + (3 * p) * 7) % 256) AS rv,
+        |    list_transform(range(0, w * h),
+        |      p -> (doc_id * 31 + (3 * p + 1) * 7) % 256) AS gv,
+        |    list_transform(range(0, w * h),
+        |      p -> (doc_id * 31 + (3 * p + 2) * 7) % 256) AS bv
+        |  FROM b),
+        |s AS (
+        |  SELECT source, n,
+        |    list_reduce([CAST(0 AS BIGINT)] || rv, (a, x) -> a + x) AS rs,
+        |    list_reduce([CAST(0 AS BIGINT)] || gv, (a, x) -> a + x) AS gs,
+        |    list_reduce([CAST(0 AS BIGINT)] || bv, (a, x) -> a + x) AS bs,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(rv, x -> x * x),
+        |      (a, x) -> a + x) AS r2,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(gv, x -> x * x),
+        |      (a, x) -> a + x) AS g2,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(bv, x -> x * x),
+        |      (a, x) -> a + x) AS b2
+        |  FROM v),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n_images, CAST(SUM(n) AS BIGINT) AS n_px,
+        |    CAST(SUM(rs) AS BIGINT) AS rs, CAST(SUM(gs) AS BIGINT) AS gs,
+        |    CAST(SUM(bs) AS BIGINT) AS bs, CAST(SUM(r2) AS BIGINT) AS r2,
+        |    CAST(SUM(g2) AS BIGINT) AS g2, CAST(SUM(b2) AS BIGINT) AS b2
+        |  FROM s GROUP BY 1)
+        |SELECT source, n_images, n_px,
+        |  CAST(rs AS DOUBLE) / n_px AS mean_r,
+        |  CAST(gs AS DOUBLE) / n_px AS mean_g,
+        |  CAST(bs AS DOUBLE) / n_px AS mean_b,
+        |  sqrt(CAST(n_px * r2 - rs * rs AS DOUBLE)) / n_px AS std_r,
+        |  sqrt(CAST(n_px * g2 - gs * gs AS DOUBLE)) / n_px AS std_g,
+        |  sqrt(CAST(n_px * b2 - bs * bs AS DOUBLE)) / n_px AS std_b
+        |FROM a ORDER BY source""".stripMargin)
   )
 }

@@ -901,6 +901,48 @@ object PipelineOps {
          |  CAST(total_tokens * 1000000
          |    // (((total_tokens + 2047) // 2048) * 2048) AS BIGINT) AS util_ppm,
          |  CAST(n_straddlers AS BIGINT) AS n_straddlers
-         |FROM a ORDER BY source""".stripMargin)
+         |FROM a ORDER BY source""".stripMargin),
+
+    // -- per-shard manifest with integrity checksum ---------------------
+    // What a 1000-reader training job validates BEFORE an epoch: for
+    // each of p09's 16 shards (same md5(doc_id) assignment, so this
+    // manifest describes exactly the shards p09's readers consume) —
+    // doc count, char and token mass, the doc_id range, and an
+    // ORDER-INDEPENDENT content checksum: the BIGINT sum of 44-bit
+    // md5(text) prefixes (the d17 fingerprint trick — 44 bits keeps
+    // even a billion-doc shard under 2^63). Any dropped, duplicated,
+    // or bit-flipped document changes the sum; no ordering contract is
+    // needed to verify, so readers can check shards in parallel.
+    // 100 TB shape: one pass, everything map-side to fixed-width
+    // partials, a 16-row shuffle — the manifest costs one scan.
+    QueryDef.sql("p16_shard_manifest",
+      (s, d) => {
+        val h = md5Val(concat(col("doc_id").cast("string"), lit("#shuffle")), 15)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            size(words(col("text"))).cast("long").as("n_tokens"),
+            md5Val(trim(col("text")), 11).as("cs"),
+            pmod(h, lit(16L)).cast("int").as("shard"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("cs")).as("checksum"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("shard"))
+      },
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars, len(${oWords("text")}) AS n_tokens,
+         |    ${oMd5Val("trim(text)", 11)} AS cs,
+         |    CAST(${oMd5Val("CAST(doc_id AS VARCHAR) || '#shuffle'", 15)} % 16
+         |      AS INTEGER) AS shard
+         |  FROM documents)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(cs) AS BIGINT) AS checksum,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM m GROUP BY 1 ORDER BY shard""".stripMargin)
   )
 }

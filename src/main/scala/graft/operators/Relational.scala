@@ -1322,7 +1322,143 @@ object Relational {
          |JOIN custn ON o_custkey = ck
          |WHERE supp_nation <> cust_nation
          |GROUP BY 1, 2, 3
-         |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin)
+         |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin),
+
+    // -- Order-priority check (the TPC-H Q4 shape) ----------------------
+    // How many orders per priority class had at least one RETURNED line
+    // in the quarter — the EXISTS subquery planned as a LEFT SEMI join.
+    // Both inputs shrink before the join: the quarter slice pushes to
+    // the orders scan, the returnflag filter to the lineitem scan, and
+    // the semi join keeps the orders side's cardinality (never
+    // multiplies by matching lines). Both sides are fact-proportional
+    // at 100 TB, so the join shuffles on the order key and AQE owns the
+    // strategy — no broadcast hint on purpose.
+    QueryDef.sql("q63_order_priority",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1997-04-01 00:00:00") &&
+            col("o_orderdate") < ts("1997-07-01 00:00:00"))
+        val returned = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- Customer order-count distribution (the TPC-H Q13 shape) --------
+    // The histogram "how many customers placed k orders", zero-order
+    // customers included — which is what forces the LEFT OUTER join
+    // (an inner join silently drops the k=0 bucket, the bucket the
+    // business question is usually about). The non-urgent filter lands
+    // on the orders side BEFORE the join (= the ON-clause predicate).
+    // Scale shape: one custkey shuffle feeds the join AND the
+    // per-customer count (same key, no second exchange); the histogram
+    // re-agg sees one row per customer, and its output is bounded by
+    // the max order count — tiny at any corpus size.
+    QueryDef.sql("q64_customer_distribution",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        Tables.customer(s, d).select(col("c_custkey"))
+          .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      """WITH pc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM pc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // -- Small-quantity line revenue per brand (the TPC-H Q17 shape) ----
+    // Revenue carried by lines whose quantity is under 20% of their
+    // part's average — the correlated AVG subquery decorrelated into a
+    // per-part aggregate joined back to the fact table. The 0.2·avg
+    // comparison cross-multiplies to integers (5·qty·cnt < Σqty):
+    // quantities are integral, so the predicate is exact in both
+    // engines — no division, no FP threshold. Scale shape: lineitem is
+    // scanned twice but shuffles on ONE key (partkey) for both the
+    // stats build and the probe; part joins on the same key; survivors
+    // (a small fraction) feed the 25-row brand rollup.
+    QueryDef.sql("q65_small_qty_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val stats = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity").cast("long")).as("sq"),
+            count(lit(1)).as("cnt"))
+        li.join(stats, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt") < col("sq"))
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(xsum(col("l_extendedprice")).as("small_qty_revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("p_brand"))
+      },
+      s"""WITH st AS (
+         |  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+         |    COUNT(*) AS cnt
+         |  FROM lineitem GROUP BY 1)
+         |SELECT p_brand,
+         |  ${oxsum("l_extendedprice")} AS small_qty_revenue,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN st ON l_partkey = pk
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- Part value concentration (the TPC-H Q11 shape) -----------------
+    // Parts whose revenue share beats 1.05× the per-part mean — the
+    // group-vs-global HAVING planned as a 1-row broadcast (the q41
+    // move): the global total and part count cross the cluster ONCE,
+    // and the share test cross-multiplies to integers
+    // (val·n_parts·100 ≥ 105·total — no division, exact in both
+    // engines; headroom: fixed-point values stay < 2^63 up to ~10⁵×
+    // this SF, past which the same plan runs with DECIMAL(38) sums).
+    // A relative threshold (vs Q11's absolute fraction) keeps the
+    // survivor set non-degenerate at every SF.
+    QueryDef.sql("q66_part_value_share",
+      (s, d) => {
+        val rev_i = (revenue * 10000).cast("long")
+        val perPart = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey"))
+          .agg(sum(rev_i).as("val_i"))
+        val total = perPart.agg(sum(col("val_i")).as("tot_i"),
+          count(lit(1)).as("np"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("val_i") * col("np") * lit(100L) >= lit(105L) * col("tot_i"))
+          .select(col("l_partkey"),
+            (col("val_i").cast("double") / 10000).as("part_value"),
+            expr("val_i * 1000000 div tot_i").as("share_ppm"))
+          .orderBy(col("part_value").desc, col("l_partkey"))
+      },
+      s"""WITH pp AS (
+         |  SELECT l_partkey, SUM(CAST($orev * 10000 AS BIGINT)) AS val_i
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT SUM(val_i) AS tot_i, COUNT(*) AS np FROM pp)
+         |SELECT l_partkey,
+         |  CAST(val_i AS DOUBLE) / 10000 AS part_value,
+         |  CAST(val_i * 1000000 // tot_i AS BIGINT) AS share_ppm
+         |FROM pp, t
+         |WHERE val_i * np * 100 >= 105 * tot_i
+         |ORDER BY part_value DESC, l_partkey""".stripMargin)
   )
 
   /** Bucketed copies of orders/lineitem (8 buckets on the order key,

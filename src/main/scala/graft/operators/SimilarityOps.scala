@@ -1616,6 +1616,84 @@ object SimilarityOps {
          |SELECT n_id AS vec_id, label, COUNT(*) AS in_degree,
          |  CAST(COUNT(*) * 1000000 // 600 AS BIGINT) AS share_ppm
          |FROM top3 GROUP BY 1, 2
-         |ORDER BY in_degree DESC, n_id LIMIT 20""".stripMargin)
+         |ORDER BY in_degree DESC, n_id LIMIT 20""".stripMargin),
+
+    // -- k-means assignment churn (the convergence read) ----------------
+    // s19 reports how far the centroids MOVE in one Lloyd step; the
+    // operational stop-signal is how many VECTORS change cell under the
+    // moved centroids — assignment churn. Pass 1 assigns every vector
+    // to its argmax-cosine cell under the persisted codebook (the s19
+    // order-independent fold: total order on (score, cell), so any
+    // partitioning agrees); the refined codebook is rebuilt from those
+    // assignments with the exact fixed-point DECIMAL means (bounded:
+    // one row per cell); pass 2 re-assigns under the refined codebook.
+    // Per original cell: population and churn fraction in integer ppm.
+    // 100 TB shape: both codebooks broadcast (10 rows), both argmax
+    // passes are map-side folds, and the ONE corpus-wide frame read
+    // twice (assignments) sits behind a transient persist barrier —
+    // without it Catalyst inlines pass 1 into both consumers and the
+    // corpus scans twice (the s21/t25 lesson).
+    QueryDef.sql("s25_kmeans_churn",
+      (s, d) => {
+        val e = vecs(s, d)
+        def argmax(cents: Column): Column =
+          aggregate(cents,
+            struct(lit(-2.0).as("s"), lit(-1L).as("c")),
+            (acc, x) => {
+              val sc = cosine(col("v"), x.getField("cv"))
+              when(sc > acc.getField("s") ||
+                  (sc === acc.getField("s") && x.getField("cell") < acc.getField("c")),
+                struct(sc.as("s"), x.getField("cell").as("c")))
+                .otherwise(acc)
+            }).getField("c")
+        val cents0 = centroids(s, d, e)
+          .select(col("label").cast("long").as("cell"), col("cv"))
+        val arr0 = cents0.agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+        val a1 = OpUtils.transientPersist(s, "s25a1",
+          e.crossJoin(broadcast(arr0))
+            .withColumn("cell1", argmax(col("cents")))
+            .select(col("vec_id"), col("v"), col("cell1")))
+        def fxMean(dim: Int) =
+          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+            .cast("double") / lit(1e7) / count(lit(1))
+        val refined = a1.groupBy(col("cell1").as("cell"))
+          .agg(array((1 to 64).map(fxMean): _*).as("cv"))
+        val arr1 = refined.agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+        a1.crossJoin(broadcast(arr1))
+          .withColumn("cell2", argmax(col("cents")))
+          .groupBy(col("cell1").as("cell"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(when(col("cell2") =!= col("cell1"), 1L).otherwise(0L))
+              .as("n_churned"))
+          .select(col("cell"), col("n_vectors"), col("n_churned"),
+            expr("n_churned * 1000000 div n_vectors").as("churn_ppm"))
+          .orderBy(col("cell"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents0 AS ($oCents),
+         |c0 AS (SELECT CAST(label AS BIGINT) AS cell, cv FROM cents0),
+         |a1r AS (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCosine("e.v", "c.cv")} DESC, c.cell) AS r
+         |  FROM e CROSS JOIN c0 c),
+         |a1 AS (SELECT vec_id, v, cell AS cell1 FROM a1r WHERE r = 1),
+         |c1 AS (
+         |  SELECT cell1 AS cell, ${(1 to 64).map(i =>
+             s"CAST(SUM(CAST(round(v[$i] * 1e7) AS DECIMAL(28,0))) AS DOUBLE) / 1e7 / COUNT(*)")
+             .mkString("[", ", ", "]")} AS cv
+         |  FROM a1 GROUP BY 1),
+         |a2r AS (
+         |  SELECT a1.vec_id, a1.cell1, c.cell AS cell2,
+         |    row_number() OVER (PARTITION BY a1.vec_id
+         |      ORDER BY ${oCosine("a1.v", "c.cv")} DESC, c.cell) AS r
+         |  FROM a1 CROSS JOIN c1 c),
+         |a2 AS (SELECT vec_id, cell1, cell2 FROM a2r WHERE r = 1)
+         |SELECT cell1 AS cell, COUNT(*) AS n_vectors,
+         |  CAST(SUM(CASE WHEN cell2 <> cell1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_churned,
+         |  CAST(SUM(CASE WHEN cell2 <> cell1 THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS churn_ppm
+         |FROM a2 GROUP BY 1 ORDER BY cell""".stripMargin)
   )
 }

@@ -1230,6 +1230,65 @@ object TextOps {
         |  CAST(up * 1000 // n_chars AS BIGINT) AS upper_pm,
         |  CAST(pu * 1000 // n_chars AS BIGINT) AS punct_pm,
         |  CAST(sp * 1000 // n_chars AS BIGINT) AS space_pm
-        |FROM a ORDER BY source""".stripMargin)
+        |FROM a ORDER BY source""".stripMargin),
+
+    // -- within-doc duplicate 3-gram profile (Gopher repetition tier 2) -
+    // t07 measures duplicate BIGRAM fraction; MassiveText's repetition
+    // battery also gates on duplicate n-gram CHARACTER mass — the
+    // signal that catches boilerplate chant ("click here to subscribe
+    // click here to ...") that token-level ratios understate. Per doc:
+    // 3-gram occurrences that REPEAT an earlier identical 3-gram in
+    // the same doc (keep-first, position order) and the character mass
+    // those repeats carry, both as integer ppm. Everything computes
+    // INSIDE the row with higher-order array functions — zero
+    // shuffles, zero joins at any corpus size (PlanSpec-pinned); the
+    // O(g²) worst case is bounded by document length, the same bound
+    // every within-doc battery already accepts.
+    QueryDef.sql("t27_dup_gram_profile",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("gs", grams3(words(col("text"))))
+          .withColumn("rep_idx",
+            when(size(col("gs")) < 2, array().cast("array<int>"))
+              .otherwise(filter(sequence(lit(2), size(col("gs"))),
+                i => exists(slice(col("gs"), lit(1), i - 1),
+                  x => x === element_at(col("gs"), i)))))
+          .select(col("doc_id"),
+            size(col("gs")).cast("long").as("n_grams"),
+            size(col("rep_idx")).cast("long").as("n_repeat"),
+            aggregate(col("gs"), lit(0L),
+              (a, g) => a + length(g).cast("long")).as("gram_chars"),
+            aggregate(col("rep_idx"), lit(0L),
+              (a, i) => a + length(element_at(col("gs"), i)).cast("long"))
+              .as("rep_chars"))
+          .select(col("doc_id"), col("n_grams"), col("n_repeat"),
+            expr("CASE WHEN n_grams > 0 THEN n_repeat * 1000000 div n_grams " +
+              "ELSE CAST(0 AS BIGINT) END").as("repeat_ppm"),
+            expr("CASE WHEN gram_chars > 0 THEN rep_chars * 1000000 div gram_chars " +
+              "ELSE CAST(0 AS BIGINT) END").as("char_repeat_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |g AS (SELECT doc_id, ${oGrams3("ws")} AS gs FROM w),
+         |r AS (
+         |  SELECT doc_id, gs,
+         |    CASE WHEN len(gs) < 2 THEN []
+         |      ELSE list_filter(range(2, len(gs) + 1),
+         |        i -> list_contains(gs[1:i-1], gs[i])) END AS rep_idx
+         |  FROM g),
+         |m AS (
+         |  SELECT doc_id, len(gs) AS n_grams, len(rep_idx) AS n_repeat,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(gs,
+         |      x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS gram_chars,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(rep_idx,
+         |      i -> CAST(length(gs[i]) AS BIGINT)), (a, b) -> a + b) AS rep_chars
+         |  FROM r)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_repeat AS BIGINT) AS n_repeat,
+         |  CAST(CASE WHEN n_grams > 0 THEN n_repeat * 1000000 // n_grams
+         |    ELSE 0 END AS BIGINT) AS repeat_ppm,
+         |  CAST(CASE WHEN gram_chars > 0 THEN rep_chars * 1000000 // gram_chars
+         |    ELSE 0 END AS BIGINT) AS char_repeat_ppm
+         |FROM m ORDER BY doc_id""".stripMargin)
   )
 }
