@@ -64,7 +64,8 @@ object SparkEntry {
       "q56_returned_items", "q57_cheapest_supplier", "q58_market_share",
       "q59_priority_shipping", "q60_promo_revenue", "q61_large_orders",
       "q62_trade_volume",
-      "d03_minhash_lsh_pairs", "d10_embedding_neardup_lsh", "d08_substring_dedup",
+      "d03_minhash_lsh_pairs", "d09_simhash_band_pairs",
+      "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "d16_semantic_dedup", "d17_line_dedup", "d21_contamination_report",
       "d23_prefix_dedup", "d24_soft_dedup_weights", "d25_threshold_sweep",

@@ -118,6 +118,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mips_buckets", exprs => MipsBuckets(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_agg",
       exprs => CountMinAgg(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -140,6 +142,9 @@ object GraftFunctions {
 
   def mipsBuckets(va: Column): Column =
     org.apache.spark.sql.functions.call_function("mips_buckets", va)
+
+  def simHash60(hs: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash60", hs)
 
   def bloomMightContain(bf: Column, k: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", bf, k)

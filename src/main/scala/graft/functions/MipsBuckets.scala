@@ -40,6 +40,16 @@ case class MipsBuckets(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != Dim)
+      throw new IllegalArgumentException(
+        s"mips_buckets expects a $Dim-element norm-augmented vector, got ${x.numElements()}")
+    var k = 0
+    while (k < Dim) {
+      if (x.isNullAt(k))
+        throw new IllegalArgumentException(
+          s"mips_buckets: null element at index $k (input must be null-free)")
+      k += 1
+    }
     val out = new Array[Int](Tables)
     var t = 0
     while (t < Tables) {
@@ -74,7 +84,18 @@ case class MipsBuckets(child: Expression) extends UnaryExpression {
       val proj = ctx.freshName("proj")
       val bucket = ctx.freshName("bucket")
       val v = ctx.freshName("v")
+      val k = ctx.freshName("k")
       s"""
+         |if ($a.numElements() != $Dim) {
+         |  throw new IllegalArgumentException(
+         |    "mips_buckets expects a $Dim-element norm-augmented vector, got " + $a.numElements());
+         |}
+         |for (int $k = 0; $k < $Dim; $k++) {
+         |  if ($a.isNullAt($k)) {
+         |    throw new IllegalArgumentException(
+         |      "mips_buckets: null element at index " + $k + " (input must be null-free)");
+         |  }
+         |}
          |int[] $out = new int[$Tables];
          |for (int $t = 0; $t < $Tables; $t++) {
          |  int $bucket = 0;

@@ -1011,6 +1011,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("d09: join key carries the 15-bit band mask; sketch is native; no loop join") {
+    val p = plan("d09_simhash_band_pairs")
+    // the r8 scale fix: band keys are 15-bit (32767 mask), keyspace
+    // 32,768/band — NOT the degenerate 4-bit nibble (& 15) whose 64
+    // total buckets made candidates O(n²/16)
+    assert(p.contains("32767"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the sketch is the one-pass native expression, not the 60-pass HOF
+    assert(p.contains("simhash60"), p)
+    assert(!p.contains("aggregate(transform(sequence"), p)
+    // exchanges move (band, key, id, sketch) — never text
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!shuffled.exists(_.contains("text#")), p)
+  }
+
   private def assertBoundedHints(
       name: String,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
