@@ -1257,7 +1257,10 @@ object DedupOps {
           .agg(count(lit(1)).as("n_lines"),
             sum(when(col("rn") >= 2, 1L).otherwise(0L)).as("n_repeat_lines"))
           .select(col("decile"), col("n_lines"), col("n_repeat_lines"),
-            expr("n_repeat_lines * 1000000 div n_lines").as("repeat_ppm"))
+            // DECIMAL(38,0): line counts per decile reach ~1e12 at
+            // 100 TB, so count*1e6 would wrap BIGINT (r8 ADVICE)
+            expr("CAST(CAST(n_repeat_lines AS DECIMAL(38,0)) * 1000000 DIV n_lines AS BIGINT)")
+              .as("repeat_ppm"))
           .orderBy(col("decile"))
       },
       s"""WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
@@ -1280,7 +1283,7 @@ object DedupOps {
          |SELECT CAST(decile AS BIGINT) AS decile,
          |  CAST(n_lines AS BIGINT) AS n_lines,
          |  CAST(n_repeat_lines AS BIGINT) AS n_repeat_lines,
-         |  CAST(n_repeat_lines * 1000000 // n_lines AS BIGINT) AS repeat_ppm
+         |  CAST(CAST(n_repeat_lines AS HUGEINT) * 1000000 // n_lines AS BIGINT) AS repeat_ppm
          |FROM a ORDER BY decile""".stripMargin),
 
     // -- cross-source line-duplication matrix ---------------------------

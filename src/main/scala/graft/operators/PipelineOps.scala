@@ -775,21 +775,28 @@ object PipelineOps {
               sum(floor(col("quality") * 1000.0).cast("long")).as("w_m")))
         val tot = per.agg(sum(col("avail")).as("tot_avail"),
           sum(col("w_m")).as("q_tot"))
+        // all products ride DECIMAL(38,0) (r8 ADVICE): budget×w_m and
+        // alloc×1e6 overflow BIGINT once corpus tokens pass ~1e12; the
+        // q_unc = 0 case (every source capped) is guarded explicitly —
+        // Spark div would yield NULL where DuckDB // raises
         val pass1 = per.crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
           .withColumn("budget", expr("tot_avail div 2"))
-          .withColumn("alloc1", expr("budget * w_m div q_tot"))
+          .withColumn("alloc1",
+            expr("CAST(CAST(budget AS DECIMAL(38,0)) * w_m DIV q_tot AS BIGINT)"))
           .withColumn("capped", col("alloc1") > col("avail"))
           .withColumn("grant1", least(col("alloc1"), col("avail")))
         val redo = pass1.agg(sum(col("grant1")).as("granted"),
           sum(when(!col("capped"), col("w_m")).otherwise(0L)).as("q_unc"))
         pass1.crossJoin(broadcast(redo)) // aggregate-bounded: 1 row
           .withColumn("alloc_final",
-            least(col("grant1") + when(!col("capped"),
-              expr("(budget - granted) * w_m div q_unc")).otherwise(lit(0L)),
+            least(col("grant1") + when(!col("capped") && col("q_unc") > 0,
+              expr("CAST(CAST(budget - granted AS DECIMAL(38,0)) * w_m DIV q_unc AS BIGINT)"))
+              .otherwise(lit(0L)),
               col("avail")))
           .select(col("source"), col("avail"), col("w_m"), col("capped"),
             col("alloc_final"),
-            expr("alloc_final * 1000000 div avail").as("fill_ppm"))
+            expr("CAST(CAST(alloc_final AS DECIMAL(38,0)) * 1000000 DIV avail AS BIGINT)")
+              .as("fill_ppm"))
           .orderBy(col("source"))
       },
       s"""WITH q AS (
@@ -817,7 +824,7 @@ object PipelineOps {
          |p1 AS (
          |  SELECT source, avail, w_m,
          |    tot_avail // 2 AS budget,
-         |    (tot_avail // 2) * w_m // q_tot AS alloc1
+         |    CAST(CAST(tot_avail // 2 AS HUGEINT) * w_m // q_tot AS BIGINT) AS alloc1
          |  FROM per, tot),
          |p2 AS (
          |  SELECT *, alloc1 > avail AS capped,
@@ -826,15 +833,16 @@ object PipelineOps {
          |  SELECT CAST(SUM(grant1) AS BIGINT) AS granted,
          |    CAST(SUM(CASE WHEN NOT capped THEN w_m ELSE 0 END) AS BIGINT)
          |      AS q_unc
-         |  FROM p2)
-         |SELECT source, avail, w_m, capped,
-         |  CAST(least(grant1 + CASE WHEN NOT capped
-         |    THEN (budget - granted) * w_m // q_unc ELSE 0 END, avail)
-         |    AS BIGINT) AS alloc_final,
-         |  CAST(least(grant1 + CASE WHEN NOT capped
-         |    THEN (budget - granted) * w_m // q_unc ELSE 0 END, avail)
-         |    * 1000000 // avail AS BIGINT) AS fill_ppm
-         |FROM p2, re
+         |  FROM p2),
+         |fin AS (
+         |  SELECT source, avail, w_m, capped,
+         |    CAST(least(grant1 + CASE WHEN NOT capped AND q_unc > 0
+         |      THEN CAST(CAST(budget - granted AS HUGEINT) * w_m // q_unc AS BIGINT)
+         |      ELSE 0 END, avail) AS BIGINT) AS alloc_final
+         |  FROM p2, re)
+         |SELECT source, avail, w_m, capped, alloc_final,
+         |  CAST(CAST(alloc_final AS HUGEINT) * 1000000 // avail AS BIGINT) AS fill_ppm
+         |FROM fin
          |ORDER BY source""".stripMargin),
 
     // -- packing-efficiency audit --------------------------------------

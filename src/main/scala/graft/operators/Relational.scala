@@ -1145,7 +1145,11 @@ object Relational {
           .select(col("o_year"),
             (col("total_i").cast("double") / 10000).as("asia_revenue"),
             (col("nation_i").cast("double") / 10000).as("nation_revenue"),
-            expr("nation_i * 1000000 div total_i").as("share_ppm"))
+            // through DECIMAL(38,0): nation_i*1e6 overflows BIGINT once
+            // the 1e4-fixed-point revenue sum passes ~9e11 (r8 ADVICE) —
+            // the q41 pattern, floor semantics identical in both engines
+            expr("CAST(CAST(nation_i AS DECIMAL(38,0)) * 1000000 DIV total_i AS BIGINT)")
+              .as("share_ppm"))
           .orderBy(col("o_year"))
       },
       s"""WITH sup AS (
@@ -1167,7 +1171,7 @@ object Relational {
          |SELECT o_year,
          |  CAST(total_i AS DOUBLE) / 10000 AS asia_revenue,
          |  CAST(nation_i AS DOUBLE) / 10000 AS nation_revenue,
-         |  CAST(nation_i * 1000000 // total_i AS BIGINT) AS share_ppm
+         |  CAST(CAST(nation_i AS HUGEINT) * 1000000 // total_i AS BIGINT) AS share_ppm
          |FROM a
          |ORDER BY o_year""".stripMargin),
 
@@ -1220,7 +1224,9 @@ object Relational {
           .select(col("ship_month"),
             (col("promo_i").cast("double") / 10000).as("promo_revenue"),
             (col("total_i").cast("double") / 10000).as("total_revenue"),
-            expr("promo_i * 1000000 div total_i").as("promo_ppm"))
+            // DECIMAL(38,0) route: promo_i*1e6 overflows BIGINT at scale
+            expr("CAST(CAST(promo_i AS DECIMAL(38,0)) * 1000000 DIV total_i AS BIGINT)")
+              .as("promo_ppm"))
           .orderBy(col("ship_month"))
       },
       s"""WITH a AS (
@@ -1236,7 +1242,7 @@ object Relational {
          |SELECT CAST(ship_month AS BIGINT) AS ship_month,
          |  CAST(promo_i AS DOUBLE) / 10000 AS promo_revenue,
          |  CAST(total_i AS DOUBLE) / 10000 AS total_revenue,
-         |  CAST(promo_i * 1000000 // total_i AS BIGINT) AS promo_ppm
+         |  CAST(CAST(promo_i AS HUGEINT) * 1000000 // total_i AS BIGINT) AS promo_ppm
          |FROM a ORDER BY ship_month""".stripMargin),
 
     // -- Large-volume orders (the TPC-H Q18 shape) ----------------------
@@ -1443,10 +1449,14 @@ object Relational {
         val total = perPart.agg(sum(col("val_i")).as("tot_i"),
           count(lit(1)).as("np"))
         perPart.crossJoin(broadcast(total))
-          .filter(col("val_i") * col("np") * lit(100L) >= lit(105L) * col("tot_i"))
+          // cross-multiplied compare and the ppm both ride DECIMAL(38,0):
+          // val_i*np*100 and val_i*1e6 overflow BIGINT at scale (r8 ADVICE)
+          .filter(col("val_i").cast("decimal(38,0)") * col("np") * lit(100L) >=
+            lit(105L) * col("tot_i").cast("decimal(38,0)"))
           .select(col("l_partkey"),
             (col("val_i").cast("double") / 10000).as("part_value"),
-            expr("val_i * 1000000 div tot_i").as("share_ppm"))
+            expr("CAST(CAST(val_i AS DECIMAL(38,0)) * 1000000 DIV tot_i AS BIGINT)")
+              .as("share_ppm"))
           .orderBy(col("part_value").desc, col("l_partkey"))
       },
       s"""WITH pp AS (
@@ -1455,9 +1465,9 @@ object Relational {
          |t AS (SELECT SUM(val_i) AS tot_i, COUNT(*) AS np FROM pp)
          |SELECT l_partkey,
          |  CAST(val_i AS DOUBLE) / 10000 AS part_value,
-         |  CAST(val_i * 1000000 // tot_i AS BIGINT) AS share_ppm
+         |  CAST(CAST(val_i AS HUGEINT) * 1000000 // tot_i AS BIGINT) AS share_ppm
          |FROM pp, t
-         |WHERE val_i * np * 100 >= 105 * tot_i
+         |WHERE CAST(val_i AS HUGEINT) * np * 100 >= 105 * CAST(tot_i AS HUGEINT)
          |ORDER BY part_value DESC, l_partkey""".stripMargin)
   )
 
@@ -1471,12 +1481,16 @@ object Relational {
 
   private def bucketedStore(s: SparkSession, d: String): (String, String) =
     bucketCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      // tag derives ONLY from the data dir (md5, collision-safe unlike
-      // hashCode): repeated sessions over the same dir reuse ONE
-      // deterministic pair of warehouse tables instead of accumulating
-      // per-session copies keyed by identityHashCode (r7 ADVICE).
+      // tag = md5(dir) + pid: the dir hash (collision-safe unlike
+      // hashCode) lets every session IN THIS JVM reuse one pair of
+      // warehouse tables via the catalog-existence check below (r7
+      // ADVICE); the pid component keeps two live JVMs over the same
+      // dir from deleting each other's table files mid-query during the
+      // reclaim step (r8 ADVICE) — pids are unique among live processes,
+      // so the delete can only ever hit THIS process's own stale dirs.
       val md = java.security.MessageDigest.getInstance("MD5")
-      val tag = md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val dirTag = md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val tag = s"${dirTag}_${ProcessHandle.current().pid()}"
       val ot = s"graft_bkt_orders_$tag"
       val lt = s"graft_bkt_lineitem_$tag"
       // existence check against the CATALOG, not the in-memory map: a

@@ -1444,7 +1444,11 @@ object SimilarityOps {
         val tot = g.agg(sum(col("n_pairs")).as("tot_pairs"))
         g.crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
           .select(col("bucket"), col("n_pairs"),
-            expr("n_pairs * 1000000 div tot_pairs").as("share_ppm"))
+            // DECIMAL(38,0) route (r8 ADVICE): n_pairs*1e6 is safe under
+            // the 200-vector cap, but every share_ppm in the repo rides
+            // the overflow-proof q41 pattern so a cap change can't wrap
+            expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000 DIV tot_pairs AS BIGINT)")
+              .as("share_ppm"))
           .orderBy(col("bucket"))
       },
       s"""WITH e AS ($oVecs),
@@ -1457,7 +1461,7 @@ object SimilarityOps {
          |g AS (SELECT bucket, COUNT(*) AS n_pairs FROM p GROUP BY 1),
          |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot_pairs FROM g)
          |SELECT bucket, n_pairs,
-         |  CAST(n_pairs * 1000000 // tot_pairs AS BIGINT) AS share_ppm
+         |  CAST(CAST(n_pairs AS HUGEINT) * 1000000 // tot_pairs AS BIGINT) AS share_ppm
          |FROM g, t
          |ORDER BY bucket""".stripMargin),
 
@@ -1590,14 +1594,23 @@ object SimilarityOps {
         val n = e.select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("n_id"))
-        val top3 = q.join(n, col("q_id") =!= col("n_id"))
-          .withColumn("cos", cosine(col("qv"), col("nv")))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select(col("n_id"), col("label"))
+        // transientPersist: the ≤600-row edge list feeds both the
+        // in-degree agg and the edge total — the barrier keeps the pair
+        // pipeline to one pass, and the DERIVED total (r8 ADVICE: the
+        // literal 600 misscaled shares on corpora with < 200 vectors)
+        // makes the shares sum to ~1e6 at any probe size
+        val top3 = OpUtils.transientPersist(s, s"s24:$d",
+          q.join(n, col("q_id") =!= col("n_id"))
+            .withColumn("cos", cosine(col("qv"), col("nv")))
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 3)
+            .select(col("n_id"), col("label")))
+        val tot = top3.agg(count(lit(1)).as("tot_edges"))
         top3.groupBy(col("n_id"), col("label"))
           .agg(count(lit(1)).as("in_degree"))
-          .withColumn("share_ppm", expr("in_degree * 1000000 div 600"))
+          .crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
+          .withColumn("share_ppm",
+            expr("CAST(CAST(in_degree AS DECIMAL(38,0)) * 1000000 DIV tot_edges AS BIGINT)"))
           .orderBy(col("in_degree").desc, col("n_id"))
           .limit(20)
           .select(col("n_id").as("vec_id"), col("label"),
@@ -1612,11 +1625,15 @@ object SimilarityOps {
          |      row_number() OVER (PARTITION BY q.q_id
          |        ORDER BY ${oCosine("q.qv", "n.nv")} DESC, n.n_id) AS rnk
          |    FROM q JOIN n ON q.q_id <> n.n_id)
-         |  WHERE rnk <= 3)
-         |SELECT n_id AS vec_id, label, COUNT(*) AS in_degree,
-         |  CAST(COUNT(*) * 1000000 // 600 AS BIGINT) AS share_ppm
-         |FROM top3 GROUP BY 1, 2
-         |ORDER BY in_degree DESC, n_id LIMIT 20""".stripMargin),
+         |  WHERE rnk <= 3),
+         |t AS (SELECT COUNT(*) AS tot_edges FROM top3),
+         |g AS (
+         |  SELECT n_id AS vec_id, label, COUNT(*) AS in_degree
+         |  FROM top3 GROUP BY 1, 2)
+         |SELECT vec_id, label, in_degree,
+         |  CAST(CAST(in_degree AS HUGEINT) * 1000000 // tot_edges AS BIGINT) AS share_ppm
+         |FROM g, t
+         |ORDER BY in_degree DESC, vec_id LIMIT 20""".stripMargin),
 
     // -- k-means assignment churn (the convergence read) ----------------
     // s19 reports how far the centroids MOVE in one Lloyd step; the

@@ -1153,7 +1153,10 @@ object TextOps {
         g.crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
           .withColumn("cum_docs", sum(col("n_docs")).over(w))
           .select(col("band"), col("n_docs"), col("n_tokens"), col("cum_docs"),
-            expr("cum_docs * 1000000 div tot_docs").as("cum_share_ppm"))
+            // DECIMAL(38,0): cum_docs*1e6 overflows BIGINT once the
+            // corpus passes ~9e12 docs-equivalent (r8 ADVICE, q41 pattern)
+            expr("CAST(CAST(cum_docs AS DECIMAL(38,0)) * 1000000 DIV tot_docs AS BIGINT)")
+              .as("cum_share_ppm"))
           .orderBy(col("band"))
       },
       s"""WITH q AS (
@@ -1178,8 +1181,8 @@ object TextOps {
          |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM g)
          |SELECT band, n_docs, n_tokens,
          |  CAST(SUM(n_docs) OVER (ORDER BY band DESC) AS BIGINT) AS cum_docs,
-         |  CAST(SUM(n_docs) OVER (ORDER BY band DESC) * 1000000 // tot_docs
-         |    AS BIGINT) AS cum_share_ppm
+         |  CAST(CAST(SUM(n_docs) OVER (ORDER BY band DESC) AS HUGEINT) * 1000000
+         |    // tot_docs AS BIGINT) AS cum_share_ppm
          |FROM g, t
          |ORDER BY band""".stripMargin),
 
@@ -1208,10 +1211,17 @@ object TextOps {
             sum(col("up")).as("up"), sum(col("pu")).as("pu"),
             sum(col("sp")).as("sp"))
           .select(col("source"), col("n_chars"),
-            expr("dg * 1000 div n_chars").as("digit_pm"),
-            expr("up * 1000 div n_chars").as("upper_pm"),
-            expr("pu * 1000 div n_chars").as("punct_pm"),
-            expr("sp * 1000 div n_chars").as("space_pm"))
+            // n_chars = 0 (a source whose texts all trim empty) guarded
+            // explicitly: Spark div yields NULL but DuckDB // raises —
+            // the t27 zero-denominator contract (r8 ADVICE)
+            expr("CASE WHEN n_chars > 0 THEN dg * 1000 div n_chars ELSE 0 END")
+              .as("digit_pm"),
+            expr("CASE WHEN n_chars > 0 THEN up * 1000 div n_chars ELSE 0 END")
+              .as("upper_pm"),
+            expr("CASE WHEN n_chars > 0 THEN pu * 1000 div n_chars ELSE 0 END")
+              .as("punct_pm"),
+            expr("CASE WHEN n_chars > 0 THEN sp * 1000 div n_chars ELSE 0 END")
+              .as("space_pm"))
           .orderBy(col("source"))
       },
       """WITH m AS (
@@ -1226,10 +1236,10 @@ object TextOps {
         |    SUM(pu) AS pu, SUM(sp) AS sp
         |  FROM m GROUP BY 1)
         |SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
-        |  CAST(dg * 1000 // n_chars AS BIGINT) AS digit_pm,
-        |  CAST(up * 1000 // n_chars AS BIGINT) AS upper_pm,
-        |  CAST(pu * 1000 // n_chars AS BIGINT) AS punct_pm,
-        |  CAST(sp * 1000 // n_chars AS BIGINT) AS space_pm
+        |  CAST(CASE WHEN n_chars > 0 THEN dg * 1000 // n_chars ELSE 0 END AS BIGINT) AS digit_pm,
+        |  CAST(CASE WHEN n_chars > 0 THEN up * 1000 // n_chars ELSE 0 END AS BIGINT) AS upper_pm,
+        |  CAST(CASE WHEN n_chars > 0 THEN pu * 1000 // n_chars ELSE 0 END AS BIGINT) AS punct_pm,
+        |  CAST(CASE WHEN n_chars > 0 THEN sp * 1000 // n_chars ELSE 0 END AS BIGINT) AS space_pm
         |FROM a ORDER BY source""".stripMargin),
 
     // -- within-doc duplicate 3-gram profile (Gopher repetition tier 2) -
