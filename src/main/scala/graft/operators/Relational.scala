@@ -1436,8 +1436,8 @@ object Relational {
     // move): the global total and part count cross the cluster ONCE,
     // and the share test cross-multiplies to integers
     // (val·n_parts·100 ≥ 105·total — no division, exact in both
-    // engines; headroom: fixed-point values stay < 2^63 up to ~10⁵×
-    // this SF, past which the same plan runs with DECIMAL(38) sums).
+    // engines, and the products ride DECIMAL(38,0)/HUGEINT so there is
+    // no BIGINT headroom cliff at any SF).
     // A relative threshold (vs Q11's absolute fraction) keeps the
     // survivor set non-degenerate at every SF.
     QueryDef.sql("q66_part_value_share",

@@ -1011,6 +1011,95 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  // ---- r9 backfill: the nine operators that landed in r8's snapshot
+  // commit with no guards (r8 verdict "What's wrong #2") ----
+
+  test("q63: returned-lines EXISTS plans as a semi join with both filters pushed") {
+    val p = plan("q63_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the quarter slice reaches the orders scan, the returnflag slice
+    // the lineitem scan — neither side scans full-width
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q64: zero-order customers survive (LeftOuter); one custkey + one histogram shuffle") {
+    val p = plan("q64_customer_distribution")
+    assert(p.contains("LeftOuter"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length <= 2, p)
+    assert(shuffled.forall(l => l.contains("c_custkey#") || l.contains("c_count#")), p)
+  }
+
+  test("q65: both lineitem passes shuffle on the one partkey; brand rollup is the only other exchange") {
+    val p = plan("q65_small_qty_revenue")
+    assert(!p.contains("CartesianProduct"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty &&
+      shuffled.forall(l => l.contains("partkey#") || l.contains("p_brand#")), p)
+  }
+
+  test("q66: the share gate is a 1-row broadcast over the partkey agg; products are DECIMAL(38,0)") {
+    val p = plan("q66_part_value_share")
+    // the global (total, count) crosses the cluster once as a 1-row
+    // IdentityBroadcast — the bounded BNLJ every other guard forbids
+    // is exactly right here
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Exchange SinglePartition"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.forall(_.contains("l_partkey#")), p)
+    // no BIGINT headroom cliff: the gate and ppm multiply in decimal
+    assert(p.contains("as decimal(38,0))"), p)
+  }
+
+  test("d27: source-pair probes join inside the persisted rollup — no exchange between cache and join") {
+    val p = plan("d27_cross_source_lines")
+    assert(p.contains("InMemoryRelation"), p)
+    // the ONLY ENSURE_REQUIREMENTS hash exchange is the bounded
+    // (src_a, src_b) pair rollup; the h-clustering exchange lives
+    // INSIDE the cached build (REPARTITION_BY_COL) and is not re-paid
+    // by the join
+    val ensure = p.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(ensure.nonEmpty &&
+      ensure.forall(l => l.contains("src_a#") && l.contains("src_b#")), p)
+    assert(!p.split("\n").exists(l => l.contains("Exchange") && l.contains("text#")), p)
+  }
+
+  test("s25: both argmax passes are map-side folds over broadcast codebooks; no window, no re-scan above the cache") {
+    val p = plan("s25_kmeans_churn")
+    assert(p.contains("InMemoryRelation"), p)
+    assert(p.contains("IdentityBroadcastMode"), p)
+    // assignment is the order-independent fold, never a per-vector window
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the churn rollup reads the persisted pass-1 assignments — no
+    // parquet scan above the first cache boundary
+    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+  }
+
+  test("t27: dup-gram profile computes inside the row — zero shuffles, zero joins") {
+    val p = plan("t27_dup_gram_profile")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("m16: channel sums decode in-partition; only 7-BIGINT partials ride the one source shuffle") {
+    val p = plan("m16_channel_norm")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Join"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 1 && shuffled.head.contains("source#"), p)
+  }
+
+  test("p16: shard manifest is one pass — map-side partials into a 16-row shuffle, no join") {
+    val p = plan("p16_shard_manifest")
+    assert(!p.contains("Join"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 1 && shuffled.head.contains("shard#"), p)
+  }
+
   test("d09: join key carries the 15-bit band mask; sketch is native; no loop join") {
     val p = plan("d09_simhash_band_pairs")
     // the r8 scale fix: band keys are 15-bit (32767 mask), keyspace
@@ -1024,6 +1113,43 @@ class PlanSpec extends AnyFunSuite {
     // exchanges move (band, key, id, sketch) — never text
     val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
     assert(!shuffled.exists(_.contains("text#")), p)
+  }
+
+  test("meta: every 'PlanSpec' claim in an operator comment has a matching guard") {
+    // r8 verdict "What's wrong #3": comments asserted guards that did
+    // not exist. This pins the invariant — a query whose Scaladoc says
+    // "PlanSpec" must have a test here naming its short id (the claim
+    // is attributed to the nearest QueryDef above or below the mention,
+    // covering both header comments and in-body notes).
+    import scala.jdk.CollectionConverters._
+    val dir = new java.io.File("src/main/scala/graft/operators")
+    assert(dir.isDirectory, dir.getAbsolutePath)
+    val qdef = """QueryDef\.sql\(\s*"([a-z0-9_]+)"""".r
+    val unguarded = scala.collection.mutable.ArrayBuffer[String]()
+    for (f <- dir.listFiles().filter(_.getName.endsWith(".scala")).sortBy(_.getName)) {
+      val lines = java.nio.file.Files.readAllLines(f.toPath).asScala.toVector
+      val decls = lines.zipWithIndex.flatMap { case (l, i) =>
+        qdef.findFirstMatchIn(l).map(m => (i, m.group(1)))
+      }
+      for ((l, i) <- lines.zipWithIndex if l.contains("PlanSpec")) {
+        val above = decls.filter(_._1 <= i).lastOption.map(_._2)
+        val below = decls.filter(_._1 > i).headOption.map(_._2)
+        // shared-helper comments (the gram8 store) name their consumers
+        // explicitly — those ids count as candidates too
+        val named = lines.slice(math.max(0, i - 3), math.min(lines.length, i + 4))
+          .flatMap("""\b([qdstmp]\d{2})\b""".r.findAllMatchIn(_).map(_.group(1)))
+        val candidates =
+          (above.toSeq.map(_.split("_").head) ++ below.toSeq.map(_.split("_").head) ++
+            named).distinct
+        val covered = candidates.exists { short =>
+          testNames.exists(t => t.matches(s"(?s).*\\b$short\\b.*"))
+        }
+        if (!covered)
+          unguarded += s"${f.getName}:${i + 1} (near ${candidates.mkString(" / ")})"
+      }
+    }
+    assert(unguarded.isEmpty,
+      s"'PlanSpec' claims with no matching guard test:\n${unguarded.mkString("\n")}")
   }
 
   private def assertBoundedHints(
