@@ -1333,6 +1333,69 @@ object DedupOps {
          |  CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS line_pairs
          |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
          |GROUP BY 1, 2
-         |ORDER BY src_a, src_b""".stripMargin)
+         |ORDER BY src_a, src_b""".stripMargin),
+
+    // -- cluster canonical election by quality ---------------------------
+    // d07 labels near-dup clusters and crowns the MIN-id member; real
+    // curation keeps the BEST member — the highest-quality copy (a
+    // mirror with boilerplate stripped scores higher than the original
+    // it duplicates). Per multi-member cluster: the elected keeper
+    // (max t02 quality in integer milli-units, ties to the lower
+    // doc_id via the q40 padded-digit-key trick — DuckDB's arg_max
+    // takes no composite), the member count, and the token mass
+    // eviction saves. 100 TB shape: quality computes map-side per doc,
+    // the label frame is bounded by verified near-dup docs (not the
+    // corpus), and the join shuffles (doc_id, 2 longs) once; the
+    // rollup output is bounded by the cluster count.
+    QueryDef.sql("d28_cluster_keeper",
+      (s, d) => {
+        val labels = clusterLabels(s, d)
+        val q = Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .withColumn("n", size(col("ws")))
+          .withColumn("stop_hits",
+            size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
+          .withColumn("sum_len",
+            aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+          .withColumn("qm", floor((
+            least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
+              (col("stop_hits").cast("double") / col("n")) * 0.3 +
+              least((col("sum_len").cast("double") / col("n")) / 8.0, lit(1.0)) * 0.2
+            ) * 1000.0).cast("long"))
+          .select(col("doc_id"), col("n").cast("long").as("n_tokens"), col("qm"))
+        labels.join(q, labels("src") === q("doc_id"))
+          .withColumn("key", concat(lpad(col("qm").cast("string"), 7, "0"),
+            lpad((lit(10000000000L) - col("doc_id")).cast("string"), 11, "0")))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            max_by(col("doc_id"), col("key")).as("kept_doc"),
+            max_by(col("qm"), col("key")).as("kept_quality_milli"),
+            (sum(col("n_tokens")) - max_by(col("n_tokens"), col("key")))
+              .as("evicted_tokens"))
+          .filter(col("n_members") >= 2)
+          .orderBy(col("cluster"))
+      },
+      s"""WITH $oLabelCtes,
+         |kq AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(floor((
+         |      least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |      (CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to')))
+         |         AS DOUBLE) / len(ws)) * 0.3 +
+         |      least((CAST(list_reduce([0] || list_transform(ws, w -> length(w)),
+         |         (a, b) -> a + b) AS DOUBLE) / len(ws)) / 8.0, 1.0) * 0.2
+         |      ) * 1000.0) AS BIGINT) AS qm
+         |  FROM (SELECT doc_id, ${oWords("text")} AS ws FROM documents)),
+         |km AS (
+         |  SELECT l.cluster, k.doc_id, k.n_tokens, k.qm,
+         |    lpad(CAST(k.qm AS VARCHAR), 7, '0') ||
+         |      lpad(CAST(10000000000 - k.doc_id AS VARCHAR), 11, '0') AS key
+         |  FROM labels l JOIN kq k ON l.src = k.doc_id)
+         |SELECT cluster, COUNT(*) AS n_members,
+         |  arg_max(doc_id, key) AS kept_doc,
+         |  arg_max(qm, key) AS kept_quality_milli,
+         |  CAST(SUM(n_tokens) - arg_max(n_tokens, key) AS BIGINT) AS evicted_tokens
+         |FROM km GROUP BY 1 HAVING COUNT(*) >= 2
+         |ORDER BY cluster""".stripMargin)
   )
 }

@@ -188,6 +188,37 @@ object MultimodalOps {
     StructField("mean_luma", DoubleType, nullable = false),
     StructField("corner_luma", DoubleType, nullable = false)))
 
+  /** Byte-level P6 integrity validator (m17): checks the magic, parses
+    * header tokens with the same comment/whitespace rules as
+    * [[decodePpm]], and verifies the raster payload length — WITHOUT
+    * decoding pixels. Returns "ok" | "bad_magic" | "truncated". This is
+    * the gate an ingest tier runs before paying decode cost. */
+  def validatePpm(b: Array[Byte]): String = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return "bad_magic"
+    var pos = 2
+    def token(): String = {
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos)
+        if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else go = false
+      }
+      val s0 = pos
+      while (pos < b.length && !Character.isWhitespace(b(pos).toChar)) pos += 1
+      new String(b, s0, pos - s0, "US-ASCII")
+    }
+    try {
+      val w = token().toInt
+      val h = token().toInt
+      val maxval = token().toInt
+      pos += 1 // single whitespace byte after maxval per the P6 grammar
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) "bad_magic"
+      else if (b.length - pos < w * h * 3) "truncated"
+      else "ok"
+    } catch { case _: NumberFormatException => "bad_magic" }
+  }
+
   /** Deterministic P6 PPM payload for a doc id — REAL image bytes:
     * ASCII header (magic, width, height, maxval) + interleaved RGB.
     * Dims 4..16 × 4..14; pixel byte k = (id·31 + k·7) mod 256. */
@@ -1548,6 +1579,62 @@ object MultimodalOps {
         |  sqrt(CAST(n_px * r2 - rs * rs AS DOUBLE)) / n_px AS std_r,
         |  sqrt(CAST(n_px * g2 - gs * gs AS DOUBLE)) / n_px AS std_g,
         |  sqrt(CAST(n_px * b2 - bs * bs AS DOUBLE)) / n_px AS std_b
-        |FROM a ORDER BY source""".stripMargin)
+        |FROM a ORDER BY source""".stripMargin),
+
+    // -- corrupt-image ingest audit ---------------------------------------
+    // The gate an ingest tier runs BEFORE paying decode cost: validate
+    // magic, header grammar, and raster payload length per image, and
+    // report per source how much of the feed is unusable (a source
+    // whose uploads truncate mid-transfer shows up here, not as a
+    // decoder crash 3 stages later). The validator ([[validatePpm]])
+    // REALLY parses bytes; faults are injected deterministically at
+    // the byte level (doc_id % 31 → magic flipped, else % 23 → 5-byte
+    // truncation) so the oracle can assert the verdict schedule
+    // analytically — the m06 contract-oracle pattern. 100 TB shape:
+    // validation runs where the bytes sit (mapPartitions), bytes never
+    // leave the partition, only (id, source, verdict) reaches the
+    // bounded source rollup.
+    QueryDef.sql("m17_corrupt_audit",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).filter(col("doc_id") < 500)
+        val verdicts = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val raw = ppmBytes(id)
+            val bytes =
+              if (id % 31 == 0) { val c = raw.clone(); c(0) = 'X'.toByte; c }
+              else if (id % 23 == 0) raw.take(raw.length - 5)
+              else raw
+            Row(id, r.getString(1), validatePpm(bytes))
+          }
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("source", StringType, nullable = false),
+          StructField("verdict", StringType, nullable = false)))
+        s.createDataFrame(verdicts, schema)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_images"),
+            sum(when(col("verdict") === "ok", 1L).otherwise(0L)).as("n_ok"),
+            sum(when(col("verdict") === "bad_magic", 1L).otherwise(0L))
+              .as("n_bad_magic"),
+            sum(when(col("verdict") === "truncated", 1L).otherwise(0L))
+              .as("n_truncated"))
+          .orderBy(col("source"))
+      },
+      """WITH v AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 31 = 0 THEN 'bad_magic'
+        |         WHEN doc_id % 23 = 0 THEN 'truncated'
+        |         ELSE 'ok' END AS verdict
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT source, COUNT(*) AS n_images,
+        |  CAST(SUM(CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(SUM(CASE WHEN verdict = 'bad_magic' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_magic,
+        |  CAST(SUM(CASE WHEN verdict = 'truncated' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated
+        |FROM v GROUP BY 1 ORDER BY source""".stripMargin)
   )
 }

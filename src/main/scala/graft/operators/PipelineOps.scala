@@ -951,6 +951,53 @@ object PipelineOps {
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  CAST(SUM(cs) AS BIGINT) AS checksum,
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-         |FROM m GROUP BY 1 ORDER BY shard""".stripMargin)
+         |FROM m GROUP BY 1 ORDER BY shard""".stripMargin),
+
+    // -- shard load-skew audit -------------------------------------------
+    // The straggler predictor: a 1000-reader epoch finishes when the
+    // HEAVIEST shard finishes, so what matters is each shard's token
+    // load against the mean (faiss's imbalance-factor idea applied to
+    // data shards). Uses p09/p16's md5 shard assignment; per shard:
+    // token mass, load vs mean in ppm (exact DECIMAL route), and a
+    // straggler flag at the +10% line via a cross-multiplied integer
+    // compare (tokens·16·10 > 11·total — no division). 100 TB shape:
+    // one corpus pass map-side into 16-row partials; the global total
+    // crosses back as a 1-row broadcast.
+    QueryDef.sql("p17_shard_skew",
+      (s, d) => {
+        val h = md5Val(concat(col("doc_id").cast("string"), lit("#shuffle")), 15)
+        // transientPersist: the 16-row shard frame feeds both the total
+        // and the output — without the barrier Catalyst inlines the
+        // corpus pass into BOTH consumers (two full scans; the s21/t25
+        // lesson, PlanSpec-pinned here)
+        val per = OpUtils.transientPersist(s, s"p17:$d",
+          Tables.documents(s, d)
+            .select(size(words(col("text"))).cast("long").as("n_tokens"),
+              pmod(h, lit(16L)).cast("int").as("shard"))
+            .groupBy(col("shard"))
+            .agg(sum(col("n_tokens")).as("shard_tokens")))
+        val tot = per.agg(sum(col("shard_tokens")).as("tot"))
+        per.crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
+          .select(col("shard"), col("shard_tokens"),
+            expr("CAST(CAST(shard_tokens AS DECIMAL(38,0)) * 16000000 DIV tot AS BIGINT)")
+              .as("load_ppm"),
+            (col("shard_tokens").cast("decimal(38,0)") * 160 >
+              col("tot").cast("decimal(38,0)") * 11).as("straggler"))
+          .orderBy(col("shard"))
+      },
+      s"""WITH sm AS (
+         |  SELECT CAST(${oMd5Val("CAST(doc_id AS VARCHAR) || '#shuffle'", 15)} % 16
+         |      AS INTEGER) AS shard,
+         |    CAST(len(${oWords("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |ps AS (SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+         |  FROM sm GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS tot FROM ps)
+         |SELECT shard, shard_tokens,
+         |  CAST(CAST(shard_tokens AS HUGEINT) * 16000000 // tot AS BIGINT)
+         |    AS load_ppm,
+         |  CAST(shard_tokens AS HUGEINT) * 160 > CAST(tot AS HUGEINT) * 11
+         |    AS straggler
+         |FROM ps, tt ORDER BY shard""".stripMargin)
   )
 }

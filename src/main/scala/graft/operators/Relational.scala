@@ -1468,7 +1468,134 @@ object Relational {
          |  CAST(CAST(val_i AS HUGEINT) * 1000000 // tot_i AS BIGINT) AS share_ppm
          |FROM pp, t
          |WHERE CAST(val_i AS HUGEINT) * np * 100 >= 105 * CAST(tot_i AS HUGEINT)
-         |ORDER BY part_value DESC, l_partkey""".stripMargin)
+         |ORDER BY part_value DESC, l_partkey""".stripMargin),
+
+    // -- Disjunctive-predicate revenue (the TPC-H Q19 shape) ------------
+    // Revenue under an OR-of-ANDs each arm pairing a part attribute
+    // with a lineitem quantity band — the shape that breaks naive
+    // pushdown because no single conjunct spans the whole disjunction.
+    // The scale moves: the hoisted quantity envelope (1..30, implied by
+    // the union of the arms but NOT inferred by Catalyst) is added
+    // explicitly so it PUSHES to the lineitem scan and prunes before
+    // the join (PlanSpec pins the pushed bounds); part joins as a
+    // broadcast dim carrying only (key, brand, size); the residual OR
+    // evaluates post-join in codegen. Money is exact decimal.
+    QueryDef.sql("q67_disjunctive_revenue",
+      (s, d) => {
+        def arm(brand: String, szMax: Int, qLo: Int, qHi: Int) =
+          col("p_brand") === brand && col("p_size") <= szMax &&
+            col("l_quantity") >= qLo && col("l_quantity") <= qHi
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+          .filter(arm("Brand#3", 10, 1, 11) || arm("Brand#15", 20, 10, 20) ||
+            arm("Brand#24", 30, 20, 30))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_lines"), dsum(revenue).as("revenue"))
+          .orderBy(col("p_brand"))
+      },
+      s"""SELECT p_brand, COUNT(*) AS n_lines, ${odsum(orev)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_quantity >= 1 AND l_quantity <= 30
+         |  AND ((p_brand = 'Brand#3' AND p_size <= 10
+         |          AND l_quantity >= 1 AND l_quantity <= 11)
+         |    OR (p_brand = 'Brand#15' AND p_size <= 20
+         |          AND l_quantity >= 10 AND l_quantity <= 20)
+         |    OR (p_brand = 'Brand#24' AND p_size <= 30
+         |          AND l_quantity >= 20 AND l_quantity <= 30))
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- Lapsed rich customers (the TPC-H Q22 shape) ---------------------
+    // Per market segment: customers holding above-average positive
+    // balances with NO order since 2000 — the lost-revenue sheet
+    // (every custkey in this corpus has SOME order, so the recency
+    // window is what makes the anti join non-degenerate at every SF).
+    // The global average crosses the cluster once as a 1-row
+    // broadcast, and the above-average test cross-multiplies exact
+    // cents through DECIMAL(38,0) (bal·n_pos > total — no division, no
+    // FP); the no-recent-orders test is a LEFT ANTI join whose build
+    // side shrinks at the orders SCAN (the date slice pushes down). At
+    // 100 TB the anti join shuffles on the customer key once;
+    // everything else is bounded.
+    QueryDef.sql("q68_idle_customers",
+      (s, d) => {
+        val bc = (mon(col("c_acctbal")) * 100).cast("long")
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            bc.as("bc"))
+        val stats = cust.filter(col("bc") > 0)
+          .agg(sum(col("bc")).as("tot_bc"), count(lit(1)).as("n_pos"))
+        cust.crossJoin(broadcast(stats)) // aggregate-bounded: 1 row
+          .filter(col("bc").cast("decimal(38,0)") * col("n_pos") > col("tot_bc"))
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(mon(col("c_acctbal"))).as("total_acctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      s"""WITH st AS (
+         |  SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS tot_bc,
+         |    COUNT(*) AS n_pos
+         |  FROM customer WHERE c_acctbal > 0),
+         |el AS (
+         |  SELECT c_custkey, c_mktsegment, c_acctbal,
+         |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bc
+         |  FROM customer)
+         |SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |  ${odsum("CAST(c_acctbal AS DECIMAL(12,2))")} AS total_acctbal
+         |FROM el e, st
+         |WHERE CAST(bc AS HUGEINT) * n_pos > tot_bc
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = e.c_custkey
+         |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // -- Top supplier by quarterly revenue (the TPC-H Q15 shape) --------
+    // The revenue-view-then-max two-phase: per-supplier revenue over a
+    // pushed 3-month ship slice (ONE suppkey shuffle with map-side
+    // partials), the global max crossing back as a 1-row broadcast
+    // (never a window over all suppliers), ties kept by the = compare
+    // exactly as Q15 demands. The winner row joins the supplier dim by
+    // broadcast. Fixed-point revenue: the max compare is integral.
+    QueryDef.sql("q69_top_supplier",
+      (s, d) => {
+        val rev_i = (revenue * 10000).cast("long")
+        val perSup = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1997-04-01 00:00:00"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(rev_i).as("rev_i"))
+        val mx = perSup.agg(max(col("rev_i")).as("max_i"))
+        perSup.crossJoin(broadcast(mx)) // aggregate-bounded: 1 row
+          .filter(col("rev_i") === col("max_i"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey").as("suppkey"), col("s_name"),
+            (col("rev_i").cast("double") / 10000).as("total_revenue"))
+          .orderBy(col("suppkey"))
+      },
+      s"""WITH ps AS (
+         |  SELECT l_suppkey, CAST(SUM(CAST($orev * 10000 AS BIGINT)) AS BIGINT)
+         |    AS rev_i
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |  GROUP BY 1),
+         |mx AS (SELECT MAX(rev_i) AS max_i FROM ps)
+         |SELECT s_suppkey AS suppkey, s_name,
+         |  CAST(rev_i AS DOUBLE) / 10000 AS total_revenue
+         |FROM ps
+         |CROSS JOIN mx
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_i = max_i
+         |ORDER BY suppkey""".stripMargin)
   )
 
   /** Bucketed copies of orders/lineitem (8 buckets on the order key,

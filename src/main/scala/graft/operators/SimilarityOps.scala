@@ -1711,6 +1711,117 @@ object SimilarityOps {
          |    AS n_churned,
          |  CAST(SUM(CASE WHEN cell2 <> cell1 THEN 1 ELSE 0 END) * 1000000
          |    // COUNT(*) AS BIGINT) AS churn_ppm
-         |FROM a2 GROUP BY 1 ORDER BY cell""".stripMargin)
+         |FROM a2 GROUP BY 1 ORDER BY cell""".stripMargin),
+
+    // -- truncated-dimension (matryoshka) retrieval audit ----------------
+    // Matryoshka-style adaptive retrieval serves the FIRST 16 of 64
+    // dims from the hot tier and reranks with the full vector — this
+    // audit measures what that truncation costs: per probe query, the
+    // top-3 overlap between full-dim and 16-dim-prefix cosine, and
+    // whether rank-1 survives. 100 TB shape: the pair frame computes
+    // BOTH cosines in one pass behind a transient persist (the s21
+    // lesson — without the barrier each window consumer re-runs the
+    // pair join), each ranking is WindowGroupLimit-bounded pre-
+    // exchange, and everything rides the absolute 200-vector probe cap
+    // (a fixed audit budget, never a corpus census).
+    QueryDef.sql("s26_matryoshka_recall",
+      (s, d) => {
+        val e = vecs(s, d).filter(col("vec_id") < 200)
+        val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val n = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+        val pc = OpUtils.transientPersist(s, s"s26:$d",
+          q.join(n, col("q_id") =!= col("n_id"))
+            .withColumn("cos_full", cosine(col("qv"), col("nv")))
+            .withColumn("cos_trunc",
+              cosine(slice(col("qv"), 1, 16), slice(col("nv"), 1, 16)))
+            .select(col("q_id"), col("n_id"), col("cos_full"), col("cos_trunc")))
+        val wf = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_full").desc, col("n_id"))
+        val wt = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_trunc").desc, col("n_id"))
+        val tf = pc.withColumn("rf", row_number().over(wf))
+          .filter(col("rf") <= 3).select(col("q_id"), col("n_id"), col("rf"))
+        val tt = pc.withColumn("rt", row_number().over(wt))
+          .filter(col("rt") <= 3).select(col("q_id"), col("n_id"), col("rt"))
+        tf.join(tt, Seq("q_id", "n_id"), "full_outer")
+          .groupBy(col("q_id"))
+          .agg(sum(when(col("rf").isNotNull && col("rt").isNotNull, 1L)
+              .otherwise(0L)).as("n_overlap"),
+            max(when(col("rf") === 1, col("n_id"))).as("nn1_full"),
+            max(when(col("rt") === 1, col("n_id"))).as("nn1_trunc"))
+          .withColumn("top1_match", col("nn1_full") === col("nn1_trunc"))
+          .select(col("q_id").as("vec_id"), col("n_overlap"),
+            col("nn1_full"), col("nn1_trunc"), col("top1_match"))
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH e AS ($oVecs),
+         |sq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 200),
+         |sn AS (SELECT vec_id AS n_id, v AS nv FROM e WHERE vec_id < 200),
+         |pc AS (
+         |  SELECT q_id, n_id,
+         |    ${oCosine("qv", "nv")} AS cos_full,
+         |    ${oCosine("qv[1:16]", "nv[1:16]")} AS cos_trunc
+         |  FROM sq JOIN sn ON q_id <> n_id),
+         |tf AS (SELECT q_id, n_id, rf FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_full DESC, n_id) AS rf FROM pc) WHERE rf <= 3),
+         |tt AS (SELECT q_id, n_id, rt FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_trunc DESC, n_id) AS rt FROM pc) WHERE rt <= 3),
+         |j AS (
+         |  SELECT COALESCE(tf.q_id, tt.q_id) AS q_id,
+         |    COALESCE(tf.n_id, tt.n_id) AS n_id, rf, rt
+         |  FROM tf FULL OUTER JOIN tt
+         |    ON tf.q_id = tt.q_id AND tf.n_id = tt.n_id)
+         |SELECT q_id AS vec_id,
+         |  CAST(SUM(CASE WHEN rf IS NOT NULL AND rt IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_overlap,
+         |  MAX(CASE WHEN rf = 1 THEN n_id END) AS nn1_full,
+         |  MAX(CASE WHEN rt = 1 THEN n_id END) AS nn1_trunc,
+         |  MAX(CASE WHEN rf = 1 THEN n_id END) = MAX(CASE WHEN rt = 1 THEN n_id END)
+         |    AS top1_match
+         |FROM j GROUP BY 1 ORDER BY vec_id""".stripMargin),
+
+    // -- embedding drift between corpus halves ---------------------------
+    // The data-drift monitor a retrieval deployment runs per refresh:
+    // split the corpus into interleaved halves (vec_id parity — both
+    // halves span the full ingest timeline), compute each label's
+    // exact fixed-point centroid per half (the s03/s25 DECIMAL recipe:
+    // order-independent sums, O(1) agg state), and report the cosine
+    // between the half-centroids. Drift < 1 on a label says its
+    // members moved, not that sampling jittered — parity halves make a
+    // near-1 cosine the null hypothesis. 100 TB shape: ONE corpus pass
+    // into a 2·|labels|-row persisted frame; the half-vs-half join and
+    // the cosine are driver-scale arithmetic.
+    QueryDef.sql("s27_centroid_drift",
+      (s, d) => {
+        val e = vecs(s, d)
+          .withColumn("half", pmod(col("vec_id"), lit(2)).cast("int"))
+        def fxMean(dim: Int) =
+          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+            .cast("double") / lit(1e7) / count(lit(1))
+        val halves = OpUtils.transientPersist(s, s"s27:$d",
+          e.groupBy(col("label"), col("half"))
+            .agg(count(lit(1)).as("n"), array((1 to 64).map(fxMean): _*).as("cv")))
+        val a = halves.filter(col("half") === 0)
+          .select(col("label"), col("n").as("n_even"), col("cv").as("cva"))
+        val b = halves.filter(col("half") === 1)
+          .select(col("label").as("lb"), col("n").as("n_odd"), col("cv").as("cvb"))
+        a.join(b, col("label") === col("lb"))
+          .select(col("label"), col("n_even"), col("n_odd"),
+            cosine(col("cva"), col("cvb")).as("drift_cos"))
+          .orderBy(col("label"))
+      },
+      s"""WITH e AS ($oVecs),
+         |h AS (
+         |  SELECT label, CAST(vec_id % 2 AS INTEGER) AS half, COUNT(*) AS n,
+         |    ${(1 to 64).map(i =>
+               s"CAST(SUM(CAST(round(v[$i] * 1e7) AS DECIMAL(28,0))) AS DOUBLE) / 1e7 / COUNT(*)")
+               .mkString("[", ", ", "]")} AS cv
+         |  FROM e GROUP BY 1, 2)
+         |SELECT a.label AS label, a.n AS n_even, b.n AS n_odd,
+         |  ${oCosine("a.cv", "b.cv")} AS drift_cos
+         |FROM h a JOIN h b ON a.label = b.label AND a.half = 0 AND b.half = 1
+         |ORDER BY a.label""".stripMargin)
   )
 }

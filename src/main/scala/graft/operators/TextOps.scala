@@ -1299,6 +1299,60 @@ object TextOps {
          |    ELSE 0 END AS BIGINT) AS repeat_ppm,
          |  CAST(CASE WHEN gram_chars > 0 THEN rep_chars * 1000000 // gram_chars
          |    ELSE 0 END AS BIGINT) AS char_repeat_ppm
-         |FROM m ORDER BY doc_id""".stripMargin)
+         |FROM m ORDER BY doc_id""".stripMargin),
+
+    // -- footer boilerplate sheet per source ------------------------------
+    // Syndicated sources stamp the same closing line on every page
+    // ("subscribe to our newsletter...") — d23 catches shared PREFIXES,
+    // this catches the shared TAIL: per source, how concentrated the
+    // final word-8-gram is (the dominant footer and its share). A
+    // share near 1e6 says one template closes the whole source — strip
+    // it before tokenization. 100 TB shape: the footer hash computes
+    // map-side per doc (16 hex digits → one long), ONE (source, h)
+    // shuffle of counts, the per-source rollup reuses that partitioning
+    // (source ⊂ (source, h)), and the winner is an arg_max over the
+    // bounded per-source footer table (q40 padded key, ties to the
+    // smaller hash) — no window over docs, no text on any exchange.
+    QueryDef.sql("t28_footer_boilerplate",
+      (s, d) => {
+        val ws = words(trim(col("text")))
+        val fb = Tables.documents(s, d)
+          .select(col("source"), ws.as("ws"))
+          .filter(size(col("ws")) >= 8)
+          .select(col("source"),
+            md5Val(concat_ws(" ", slice(col("ws"), size(col("ws")) - 7, lit(8))), 15)
+              .as("h"))
+        val perFooter = fb.groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("cnt"))
+        perFooter
+          .withColumn("key", concat(lpad(col("cnt").cast("string"), 12, "0"),
+            lpad((lit(2000000000000000000L) - col("h")).cast("string"), 19, "0")))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_docs"),
+            count(lit(1)).as("n_footers"),
+            max_by(col("cnt"), col("key")).as("top_count"))
+          .select(col("source"), col("n_docs"), col("n_footers"), col("top_count"),
+            expr("CAST(CAST(top_count AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+              .as("top_ppm"))
+          .orderBy(col("source"))
+      },
+      s"""WITH fw AS (
+         |  SELECT source, ${oWords("trim(text)")} AS ws FROM documents),
+         |fh AS (
+         |  SELECT source,
+         |    ${oMd5Val("array_to_string(ws[-8:], ' ')", 15)} AS h
+         |  FROM fw WHERE len(ws) >= 8),
+         |pf AS (SELECT source, h, COUNT(*) AS cnt FROM fh GROUP BY 1, 2),
+         |pk AS (
+         |  SELECT source, cnt,
+         |    lpad(CAST(cnt AS VARCHAR), 12, '0') ||
+         |      lpad(CAST(2000000000000000000 - h AS VARCHAR), 19, '0') AS key
+         |  FROM pf)
+         |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         |  COUNT(*) AS n_footers,
+         |  CAST(arg_max(cnt, key) AS BIGINT) AS top_count,
+         |  CAST(CAST(arg_max(cnt, key) AS HUGEINT) * 1000000 // SUM(cnt) AS BIGINT)
+         |    AS top_ppm
+         |FROM pk GROUP BY 1 ORDER BY source""".stripMargin)
   )
 }

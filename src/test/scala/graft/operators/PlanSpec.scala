@@ -1115,6 +1115,85 @@ class PlanSpec extends AnyFunSuite {
     assert(!shuffled.exists(_.contains("text#")), p)
   }
 
+  // ---- r9 sweep: new operators land WITH their guards ----
+
+  test("q67: quantity envelope and part-arm disjunction both push to the scans") {
+    val p = plan("q67_disjunctive_revenue")
+    // the hand-hoisted qty envelope reaches the lineitem scan…
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"), p)
+    // …and the brand/size disjunction prunes the part dim at ITS scan
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q68: anti join's build side shrinks at the orders scan; gate is a 1-row broadcast") {
+    val p = plan("q68_idle_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,2000-01-01"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("as decimal(38,0))"), p)
+  }
+
+  test("q69: one suppkey shuffle; the max gate crosses back as a broadcast, never a window") {
+    val p = plan("q69_top_supplier")
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.forall(_.contains("suppkey#")), p)
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), p)
+  }
+
+  test("d28: keeper election is an agg over the bounded label frame — no cartesian, no per-group lists") {
+    val p = plan("d28_cluster_keeper")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("collect_list"), p)
+    // quality computes map-side; text never rides an exchange
+    assert(!p.split("\n").exists(l => l.contains("Exchange") && l.contains("text#")), p)
+  }
+
+  test("s26: both rankings are WindowGroupLimit-bounded over ONE persisted pair frame") {
+    val p = plan("s26_matryoshka_recall")
+    assert("vec_id#\\d+L? < 200".r.findFirstIn(p).isDefined ||
+      p.contains("LessThan(vec_id,200)"), p)
+    assert(p.split("WindowGroupLimit").length - 1 >= 2, p)
+    assert(p.contains("InMemoryRelation"), p)
+    // no cosine computed above the cache boundary — both windows and
+    // the overlap join read the persisted frame
+    assert(!p.split("InMemoryRelation")(0).contains("cosinesimilarity"), p)
+  }
+
+  test("s27: one corpus pass into the persisted half-centroid frame; the drift join reads the cache") {
+    val p = plan("s27_centroid_drift")
+    assert(p.contains("InMemoryRelation"), p)
+    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("t28: footer counts shuffle (source, hash) partials then the bounded footer table — never text") {
+    val p = plan("t28_footer_boilerplate")
+    assert(!p.contains("Join"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length <= 2, p)
+    assert(!shuffled.exists(_.contains("text#")), p)
+  }
+
+  test("p17: the corpus scans ONCE into the persisted 16-row shard frame; total is a 1-row broadcast") {
+    val p = plan("p17_shard_skew")
+    assert(p.contains("InMemoryRelation"), p)
+    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("m17: validation runs on the RDD partition; only verdict rows reach the source rollup") {
+    val p = plan("m17_corrupt_audit")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Join"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 1 && shuffled.head.contains("source#"), p)
+  }
+
   test("meta: every 'PlanSpec' claim in an operator comment has a matching guard") {
     // r8 verdict "What's wrong #3": comments asserted guards that did
     // not exist. This pins the invariant — a query whose Scaladoc says
