@@ -66,6 +66,7 @@ object SparkEntry {
       "q62_trade_volume", "q63_order_priority", "q64_customer_distribution",
       "q65_small_qty_revenue", "q66_part_value_share",
       "q67_disjunctive_revenue", "q68_idle_customers", "q69_top_supplier",
+      "q70_product_profit",
       "d03_minhash_lsh_pairs", "d09_simhash_band_pairs",
       "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",

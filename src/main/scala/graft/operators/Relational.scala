@@ -1595,7 +1595,55 @@ object Relational {
          |CROSS JOIN mx
          |JOIN supplier ON l_suppkey = s_suppkey
          |WHERE rev_i = max_i
-         |ORDER BY suppkey""".stripMargin)
+         |ORDER BY suppkey""".stripMargin),
+
+    // -- Product-line profit by supplier nation and year (the TPC-H Q9
+    // shape) -------------------------------------------------------------
+    // Profit on the PROMO product line = revenue − modeled unit cost
+    // (60% of retail), summed per (supplier nation, order year). The
+    // Q9 join tree re-expressed for this star: part (filtered at ITS
+    // scan) and supplier⋈nation collapse into broadcast builds, so the
+    // fact side shuffles exactly once — orders⋈lineitem on the order
+    // key. All money is exact decimal; profit lands in 1e6 fixed point
+    // (cost carries scale 6: retail(2) × rate(2) × qty(2)), summed as
+    // BIGINT — no FP until the final display division.
+    QueryDef.sql("q70_product_profit",
+      (s, d) => {
+        val cost = mon(col("p_retailprice")) * rate(lit(0.6)) *
+          mon(col("l_quantity"))
+        val profit_i = ((revenue - cost) * 1000000).cast("long")
+        val supN = Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as("sk"), col("n_name"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supN), col("l_suppkey") === col("sk"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n_lines"), sum(profit_i).as("profit_i"))
+          .select(col("nation"), col("o_year"), col("n_lines"),
+            (col("profit_i").cast("double") / 1000000).as("profit"))
+          .orderBy(col("nation"), col("o_year"))
+      },
+      s"""WITH supn AS (
+         |  SELECT s_suppkey AS sk, n_name
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+         |SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+         |  COUNT(*) AS n_lines,
+         |  CAST(SUM(CAST(($orev
+         |      - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(4,2))
+         |        * CAST(l_quantity AS DECIMAL(12,2))) * 1000000 AS BIGINT))
+         |    AS DOUBLE) / 1000000 AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         |JOIN supn ON l_suppkey = sk
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year""".stripMargin)
   )
 
   /** Bucketed copies of orders/lineitem (8 buckets on the order key,

@@ -479,6 +479,33 @@ object EventStreams {
       .select(col("sk"), col("p.word").as("word"), col("p.est").as("est"))
   }
 
+  /** Streaming shard manifest — p16's integrity sheet kept live at the
+    * point of ingest: every arriving document lands in its md5 shard
+    * and folds into that shard's (count, char/token mass, checksum,
+    * id range) row. State is bounded at 16 shard rows REGARDLESS of
+    * stream volume (like [[qualityBandStream]], no watermark needed),
+    * and every per-shard stat is an associative+commutative fold
+    * (sums, min, max), so the streaming table converges to the batch
+    * manifest EXACTLY whatever the arrival order — readers can verify
+    * a shard the moment ingest pauses, no end-of-epoch barrier.
+    * EventStreamsSpec pins equality against the oracle-checked p16. */
+  def shardManifestStream(docs: DataFrame): DataFrame = {
+    import graft.operators.OpUtils.{md5Val, words}
+    val h = md5Val(concat(col("doc_id").cast("string"), lit("#shuffle")), 15)
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        md5Val(trim(col("text")), 11).as("cs"),
+        pmod(h, lit(16L)).cast("int").as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("cs")).as("checksum"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

@@ -1186,6 +1186,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q70: the PROMO slice prunes part at its scan; dims broadcast; only the rollup hash-shuffles") {
+    val p = plan("q70_product_profit")
+    assert(p.contains("EqualTo(p_type,PROMO)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // at this SF every join build broadcasts, so the single hash
+    // exchange is the (nation, year) rollup; at scale AQE owns the
+    // orders-side strategy
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.forall(l => l.contains("n_name#") || l.contains("nation#")), p)
+  }
+
   test("m17: validation runs on the RDD partition; only verdict rows reach the source rollup") {
     val p = plan("m17_corrupt_audit")
     assert(p.contains("Scan ExistingRDD"), p)

@@ -536,4 +536,34 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(gotEst(w) <= batchSk(4 * 4096)) // ≤ total ingested words
     }
   }
+
+  test("streaming shard manifest converges to the batch p16 manifest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)].collect().toSeq
+    val input = MemoryStream[(Long, String, Long)]
+    val query = EventStreams.shardManifestStream(
+        input.toDF().toDF("doc_id", "text", "n_chars"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("manifest_out").start()
+    // three chunks: shard rows must fold incrementally, and every stat
+    // (incl. the order-independent checksum) must land batch-exact
+    val chunks = docs.grouped(math.max(1, docs.size / 3 + 1)).toSeq
+    chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    query.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    val cols = Seq("shard", "n_docs", "total_chars", "total_tokens",
+      "checksum", "min_doc", "max_doc").map(col)
+    val got = spark.table("manifest_out").select(cols: _*).collect().map(key).toSet
+    val want = graft.SparkEntry.queries("p16_shard_manifest")(spark, sf)
+      .select(cols: _*).collect().map(key).toSet
+    assert(got.size === 16)
+    assert(got === want)
+  }
 }
