@@ -1477,8 +1477,8 @@ object Relational {
     // The scale moves: the hoisted quantity envelope (1..30, implied by
     // the union of the arms but NOT inferred by Catalyst) is added
     // explicitly so it PUSHES to the lineitem scan and prunes before
-    // the join (PlanSpec pins the pushed bounds); part joins as a
-    // broadcast dim carrying only (key, brand, size); the residual OR
+    // the join (PlanSpec pins the pushed bounds); part carries only
+    // (key, brand, size) to an AQE-owned equi-join; the residual OR
     // evaluates post-join in codegen. Money is exact decimal.
     QueryDef.sql("q67_disjunctive_revenue",
       (s, d) => {
@@ -1487,8 +1487,11 @@ object Relational {
             col("l_quantity") >= qLo && col("l_quantity") <= qHi
         Tables.lineitem(s, d)
           .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
-          .join(broadcast(Tables.part(s, d)
-            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          // part is SF-proportional — no broadcast hint (the repo-wide
+          // discipline): AQE broadcasts it while it fits and switches
+          // to a shuffle join when it outgrows the threshold
+          .join(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"), col("p_size")),
             col("l_partkey") === col("p_partkey"))
           .filter(arm("Brand#3", 10, 1, 11) || arm("Brand#15", 20, 10, 20) ||
             arm("Brand#24", 30, 20, 30))
@@ -1601,10 +1604,12 @@ object Relational {
     // shape) -------------------------------------------------------------
     // Profit on the PROMO product line = revenue − modeled unit cost
     // (60% of retail), summed per (supplier nation, order year). The
-    // Q9 join tree re-expressed for this star: part (filtered at ITS
-    // scan) and supplier⋈nation collapse into broadcast builds, so the
-    // fact side shuffles exactly once — orders⋈lineitem on the order
-    // key. All money is exact decimal; profit lands in 1e6 fixed point
+    // Q9 join tree re-expressed for this star: supplier⋈nation is a
+    // broadcast build (true dims), part is filtered at ITS scan and
+    // joins equi (AQE-owned — SF-proportional frames carry no hint),
+    // so the fact side hash-shuffles at most once — orders⋈lineitem on
+    // the order key. All money is exact decimal; profit lands in 1e6
+    // fixed point
     // (cost carries scale 6: retail(2) × rate(2) × qty(2)), summed as
     // BIGINT — no FP until the final display division.
     QueryDef.sql("q70_product_profit",
@@ -1616,9 +1621,12 @@ object Relational {
           .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey").as("sk"), col("n_name"))
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d)
+          // the PROMO slice of part is still SF-proportional — no
+          // broadcast hint; the filter pushes to the scan and AQE
+          // picks the strategy by the filtered size
+          .join(Tables.part(s, d)
             .filter(col("p_type") === "PROMO")
-            .select(col("p_partkey"), col("p_retailprice"))),
+            .select(col("p_partkey"), col("p_retailprice")),
             col("l_partkey") === col("p_partkey"))
           .join(broadcast(supN), col("l_suppkey") === col("sk"))
           .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
