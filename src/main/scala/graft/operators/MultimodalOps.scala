@@ -191,8 +191,15 @@ object MultimodalOps {
   /** Byte-level P6 integrity validator (m17): checks the magic, parses
     * header tokens with the same comment/whitespace rules as
     * [[decodePpm]], and verifies the raster payload length — WITHOUT
-    * decoding pixels. Returns "ok" | "bad_magic" | "truncated". This is
-    * the gate an ingest tier runs before paying decode cost. */
+    * decoding pixels. Returns "ok" | "bad_magic" | "truncated". A header
+    * that is itself malformed (non-numeric token, or cut off before a
+    * numeric token exists — the empty token throws NumberFormatException)
+    * classifies as "bad_magic"; "truncated" is reserved for a WELL-FORMED
+    * header whose raster payload is short. Expected
+    * raster length is computed in Long and dims are capped (w·h ≤ 2^26
+    * pixels) so a corrupt header claiming absurd dims can't overflow the
+    * length check into a false "ok". This is the gate an ingest tier
+    * runs before paying decode cost. */
   def validatePpm(b: Array[Byte]): String = {
     if (b.length < 2 || b(0) != 'P' || b(1) != '6') return "bad_magic"
     var pos = 2
@@ -214,7 +221,8 @@ object MultimodalOps {
       val maxval = token().toInt
       pos += 1 // single whitespace byte after maxval per the P6 grammar
       if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) "bad_magic"
-      else if (b.length - pos < w * h * 3) "truncated"
+      else if (w.toLong * h > (1L << 26)) "bad_magic" // absurd-dims cap
+      else if ((b.length - pos).toLong < w.toLong * h * 3L) "truncated"
       else "ok"
     } catch { case _: NumberFormatException => "bad_magic" }
   }

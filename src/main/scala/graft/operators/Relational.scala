@@ -1662,6 +1662,29 @@ object Relational {
   private val bucketCache =
     scala.collection.concurrent.TrieMap[(Int, String), (String, String)]()
 
+  /** r9 ADVICE: pid-scoped table tags mean a crashed JVM's bucketed
+    * copies are never matched by the own-tag delete above — without a
+    * sweep, the warehouse grows one full bucketed copy per dead JVM per
+    * data dir. Delete sibling `graft_bkt_*_<dirTag>_<pid>` dirs whose
+    * pid is no longer alive; live pids (including ours) are untouched,
+    * so the r8 mid-query cross-JVM delete race stays fixed. */
+  private[operators] def reclaimStaleBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      whPath: org.apache.hadoop.fs.Path,
+      dirTag: String): Unit = {
+    val stale = "graft_bkt_(?:orders|lineitem)_%s_(\\d+)".format(dirTag).r
+    if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
+      st.getPath.getName match {
+        case stale(pidStr) =>
+          val pid = pidStr.toLong
+          if (pid != ProcessHandle.current().pid() &&
+              !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+            fs.delete(st.getPath, true)
+        case _ =>
+      }
+    }
+  }
+
   private def bucketedStore(s: SparkSession, d: String): (String, String) =
     bucketCache.getOrElseUpdate((System.identityHashCode(s), d), {
       // tag = md5(dir) + pid: the dir hash (collision-safe unlike
@@ -1684,11 +1707,13 @@ object Relational {
         // warehouse directories under the deterministic tag — managed
         // CREATE refuses an existing location, so reclaim them first
         val wh = s.conf.get("spark.sql.warehouse.dir")
+        val whPath = new org.apache.hadoop.fs.Path(wh)
+        val fs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         Seq(ot, lt).foreach { t =>
           val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           if (fs.exists(p)) fs.delete(p, true)
         }
+        reclaimStaleBuckets(fs, whPath, dirTag)
         Tables.orders(s, d).repartition(8, col("o_orderkey"))
           .write.format("parquet").bucketBy(8, "o_orderkey")
           .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)

@@ -1308,7 +1308,7 @@ object TextOps {
     // final word-8-gram is (the dominant footer and its share). A
     // share near 1e6 says one template closes the whole source — strip
     // it before tokenization. 100 TB shape: the footer hash computes
-    // map-side per doc (16 hex digits → one long), ONE (source, h)
+    // map-side per doc (15 hex digits / 60 bits → one long), ONE (source, h)
     // shuffle of counts, the per-source rollup reuses that partitioning
     // (source ⊂ (source, h)), and the winner is an arg_max over the
     // bounded per-source footer table (q40 padded key, ties to the

@@ -55,4 +55,29 @@ class BucketedStoreSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS sig_store")
     }
   }
+
+  test("stale-pid bucketed warehouse dirs are reclaimed; live and foreign dirs survive") {
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_reclaim").toFile
+    val whPath = new Path(tmp.getAbsolutePath)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirTag = "aabbccddeeff"
+    val myPid = ProcessHandle.current().pid()
+    // pid 1 is init — alive but not us; MAX-ish pid is certainly dead
+    val deadPid = 2147483647L
+    val dirs = Seq(
+      s"graft_bkt_orders_${dirTag}_$deadPid",      // stale → reclaimed
+      s"graft_bkt_lineitem_${dirTag}_$deadPid",    // stale → reclaimed
+      s"graft_bkt_orders_${dirTag}_$myPid",        // ours → kept
+      s"graft_bkt_orders_${dirTag}_1",             // alive pid → kept
+      s"graft_bkt_orders_ffffffffffff_$deadPid",   // other data dir → kept
+      "unrelated_table")                           // not ours → kept
+    dirs.foreach(n => fs.mkdirs(new Path(whPath, n)))
+    Relational.reclaimStaleBuckets(fs, whPath, dirTag)
+    val left = fs.listStatus(whPath).map(_.getPath.getName).toSet
+    assert(!left.contains(dirs(0)) && !left.contains(dirs(1)),
+      s"dead-pid dirs not reclaimed: $left")
+    assert(left == dirs.drop(2).toSet, s"sweep touched a dir it must not: $left")
+    fs.delete(whPath, true)
+  }
 }

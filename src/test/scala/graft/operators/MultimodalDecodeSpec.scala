@@ -132,4 +132,26 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(fwd._1 == rev._1 && fwd._2 != rev._2,
       s"reordered frames must change the print: $fwd vs $rev")
   }
+
+  test("validatePpm rejects overflow-dims headers and classifies the contract states (m17)") {
+    // well-formed image → ok; raster one byte short → truncated
+    val good = MultimodalOps.ppmBytes(7)
+    assert(MultimodalOps.validatePpm(good) == "ok")
+    assert(MultimodalOps.validatePpm(good.dropRight(1)) == "truncated")
+    // r9 ADVICE: 46341×46341 overflows w*h*3 in Int to a NEGATIVE value,
+    // so the pre-fix length check passed a near-empty payload as "ok".
+    // Post-fix: absurd dims are rejected outright (bad_magic), never ok.
+    val bomb = "P6\n46341 46341\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(0.toByte)
+    assert(MultimodalOps.validatePpm(bomb) == "bad_magic")
+    // large-but-sane dims with a short raster still classify truncated
+    // (Long math path: 2000·2000·3 = 12M > payload)
+    val big = "P6\n2000 2000\n255\n".getBytes("US-ASCII") ++ Array.fill(100)(1.toByte)
+    assert(MultimodalOps.validatePpm(big) == "truncated")
+    // malformed headers → bad_magic per the documented contract:
+    // non-numeric token, truncation mid-token / exactly at maxval
+    assert(MultimodalOps.validatePpm("P6\n4 X\n255\n".getBytes("US-ASCII")) == "bad_magic")
+    assert(MultimodalOps.validatePpm("P6\n4 4\n".getBytes("US-ASCII")) == "bad_magic")
+    // header complete through maxval but zero raster bytes → truncated
+    assert(MultimodalOps.validatePpm("P6\n4 4\n255".getBytes("US-ASCII")) == "truncated")
+  }
 }
