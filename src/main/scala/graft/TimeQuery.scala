@@ -1,0 +1,25 @@
+package graft
+
+/** Ad-hoc single-query timer: `runMain graft.TimeQuery <sfDir> <name>...`
+  * runs each named SparkEntry query 3× (count() to materialize, like
+  * Bench) and prints min/all seconds — the per-operator feedback loop
+  * for optimization work without paying a full Bench sweep. */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TimeQuery <sfDir> <queryName>...")
+    val sfDir = args(0)
+    val spark = GraftSession.builder("graft-timequery", "32").getOrCreate()
+    try {
+      args.drop(1).foreach { name =>
+        val fn = SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query: $name"))
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"TIME $name min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+      }
+    } finally spark.stop()
+  }
+}

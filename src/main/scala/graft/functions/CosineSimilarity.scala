@@ -120,6 +120,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dup_gram_stats", exprs => DupGramStats(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_agg",
       exprs => CountMinAgg(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -145,6 +147,9 @@ object GraftFunctions {
 
   def simHash60(hs: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash60", hs)
+
+  def dupGramStats(gs: Column): Column =
+    org.apache.spark.sql.functions.call_function("dup_gram_stats", gs)
 
   def bloomMightContain(bf: Column, k: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", bf, k)

@@ -1250,27 +1250,25 @@ object TextOps {
     // 3-gram occurrences that REPEAT an earlier identical 3-gram in
     // the same doc (keep-first, position order) and the character mass
     // those repeats carry, both as integer ppm. Everything computes
-    // INSIDE the row with higher-order array functions — zero
-    // shuffles, zero joins at any corpus size (PlanSpec-pinned); the
-    // O(g²) worst case is bounded by document length, the same bound
-    // every within-doc battery already accepts.
+    // INSIDE the row — zero shuffles, zero joins at any corpus size
+    // (PlanSpec-pinned). The repeat stats are the native one-pass
+    // [[graft.functions.DupGramStats]] hash-set expression (r10: the
+    // declarative exists-over-slice form was O(g²) lambda steps with an
+    // O(i) slice copy per position — 7.7 s at sf0.1, the slowest timed
+    // cell of r9; DupGramStatsSpec pins native ≡ declarative and the
+    // DuckDB oracle keeps the quadratic list form).
     QueryDef.sql("t27_dup_gram_profile",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         Tables.documents(s, d)
           .withColumn("gs", grams3(words(col("text"))))
-          .withColumn("rep_idx",
-            when(size(col("gs")) < 2, array().cast("array<int>"))
-              .otherwise(filter(sequence(lit(2), size(col("gs"))),
-                i => exists(slice(col("gs"), lit(1), i - 1),
-                  x => x === element_at(col("gs"), i)))))
+          .withColumn("st", graft.functions.GraftFunctions.dupGramStats(col("gs")))
           .select(col("doc_id"),
             size(col("gs")).cast("long").as("n_grams"),
-            size(col("rep_idx")).cast("long").as("n_repeat"),
+            element_at(col("st"), 1).as("n_repeat"),
             aggregate(col("gs"), lit(0L),
               (a, g) => a + length(g).cast("long")).as("gram_chars"),
-            aggregate(col("rep_idx"), lit(0L),
-              (a, i) => a + length(element_at(col("gs"), i)).cast("long"))
-              .as("rep_chars"))
+            element_at(col("st"), 2).as("rep_chars"))
           .select(col("doc_id"), col("n_grams"), col("n_repeat"),
             expr("CASE WHEN n_grams > 0 THEN n_repeat * 1000000 div n_grams " +
               "ELSE CAST(0 AS BIGINT) END").as("repeat_ppm"),

@@ -1083,6 +1083,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("t27_dup_gram_profile")
     assert(!p.contains("Join"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
+    // r10: repeat stats are the native one-pass hash-set expression —
+    // the O(g²) exists-over-slice HOF must not reappear in the plan
+    assert(p.contains("dup_gram_stats"), p)
+    assert(!p.contains("exists(slice"), p)
   }
 
   test("m16: channel sums decode in-partition; only 7-BIGINT partials ride the one source shuffle") {
