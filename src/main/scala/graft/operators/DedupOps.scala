@@ -1396,6 +1396,48 @@ object DedupOps {
          |  arg_max(qm, key) AS kept_quality_milli,
          |  CAST(SUM(n_tokens) - arg_max(n_tokens, key) AS BIGINT) AS evicted_tokens
          |FROM km GROUP BY 1 HAVING COUNT(*) >= 2
-         |ORDER BY cluster""".stripMargin)
+         |ORDER BY cluster""".stripMargin),
+
+    // -- normalization-only duplicate mass ------------------------------
+    // d01 counts byte-exact copies; real corpora hide a second tier of
+    // duplicates that only collapse under canonicalization (case folds,
+    // whitespace runs, terminal punctuation — the edits mirrors and
+    // scrapers introduce). Per source: raw duplicate copies, normalized
+    // duplicate copies, and near_miss = the mass ONLY normalization
+    // reveals — the number a pipeline uses to decide whether canonical
+    // hashing is worth a second pass. 100 TB shape: both hashes compute
+    // map-side, so only 16-byte binaries — never text — ride the wire;
+    // the two distinct-counts share ONE Expand pass (one corpus scan,
+    // one hash-distinct shuffle, one source rollup — PlanSpec-pinned:
+    // one documents scan, no text column on any exchange).
+    QueryDef.sql("d29_normalized_dedup",
+      (s, d) => {
+        val norm = regexp_replace(
+          regexp_replace(lower(trim(col("text"))), "[.,!?]", ""),
+          " +", " ")
+        Tables.documents(s, d)
+          .select(col("source"),
+            unhex(md5(trim(col("text")))).as("h_raw"),
+            unhex(md5(norm)).as("h_norm"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            (count(lit(1)) - countDistinct(col("h_raw"))).as("raw_dups"),
+            (count(lit(1)) - countDistinct(col("h_norm"))).as("norm_dups"),
+            (countDistinct(col("h_raw")) - countDistinct(col("h_norm")))
+              .as("near_miss"))
+          .orderBy(col("source"))
+      },
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(*) - COUNT(DISTINCT unhex(md5(trim(text)))) AS raw_dups,
+        |  COUNT(*) - COUNT(DISTINCT unhex(md5(
+        |    regexp_replace(regexp_replace(lower(trim(text)), '[.,!?]', '', 'g'),
+        |                   ' +', ' ', 'g')))) AS norm_dups,
+        |  COUNT(DISTINCT unhex(md5(trim(text))))
+        |    - COUNT(DISTINCT unhex(md5(
+        |      regexp_replace(regexp_replace(lower(trim(text)), '[.,!?]', '', 'g'),
+        |                     ' +', ' ', 'g')))) AS near_miss
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
   )
 }

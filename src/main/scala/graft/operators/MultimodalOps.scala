@@ -1643,6 +1643,95 @@ object MultimodalOps {
         |    AS n_bad_magic,
         |  CAST(SUM(CASE WHEN verdict = 'truncated' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_truncated
-        |FROM v GROUP BY 1 ORDER BY source""".stripMargin)
+        |FROM v GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // -- near-dup image pairs: dHash hamming-band blocking ----------------
+    // m07 catches byte-level copies (identical dHash); recompressed or
+    // lightly-edited images land a few bits away. This is d09's
+    // band-blocking move on the IMAGE sketch — with the exact-dedup tier
+    // run FIRST: candidates generate over the DISTINCT dHash frame (one
+    // row per distinct sketch, min-doc representative), so the pair join
+    // scales with distinct content, not copy count. The 56-bit grid hash
+    // bands into 4×14-bit keys (16,384 values/band — pigeonhole covers
+    // hamming ≤ 3 fully; wider edits are caught when any band survives);
+    // verification is exact bit_count. 100 TB shape: decode + dHash in
+    // mapPartitions (bytes never shuffle), the distinct-sketch rollup is
+    // one 8-byte-key shuffle, bands explode over the DISTINCT frame
+    // only, and the band join's keyspace grows with content variety.
+    QueryDef.sql("m18_image_band_neardup",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val hashes = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            Row(id, dhashPpm(ppmBytes(id % 40)))
+          }
+        }
+        val df = s.createDataFrame(hashes, StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("dhash", LongType, nullable = false))))
+        // persist barrier: without it both sides of the self-join re-run
+        // the decode RDD and the distinct-sketch rollup (two full decode
+        // passes — the p17/s21 lesson)
+        val reps = OpUtils.transientPersist(s, s"m18:$d",
+          df.groupBy(col("dhash"))
+            .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies")))
+        val bands = reps.select(col("dhash"), col("rep"), col("n_copies"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("key", expr("shiftright(dhash, band * 14) & 16383"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.rep") < col("b.rep"))
+          .select(col("a.rep").as("img_a"), col("b.rep").as("img_b"),
+            col("a.dhash").as("ha"), col("b.dhash").as("hb"),
+            col("a.n_copies").as("copies_a"), col("b.n_copies").as("copies_b"))
+          .distinct()
+          .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+          .filter(col("hamming") <= 6)
+          .select(col("img_a"), col("img_b"), col("hamming"),
+            col("copies_a"), col("copies_b"))
+          .orderBy(col("img_a"), col("img_b"))
+      }, {
+      // the m07 analytic dHash contract: gray(x, y) of group image gid
+      // from the ppmBytes recipe, bit j set iff right neighbor brighter
+      def oGray(sx: String, sy: String): String =
+        s"""((gid*31 + (3*(($sy)*w+($sx)))*7) % 256
+           | + (gid*31 + (3*(($sy)*w+($sx))+1)*7) % 256
+           | + (gid*31 + (3*(($sy)*w+($sx))+2)*7) % 256)""".stripMargin
+      val sy = "((j // 7) * h) // 8"
+      val sx0 = "((j % 7) * w) // 8"
+      val sx1 = "(((j % 7) + 1) * w) // 8"
+      s"""WITH b AS (
+         |  SELECT doc_id, doc_id % 40 AS gid,
+         |    4 + (doc_id % 40) % 13 AS w, 4 + ((doc_id % 40) * 3) % 11 AS h
+         |  FROM documents WHERE doc_id < 1000),
+         |hsh AS (
+         |  SELECT doc_id,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 56), j ->
+         |      CASE WHEN ${oGray(sx1, sy)} > ${oGray(sx0, sy)}
+         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+         |      (acc, bit) -> acc + bit) AS dhash
+         |  FROM b),
+         |reps AS (
+         |  SELECT dhash, MIN(doc_id) AS rep, COUNT(*) AS n_copies
+         |  FROM hsh GROUP BY 1),
+         |k AS (
+         |  SELECT dhash, rep, n_copies, unnest(range(0, 4)) AS band FROM reps),
+         |kb AS (
+         |  SELECT dhash, rep, n_copies, band,
+         |    (dhash >> (band * 14)) & 16383 AS key FROM k),
+         |pairs AS (
+         |  SELECT DISTINCT a.rep AS img_a, b.rep AS img_b,
+         |    a.dhash AS ha, b.dhash AS hb,
+         |    a.n_copies AS copies_a, b.n_copies AS copies_b
+         |  FROM kb a JOIN kb b
+         |    ON a.band = b.band AND a.key = b.key AND a.rep < b.rep)
+         |SELECT img_a, img_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+         |  CAST(copies_a AS BIGINT) AS copies_a, CAST(copies_b AS BIGINT) AS copies_b
+         |FROM pairs
+         |WHERE bit_count(xor(ha, hb)) <= 6
+         |ORDER BY img_a, img_b""".stripMargin
+      })
   )
 }

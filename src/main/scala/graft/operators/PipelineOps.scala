@@ -998,6 +998,67 @@ object PipelineOps {
          |    AS load_ppm,
          |  CAST(shard_tokens AS HUGEINT) * 160 > CAST(tot AS HUGEINT) * 11
          |    AS straggler
-         |FROM ps, tt ORDER BY shard""".stripMargin)
+         |FROM ps, tt ORDER BY shard""".stripMargin),
+
+    // -- shard mixture fidelity audit -------------------------------------
+    // p17 asks "is any shard too HEAVY"; this asks "is any shard too
+    // BIASED" — hash-sharding is only sound if every shard reproduces
+    // the corpus's domain mixture (a biased shard makes per-shard loss
+    // curves incomparable). Per shard: the worst-deviating source and
+    // its |shard ppm − corpus ppm|, all integer-exact. 100 TB shape:
+    // ONE (shard, source) count shuffle over the corpus — the audit
+    // frame is shards × sources (bounded, 320 rows here) behind a
+    // persist barrier feeding three rollups; the worst-source election
+    // is a window over that bounded frame, never over docs; corpus
+    // totals cross back as broadcasts.
+    QueryDef.sql("p18_shard_mixture",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = md5Val(concat(col("doc_id").cast("string"), lit("#shuffle")), 15)
+        val counts = OpUtils.transientPersist(s, s"p18:$d",
+          Tables.documents(s, d)
+            .select(pmod(h, lit(16L)).cast("int").as("shard"), col("source"))
+            .groupBy(col("shard"), col("source"))
+            .agg(count(lit(1)).as("cnt")))
+        val shardTot = counts.groupBy(col("shard")).agg(sum(col("cnt")).as("shard_n"))
+        val srcTot = counts.groupBy(col("source")).agg(sum(col("cnt")).as("src_n"))
+        val tot = counts.agg(sum(col("cnt")).as("tot"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("dev_ppm").desc, col("source"))
+        counts.join(shardTot, "shard")
+          .join(srcTot, "source")
+          .crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
+          .withColumn("dev_ppm", abs(
+            expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV shard_n AS BIGINT)") -
+            expr("CAST(CAST(src_n AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT)")))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+          .select(col("shard"), col("shard_n").as("n_docs"),
+            col("source").as("worst_source"), col("dev_ppm").as("max_dev_ppm"))
+          .orderBy(col("shard"))
+      },
+      s"""WITH sm AS (
+         |  SELECT CAST(${oMd5Val("CAST(doc_id AS VARCHAR) || '#shuffle'", 15)} % 16
+         |      AS INTEGER) AS shard, source
+         |  FROM documents),
+         |c AS (SELECT shard, source, COUNT(*) AS cnt FROM sm GROUP BY 1, 2),
+         |st AS (SELECT shard, SUM(cnt) AS shard_n FROM c GROUP BY 1),
+         |so AS (SELECT source, SUM(cnt) AS src_n FROM c GROUP BY 1),
+         |tt AS (SELECT SUM(cnt) AS tot FROM c),
+         |dev AS (
+         |  SELECT c.shard, st.shard_n, c.source,
+         |    abs(CAST(CAST(c.cnt AS HUGEINT) * 1000000 // st.shard_n AS BIGINT)
+         |      - CAST(CAST(so.src_n AS HUGEINT) * 1000000 // tt.tot AS BIGINT))
+         |      AS dev_ppm
+         |  FROM c JOIN st ON c.shard = st.shard
+         |  JOIN so ON c.source = so.source CROSS JOIN tt),
+         |r AS (
+         |  SELECT shard, shard_n, source, dev_ppm,
+         |    row_number() OVER (PARTITION BY shard
+         |      ORDER BY dev_ppm DESC, source) AS r
+         |  FROM dev)
+         |SELECT shard, CAST(shard_n AS BIGINT) AS n_docs,
+         |  source AS worst_source, dev_ppm AS max_dev_ppm
+         |FROM r WHERE r = 1 ORDER BY shard""".stripMargin)
   )
 }

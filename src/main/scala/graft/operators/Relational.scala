@@ -1651,7 +1651,87 @@ object Relational {
          |JOIN supn ON l_suppkey = sk
          |JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1, 2
-         |ORDER BY nation, o_year""".stripMargin)
+         |ORDER BY nation, o_year""".stripMargin),
+
+    // -- Supplier variety per part segment (the TPC-H Q16 shape) --------
+    // How many DISTINCT suppliers serve each (brand, type, size)
+    // segment, excluding one brand, one type family, a size slice, and
+    // a "complaint" supplier set (negative balance — this schema's
+    // analogue of Q16's comment scan). This star has no partsupp table;
+    // lineitem's observed (partkey, suppkey) pairs ARE the supplier-part
+    // relation. 100 TB shape: the excluded supplier set is a tiny
+    // broadcast anti-join at the fact scan; the pair-distinct shuffles
+    // once on (partkey, suppkey); part's brand/type/size predicates
+    // push to ITS scan and the dim joins equi (AQE-owned); the final
+    // count-distinct re-groups the already-distinct pairs on the
+    // 3-column segment key — no window, no second distinct pass.
+    QueryDef.sql("q71_part_supplier_variety",
+      (s, d) => {
+        val complaints = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        val pairs = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .distinct()
+        pairs.join(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#15" &&
+              !col("p_type").startsWith("PROMO") &&
+              col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#15' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+
+    // -- Incremental rollup maintenance: partial-agg merge ----------------
+    // The 100 TB pattern this proves: a pipeline does NOT rescan the
+    // corpus to refresh a rollup — it aggregates each arriving date
+    // slice into PARTIALS (count/sum/min/max are re-aggregable) and
+    // MERGES them with the standing partials. Here the lineitem fact is
+    // split at the 1998 ship boundary, each slice aggregates per
+    // (returnflag, year) independently, and the union re-aggregates —
+    // bit-equal to the direct whole-corpus rollup (the oracle computes
+    // exactly that, so the gate IS the merge-correctness proof). Each
+    // slice's agg is one shuffle with map-side partials; the merge
+    // re-groups a slice-count-bounded partial table, never rows.
+    QueryDef.sql("q72_partial_agg_merge",
+      (s, d) => {
+        val rev_i = (revenue * 10000).cast("long")
+        def slice(pred: Column): DataFrame = Tables.lineitem(s, d)
+          .filter(pred)
+          .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"))
+          .agg(count(lit(1)).as("n_lines"), sum(rev_i).as("rev_i"),
+            min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+        val cut = ts("1998-01-01 00:00:00")
+        slice(col("l_shipdate") < cut)
+          .unionAll(slice(col("l_shipdate") >= cut))
+          .groupBy(col("l_returnflag"), col("ship_year"))
+          .agg(sum(col("n_lines")).as("n_lines"),
+            (sum(col("rev_i")).cast("double") / 10000).as("revenue"),
+            min(col("min_qty")).as("min_qty"), max(col("max_qty")).as("max_qty"))
+          .orderBy(col("l_returnflag"), col("ship_year"))
+      },
+      s"""SELECT l_returnflag, year(CAST(l_shipdate AS DATE)) AS ship_year,
+         |  COUNT(*) AS n_lines,
+         |  CAST(SUM(CAST($orev * 10000 AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+         |FROM lineitem
+         |GROUP BY 1, 2
+         |ORDER BY l_returnflag, ship_year""".stripMargin)
   )
 
   /** Bucketed copies of orders/lineitem (8 buckets on the order key,

@@ -1822,6 +1822,152 @@ object SimilarityOps {
          |SELECT a.label AS label, a.n AS n_even, b.n AS n_odd,
          |  ${oCosine("a.cv", "b.cv")} AS drift_cos
          |FROM h a JOIN h b ON a.label = b.label AND a.half = 0 AND b.half = 1
-         |ORDER BY a.label""".stripMargin)
+         |ORDER BY a.label""".stripMargin),
+
+    // -- nprobe → recall@10 curve (the IVF tuning sheet) -----------------
+    // s05 fixes nprobe=2; the operating question is the CURVE — how much
+    // recall each extra probed cell buys, measured against the s08
+    // brute-force truth. One ranked (query, cell) table (queries ×
+    // labels, bounded) fans out to nprobe ∈ {1,2,4} by a literal
+    // explode; candidates join per probed cell exactly as s04/s05, so
+    // work scales with probed-cell size, not corpus size. Truth is
+    // computed ONCE and reused across the three settings. The rollup is
+    // 3 rows; recall is exact integer ppm (DECIMAL house pattern).
+    QueryDef.sql("s28_nprobe_recall",
+      (s, d) => {
+        import s.implicits._
+        val nps = Seq(1, 2, 4).toDF("nprobe")
+        val e = vecs(s, d)
+        val cents = centroids(s, d, e)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        val truth = q.join(e.filter(col("vec_id") >= 20)
+            .select(col("vec_id").as("n_id"), col("v")))
+          .withColumn("cos", cosine(col("qv"), col("v")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("q_id"), col("n_id"))
+        val wc = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
+        val cells = q.crossJoin(broadcast(cents))
+          .withColumn("cos_c", cosine(col("qv"), col("cv")))
+          .withColumn("r", row_number().over(wc))
+          .filter(col("r") <= 4)
+          .select(col("q_id"), col("qv"), col("label"), col("r"))
+        val probed = cells
+          .crossJoin(broadcast(nps)) // literal-bounded: 3 rows
+          .filter(col("r") <= col("nprobe"))
+        val wr = Window.partitionBy(col("nprobe"), col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        val ivf = probed.as("b").join(e.as("c"),
+            col("c.label") === col("b.label") && col("c.vec_id") >= 20)
+          .select(col("nprobe"), col("b.q_id").as("q_id"),
+            col("c.vec_id").as("n_id"),
+            cosine(col("b.qv"), col("c.v")).as("cos"))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 10)
+          .select(col("nprobe"), col("q_id"), col("n_id"), lit(1L).as("hit"))
+        truth.crossJoin(broadcast(nps.select(col("nprobe").as("np"))))
+          .join(ivf, col("np") === col("nprobe") &&
+            truth("q_id") === ivf("q_id") && truth("n_id") === ivf("n_id"), "left")
+          .groupBy(col("np"))
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("np").as("nprobe"), col("n_truth"), col("n_hit"),
+            expr("CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000 DIV n_truth AS BIGINT)")
+              .as("recall_ppm"))
+          .orderBy(col("nprobe"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents AS ($oCents),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+         |tc AS (
+         |  SELECT q.q_id, e.vec_id AS n_id, ${oCosine("q.qv", "e.v")} AS cos
+         |  FROM q CROSS JOIN e WHERE e.vec_id >= 20),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |    FROM tc) WHERE rnk <= 10),
+         |cells AS (
+         |  SELECT q_id, qv, label, r FROM (
+         |    SELECT q.q_id, q.qv, c.label,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${oCosine("q.qv", "c.cv")} DESC, c.label) AS r
+         |    FROM q CROSS JOIN cents c) WHERE r <= 4),
+         |probed AS (
+         |  SELECT np.nprobe, c.q_id, c.qv, c.label
+         |  FROM cells c CROSS JOIN (SELECT unnest([1, 2, 4]) AS nprobe) np
+         |  WHERE c.r <= np.nprobe),
+         |ic AS (
+         |  SELECT b.nprobe, b.q_id, e.vec_id AS n_id,
+         |    ${oCosine("b.qv", "e.v")} AS cos
+         |  FROM probed b JOIN e ON e.label = b.label AND e.vec_id >= 20),
+         |ivf AS (
+         |  SELECT nprobe, q_id, n_id, 1 AS hit FROM (
+         |    SELECT nprobe, q_id, n_id,
+         |      row_number() OVER (PARTITION BY nprobe, q_id
+         |        ORDER BY cos DESC, n_id) AS rnk
+         |    FROM ic) WHERE rnk <= 10)
+         |SELECT np.np AS nprobe, COUNT(*) AS n_truth,
+         |  CAST(SUM(COALESCE(i.hit, 0)) AS BIGINT) AS n_hit,
+         |  CAST(CAST(SUM(COALESCE(i.hit, 0)) AS HUGEINT) * 1000000 // COUNT(*)
+         |    AS BIGINT) AS recall_ppm
+         |FROM truth t
+         |CROSS JOIN (SELECT unnest([1, 2, 4]) AS np) np
+         |LEFT JOIN ivf i ON i.nprobe = np.np AND i.q_id = t.q_id AND i.n_id = t.n_id
+         |GROUP BY 1 ORDER BY nprobe""".stripMargin),
+
+    // -- int8 quantization distortion audit (codebook health) ------------
+    // s06 ships the int8 codes; this measures what the compression COSTS
+    // — per label: reconstruction error sum/mean/max of dequantized
+    // vectors, in exact nano fixed point. Why integers: per-vector error
+    // is a fixed-order fold (bit-identical cross-engine), but a label
+    // SUM of doubles is order-dependent — rounding each vector's error
+    // to 1e-9 first makes the rollup associative and the gate exact.
+    // 100 TB shape: everything per-vector computes map-side; ONE label
+    // shuffle of 3 integers per vector; no joins.
+    QueryDef.sql("s29_quant_distortion",
+      (s, d) => {
+        val e = vecs(s, d)
+          .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+          .filter(col("mx") > 0)
+          .withColumn("scale", lit(127.0) / col("mx"))
+        val err = aggregate(
+          zip_with(col("v"),
+            transform(col("v"),
+              x => floor(x * col("scale") + lit(0.5)) / col("scale")),
+            (x, r) => (x - r) * (x - r)),
+          lit(0.0), (acc, t) => acc + t)
+        e.withColumn("err_nano", round(err * lit(1e9)).cast("long"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("err_nano")).as("total_err_nano"),
+            max(col("err_nano")).as("max_err_nano"))
+          .select(col("label"), col("n_vecs"), col("total_err_nano"),
+            expr("CAST(total_err_nano DIV n_vecs AS BIGINT)").as("mean_err_nano"),
+            col("max_err_nano"))
+          .orderBy(col("label"))
+      },
+      s"""WITH e0 AS ($oVecs),
+         |e AS (
+         |  SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS mx
+         |  FROM e0),
+         |s AS (
+         |  SELECT label, v, CAST(127.0 AS DOUBLE) / mx AS scale
+         |  FROM e WHERE mx > 0),
+         |pe AS (
+         |  SELECT label,
+         |    CAST(round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(v,
+         |      x -> (x - floor(x * scale + 0.5) / scale)
+         |         * (x - floor(x * scale + 0.5) / scale)),
+         |      (a, b) -> a + b) * 1e9) AS BIGINT) AS err_nano
+         |  FROM s)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(err_nano) AS BIGINT) AS total_err_nano,
+         |  CAST(SUM(err_nano) // COUNT(*) AS BIGINT) AS mean_err_nano,
+         |  MAX(err_nano) AS max_err_nano
+         |FROM pe GROUP BY 1 ORDER BY label""".stripMargin)
   )
 }

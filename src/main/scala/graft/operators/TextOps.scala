@@ -1351,6 +1351,52 @@ object TextOps {
          |  CAST(arg_max(cnt, key) AS BIGINT) AS top_count,
          |  CAST(CAST(arg_max(cnt, key) AS HUGEINT) * 1000000 // SUM(cnt) AS BIGINT)
          |    AS top_ppm
-         |FROM pk GROUP BY 1 ORDER BY source""".stripMargin)
+         |FROM pk GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // -- per-source unique-gram mass (entropy-free diversity) ------------
+    // The data-mixing question "how diverse is this source?" without
+    // cross-engine log/exp (the oracle-determinism house rule): per
+    // source, distinct-3-gram share and SINGLETON-3-gram share of all
+    // gram occurrences, in ppm. A templated source scores low on both
+    // (few grams, endlessly repeated); a diverse source's singleton
+    // share approaches its distinct share. 100 TB shape: grams leave
+    // the doc as 60-bit md5 longs (never text), ONE (source, h) count
+    // shuffle, then the per-source rollup re-groups the already-counted
+    // gram table — occurrences never shuffle twice; ppm is exact
+    // integer via the DECIMAL(38,0) house pattern.
+    QueryDef.sql("t29_unique_gram_mass",
+      (s, d) => {
+        val gx = Tables.documents(s, d)
+          .select(col("source"),
+            explode(transform(grams3(words(col("text"))), g => md5Val(g, 15)))
+              .as("h"))
+        gx.groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_grams"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_singleton"))
+          .select(col("source"), col("n_grams"), col("n_distinct"),
+            col("n_singleton"),
+            expr("CAST(CAST(n_distinct AS DECIMAL(38,0)) * 1000000 DIV n_grams AS BIGINT)")
+              .as("distinct_ppm"),
+            expr("CAST(CAST(n_singleton AS DECIMAL(38,0)) * 1000000 DIV n_grams AS BIGINT)")
+              .as("singleton_ppm"))
+          .orderBy(col("source"))
+      },
+      s"""WITH w AS (SELECT source, ${oWords("text")} AS ws FROM documents),
+         |gx AS (
+         |  SELECT source,
+         |    unnest(list_transform(${oGrams3("ws")}, g -> ${oMd5Val("g", 15)})) AS h
+         |  FROM w),
+         |pg AS (SELECT source, h, COUNT(*) AS cnt FROM gx GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         |  COUNT(*) AS n_distinct,
+         |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+         |  CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // SUM(cnt) AS BIGINT)
+         |    AS distinct_ppm,
+         |  CAST(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+         |    // SUM(cnt) AS BIGINT) AS singleton_ppm
+         |FROM pg GROUP BY 1 ORDER BY source""".stripMargin)
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -504,6 +504,43 @@ object EventStreams {
         sum(col("cs")).as("checksum"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
+  }
+
+  /** Streaming char-class monitor — t26's per-source composition sheet
+    * kept live at the point of ingest: each arriving document's class
+    * counts (digits / uppercase / punctuation / spaces) compute
+    * map-side with exactly t26's regex arithmetic and fold into the
+    * per-source sums. State is bounded at one row per source
+    * REGARDLESS of stream volume (no watermark needed, like
+    * [[qualityBandStream]]); the per-mille projections derive from the
+    * running sums each micro-batch, so the complete-mode table equals
+    * the batch t26 frame whatever the arrival order — every
+    * accumulator is an associative+commutative sum.
+    * EventStreamsSpec pins equality against the oracle-checked t26.
+    * A live feed of this is the encoding-drift alarm: a source whose
+    * digit or punctuation per-mille jumps mid-ingest flags a scraper
+    * or template change long before a batch audit runs. */
+  def charClassStream(docs: DataFrame): DataFrame = {
+    val t = trim(col("text"))
+    def ccount(pat: String): Column =
+      (length(t) - length(regexp_replace(t, pat, ""))).cast("long")
+    docs
+      .select(col("source"), length(t).cast("long").as("n"),
+        ccount("[0-9]").as("dg"), ccount("[A-Z]").as("up"),
+        ccount("[.,!?]").as("pu"), ccount(" ").as("sp"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_chars"), sum(col("dg")).as("dg"),
+        sum(col("up")).as("up"), sum(col("pu")).as("pu"),
+        sum(col("sp")).as("sp"))
+      .select(col("source"), col("n_chars"),
+        expr("CASE WHEN n_chars > 0 THEN dg * 1000 div n_chars ELSE 0 END")
+          .as("digit_pm"),
+        expr("CASE WHEN n_chars > 0 THEN up * 1000 div n_chars ELSE 0 END")
+          .as("upper_pm"),
+        expr("CASE WHEN n_chars > 0 THEN pu * 1000 div n_chars ELSE 0 END")
+          .as("punct_pm"),
+        expr("CASE WHEN n_chars > 0 THEN sp * 1000 div n_chars ELSE 0 END")
+          .as("space_pm"))
   }
 
   /** Events table as a bounded "stream" via a rate-limited file source

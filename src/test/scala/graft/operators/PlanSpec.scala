@@ -1210,6 +1210,99 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffled.length === 1 && shuffled.head.contains("source#"), p)
   }
 
+  // ---- r10 sweep: new operators land WITH their guards ----
+
+  test("q71: complaint set anti-joins broadcast; part predicates push to its scan; pairs distinct once") {
+    val p = plan("q71_part_supplier_variety")
+    // the tiny negative-balance supplier set must never shuffle the fact
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // segment predicates prune part at ITS scan, not post-join
+    assert(p.contains("Not(EqualTo(p_brand,Brand#15))"), p)
+    assert(p.contains("Not(StringStartsWith(p_ty"), p)
+    // the supplier-part relation distincts on (partkey, suppkey) BEFORE
+    // anything else — lineitem's other columns never reach an exchange
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.forall(l => !l.contains("l_quantity") && !l.contains("l_extendedprice")), p)
+  }
+
+  test("q72: both date slices aggregate with pushed scan bounds; the merge re-groups partials, no join") {
+    val p = plan("q72_partial_agg_merge")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join"), p)
+    // each slice's shipdate bound reaches its own parquet scan — at
+    // scale these are partition-pruned incremental reads
+    assert(p.contains("LessThan(l_shipdate,1998-01-01"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1998-01-01"), p)
+    // the merge is a re-aggregation of slice partials (sum-of-counts),
+    // never a rescan: exactly the two slice scans exist
+    assert(p.split("lineitem.parquet").length - 1 === 2, p)
+    assert(p.contains("sum(n_lines"), p)
+  }
+
+  test("d29: one documents scan feeds both distinct tiers; no text column on any exchange") {
+    val p = plan("d29_normalized_dedup")
+    assert(!p.contains("Join"), p)
+    // both hash distincts ride one Expand over ONE corpus scan
+    assert(p.contains("Expand"), p)
+    assert(p.split("documents.parquet").length - 1 === 1, p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
+  }
+
+  test("t29: grams leave the doc as 60-bit longs; occurrences shuffle once, the rollup re-groups counts") {
+    val p = plan("t29_unique_gram_mass")
+    assert(!p.contains("Join"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    // (source, h) count shuffle + source rollup of the counted gram table
+    assert(shuffled.length === 2, p)
+    assert(!shuffled.exists(_.contains("text#")), p)
+    assert(p.split("documents.parquet").length - 1 === 1, p)
+  }
+
+  test("s28: every top-k is WindowGroupLimit-bounded pre-exchange; the nprobe fan-out is a 3-row literal") {
+    val p = plan("s28_nprobe_recall")
+    assert(p.contains("WindowGroupLimit"), p)
+    // the fan-out joins a LocalTableScan literal, never a corpus frame
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // no unbounded window: every Window sits above a WindowGroupLimit
+    val lines = p.split("\n")
+    lines.zipWithIndex.filter(_._1.trim.startsWith("+- Window ")).foreach {
+      case (_, i) => assert(lines.drop(i + 1).take(3)
+        .exists(_.contains("WindowGroupLimit")), p)
+    }
+  }
+
+  test("s29: distortion is map-side per vector; one label shuffle, no joins") {
+    val p = plan("s29_quant_distortion")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 1 && shuffled.head.contains("label#"), p)
+    assert(p.split("embeddings.parquet").length - 1 === 1, p)
+  }
+
+  test("p18: one corpus scan into the persisted mixture frame; rollups broadcast back; worst-source window is bounded") {
+    val p = plan("p18_shard_mixture")
+    // the persist barrier: no parquet scan above the first cache boundary
+    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // doc rows never reach the window: only the counted (shard, source)
+    // frame does, via broadcast-joined rollups
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("m18: decode runs once behind the persist barrier; the band join keys on the 14-bit mask") {
+    val p = plan("m18_image_band_neardup")
+    // ONE decode pass: the RDD scan sits under InMemoryRelation; the
+    // join sides read the cache
+    assert(!p.split("InMemoryRelation")(0).contains("Scan ExistingRDD"), p)
+    assert(p.contains("16383"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("meta: every 'PlanSpec' claim in an operator comment has a matching guard") {
     // r8 verdict "What's wrong #3": comments asserted guards that did
     // not exist. This pins the invariant — a query whose Scaladoc says

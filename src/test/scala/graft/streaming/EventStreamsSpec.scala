@@ -566,4 +566,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.size === 16)
     assert(got === want)
   }
+
+  test("streaming char classes converge to the batch t26 frame") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text"))
+      .as[(String, String)].collect().toSeq
+    val input = MemoryStream[(String, String)]
+    val query = EventStreams.charClassStream(
+        input.toDF().toDF("source", "text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cclass_out").start()
+    // three chunks: per-source sums fold incrementally; the per-mille
+    // projections must re-derive from the RUNNING sums each batch, so
+    // the final table is batch-exact whatever the split
+    val chunks = docs.grouped(math.max(1, docs.size / 3 + 1)).toSeq
+    chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    query.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    val cols = Seq("source", "n_chars", "digit_pm", "upper_pm", "punct_pm",
+      "space_pm").map(col)
+    val got = spark.table("cclass_out").select(cols: _*).collect().map(key).toSet
+    val want = graft.SparkEntry.queries("t26_char_classes")(spark, sf)
+      .select(cols: _*).collect().map(key).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
 }
