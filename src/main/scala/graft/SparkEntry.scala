@@ -67,13 +67,14 @@ object SparkEntry {
       "q65_small_qty_revenue", "q66_part_value_share",
       "q67_disjunctive_revenue", "q68_idle_customers", "q69_top_supplier",
       "q70_product_profit", "q71_part_supplier_variety", "q72_partial_agg_merge",
+      "q73_dominant_suppliers",
       "d03_minhash_lsh_pairs", "d09_simhash_band_pairs",
       "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "d16_semantic_dedup", "d17_line_dedup", "d21_contamination_report",
       "d23_prefix_dedup", "d24_soft_dedup_weights", "d25_threshold_sweep",
       "d26_dup_trend", "d27_cross_source_lines", "d28_cluster_keeper",
-      "d29_normalized_dedup",
+      "d29_normalized_dedup", "d30_sample_dedup_rate",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "s08_recall_eval",
       "s09_pq_search", "s11_ivfpq_search", "s13_cascade_rerank",
       "s14_embedding_health", "s16_binary_hamming", "s17_mips_lsh",
@@ -92,9 +93,10 @@ object SparkEntry {
       "p09_shuffle_shards", "p11_quality_curriculum", "p12_temporal_split",
       "p13_priority_sample", "p14_token_budget", "p15_pack_efficiency",
       "p16_shard_manifest", "p17_shard_skew", "p18_shard_mixture",
+      "p19_resume_manifest",
       "m11_pair_gate", "m12_audio_gate", "m13_video_length_gate",
       "m14_aspect_buckets", "m15_scene_cuts", "m16_channel_norm",
-      "m17_corrupt_audit", "m18_image_band_neardup")
+      "m17_corrupt_audit", "m18_image_band_neardup", "m19_audio_band_neardup")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)

@@ -1438,6 +1438,48 @@ object DedupOps {
         |                     ' +', ' ', 'g')))) AS near_miss
         |FROM documents
         |GROUP BY source
-        |ORDER BY source""".stripMargin)
+        |ORDER BY source""".stripMargin),
+
+    // -- content-closed sample dedup-rate estimator ----------------------
+    // Before paying a corpus-wide dedup at 100 TB, estimate the dup rate
+    // from a sample. Sampling DOCS uniformly undercounts duplicates
+    // (a pair survives only if BOTH copies are drawn); sampling by
+    // CONTENT hash is closed under duplication — every copy of a
+    // selected text enters together, so the sample's dup ppm is an
+    // unbiased estimate of the corpus's. This sheet runs the estimator
+    // at 1/16 and 1/4 alongside the exact (1/1) answer so the gate
+    // itself audits the estimator. 100 TB shape: the hash computes
+    // map-side; the three rates ride ONE literal fan-out of the
+    // 16-byte hash column — no second corpus scan; each rate's
+    // distinct-count reduces before the rollup.
+    QueryDef.sql("d30_sample_dedup_rate",
+      (s, d) => {
+        import s.implicits._
+        val rates = Seq(16L, 4L, 1L).toDF("rate_denom")
+        Tables.documents(s, d)
+          .select(md5Val(trim(col("text")), 15).as("h"))
+          .crossJoin(broadcast(rates)) // literal-bounded: 3 rows
+          .filter(pmod(col("h"), col("rate_denom")) === 0)
+          .groupBy(col("rate_denom"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("h")).as("n_unique"))
+          .select(col("rate_denom"), col("n_docs"),
+            (col("n_docs") - col("n_unique")).as("n_dups"),
+            expr("CAST(CAST(n_docs - n_unique AS DECIMAL(38,0)) * 1000000 " +
+              "DIV n_docs AS BIGINT)").as("dup_ppm"))
+          .orderBy(col("rate_denom"))
+      },
+      s"""WITH h AS (
+         |  SELECT ${oMd5Val("trim(text)", 15)} AS h FROM documents),
+         |f AS (
+         |  SELECT r.rate_denom, h.h
+         |  FROM h CROSS JOIN (SELECT unnest([16, 4, 1]) AS rate_denom) r
+         |  WHERE h.h % r.rate_denom = 0)
+         |SELECT CAST(rate_denom AS BIGINT) AS rate_denom,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(*) - COUNT(DISTINCT h) AS n_dups,
+         |  CAST(CAST(COUNT(*) - COUNT(DISTINCT h) AS HUGEINT) * 1000000
+         |    // COUNT(*) AS BIGINT) AS dup_ppm
+         |FROM f GROUP BY 1 ORDER BY rate_denom""".stripMargin)
   )
 }

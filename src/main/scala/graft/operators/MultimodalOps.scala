@@ -1732,6 +1732,93 @@ object MultimodalOps {
          |FROM pairs
          |WHERE bit_count(xor(ha, hb)) <= 6
          |ORDER BY img_a, img_b""".stripMargin
-      })
+      }),
+
+    // -- near-dup audio pairs: energy-fingerprint hamming bands ----------
+    // m18's banding move for the AUDIO modality: m08 groups byte-level
+    // re-encodes (identical energy fingerprint); a lightly re-leveled
+    // clip flips a bit or two. Same-duration clips (equal n_frames —
+    // different length means different content) band the fingerprint's
+    // low 24 bits into 3×8-bit keys; pigeonhole covers hamming ≤ 2
+    // fully; exact bit_count verifies. As in m18 the exact tier runs
+    // FIRST: candidates generate over the DISTINCT (n_frames, fp)
+    // frame behind a persist barrier, so the pair join scales with
+    // content variety, not copy count, and decode bytes never shuffle.
+    QueryDef.sql("m19_audio_band_neardup",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val prints = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val (nf, fp) = energyFingerprint(decodeWavSamples(toneWavBytes(id % 97)))
+            Row(id, nf, fp)
+          }
+        }
+        val df = s.createDataFrame(prints, StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("n_frames", IntegerType, nullable = false),
+          StructField("fp", LongType, nullable = false))))
+        val reps = OpUtils.transientPersist(s, s"m19:$d",
+          df.groupBy(col("n_frames"), col("fp"))
+            .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies")))
+        val bands = reps.select(col("n_frames"), col("fp"), col("rep"),
+            col("n_copies"), explode(sequence(lit(0), lit(2))).as("band"))
+          .withColumn("key", expr("shiftright(fp, band * 8) & 255"))
+        bands.as("a").join(bands.as("b"),
+            col("a.n_frames") === col("b.n_frames") &&
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.rep") < col("b.rep"))
+          .select(col("a.rep").as("clip_a"), col("b.rep").as("clip_b"),
+            col("a.n_frames").as("n_frames"),
+            col("a.fp").as("fa"), col("b.fp").as("fb"),
+            col("a.n_copies").as("copies_a"), col("b.n_copies").as("copies_b"))
+          .distinct()
+          .withColumn("hamming", expr("bit_count(fa ^ fb)"))
+          .filter(col("hamming") <= 2)
+          .select(col("clip_a"), col("clip_b"), col("n_frames"), col("hamming"),
+            col("copies_a"), col("copies_b"))
+          .orderBy(col("clip_a"), col("clip_b"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 97 AS aid FROM documents WHERE doc_id < 1000),
+        |v AS (
+        |  SELECT doc_id, aid, 64 + (aid % 191) AS n FROM b),
+        |e AS (
+        |  SELECT doc_id, n, list_transform(range(0, n // 8), f ->
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(f*8, (f+1)*8),
+        |      k -> CAST((k*k*(17 + aid) + k*29 + aid*131) % 65536 - 32768 AS BIGINT)
+        |         * CAST((k*k*(17 + aid) + k*29 + aid*131) % 65536 - 32768 AS BIGINT)),
+        |      (a, x) -> a + x)) AS en
+        |  FROM v),
+        |f AS (
+        |  SELECT doc_id, len(en) AS n_frames,
+        |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(en)),
+        |      i -> CASE WHEN en[i+1] > en[i] THEN (CAST(1 AS BIGINT) << (i-1))
+        |           ELSE 0 END),
+        |      (a, bit) -> a + bit) AS fp
+        |  FROM e),
+        |reps AS (
+        |  SELECT n_frames, fp, MIN(doc_id) AS rep, COUNT(*) AS n_copies
+        |  FROM f GROUP BY 1, 2),
+        |k AS (
+        |  SELECT n_frames, fp, rep, n_copies, unnest(range(0, 3)) AS band
+        |  FROM reps),
+        |kb AS (
+        |  SELECT n_frames, fp, rep, n_copies, band,
+        |    (fp >> (band * 8)) & 255 AS key FROM k),
+        |pairs AS (
+        |  SELECT DISTINCT a.rep AS clip_a, b.rep AS clip_b,
+        |    a.n_frames AS n_frames, a.fp AS fa, b.fp AS fb,
+        |    a.n_copies AS copies_a, b.n_copies AS copies_b
+        |  FROM kb a JOIN kb b
+        |    ON a.n_frames = b.n_frames AND a.band = b.band AND a.key = b.key
+        |      AND a.rep < b.rep)
+        |SELECT clip_a, clip_b, CAST(n_frames AS INTEGER) AS n_frames,
+        |  CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming,
+        |  CAST(copies_a AS BIGINT) AS copies_a, CAST(copies_b AS BIGINT) AS copies_b
+        |FROM pairs
+        |WHERE bit_count(xor(fa, fb)) <= 2
+        |ORDER BY clip_a, clip_b""".stripMargin)
   )
 }

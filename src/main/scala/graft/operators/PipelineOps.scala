@@ -1059,6 +1059,49 @@ object PipelineOps {
          |  FROM dev)
          |SELECT shard, CAST(shard_n AS BIGINT) AS n_docs,
          |  source AS worst_source, dev_ppm AS max_dev_ppm
-         |FROM r WHERE r = 1 ORDER BY shard""".stripMargin)
+         |FROM r WHERE r = 1 ORDER BY shard""".stripMargin),
+
+    // -- preemption resume manifest ---------------------------------------
+    // A preempted epoch restarts at global step S; 1000 readers must
+    // agree — with no coordinator round-trip — how much of EACH shard is
+    // already consumed. p09's interleave makes that pure arithmetic:
+    // shard s's documents occupy global ordinals s, s+16, s+32, …, so
+    // the consumed count at step S is floor((S−1−s)/16)+1 clamped to
+    // [0, n_s] — this sheet materializes it (S = 1000) per shard with
+    // the remaining count and consumed ppm. 100 TB shape: ONE corpus
+    // pass into 16 shard-count partials; everything after is per-row
+    // integer arithmetic on the 16-row frame — no sort, no window over
+    // docs, no join.
+    QueryDef.sql("p19_resume_manifest",
+      (s, d) => {
+        val step = 1000L
+        val h = md5Val(concat(col("doc_id").cast("string"), lit("#shuffle")), 15)
+        Tables.documents(s, d)
+          .select(pmod(h, lit(16L)).cast("int").as("shard"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("consumed", least(col("n_docs"),
+            greatest(lit(0L),
+              floor((lit(step) - 1 - col("shard")) / 16).cast("long") + 1)))
+          .select(col("shard"), col("n_docs"), col("consumed"),
+            (col("n_docs") - col("consumed")).as("remaining"),
+            expr("CAST(CAST(consumed AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+              .as("consumed_ppm"))
+          .orderBy(col("shard"))
+      },
+      s"""WITH sm AS (
+         |  SELECT CAST(${oMd5Val("CAST(doc_id AS VARCHAR) || '#shuffle'", 15)} % 16
+         |      AS INTEGER) AS shard
+         |  FROM documents),
+         |c AS (SELECT shard, COUNT(*) AS n_docs FROM sm GROUP BY 1),
+         |r AS (
+         |  SELECT shard, n_docs,
+         |    least(n_docs, greatest(0, (1000 - 1 - shard) // 16 + 1)) AS consumed
+         |  FROM c)
+         |SELECT shard, n_docs, CAST(consumed AS BIGINT) AS consumed,
+         |  CAST(n_docs - consumed AS BIGINT) AS remaining,
+         |  CAST(CAST(consumed AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+         |    AS consumed_ppm
+         |FROM r ORDER BY shard""".stripMargin)
   )
 }

@@ -1731,7 +1731,65 @@ object Relational {
          |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
          |FROM lineitem
          |GROUP BY 1, 2
-         |ORDER BY l_returnflag, ship_year""".stripMargin)
+         |ORDER BY l_returnflag, ship_year""".stripMargin),
+
+    // -- Dominant suppliers per part (the TPC-H Q20 shape) ---------------
+    // Q20 finds suppliers holding excess stock of shipped parts; this
+    // star has no partsupp/availqty, so the same correlated-aggregate
+    // shape asks: which suppliers shipped MORE THAN HALF of a part's
+    // total 1997 volume (single-source risk)? The correlated subquery
+    // decorrelates into two aggregation levels: per-(part, supplier)
+    // quantity, then per-part totals — the second groupBy's key is a
+    // PREFIX of the first's, so at scale the rollup re-groups the
+    // already-reduced (part, supplier) frame, never lineitem rows; the
+    // dominance join runs inside the partkey partitioning, and the
+    // supplier dim crosses as a broadcast. Quantities are integral —
+    // the share compare is a cross-multiplied BIGINT test, no division.
+    QueryDef.sql("q73_dominant_suppliers",
+      (s, d) => {
+        val li97 = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1998-01-01 00:00:00"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("q"))
+        // persist barrier: perPS feeds both the dominance probe and the
+        // per-part rollup — without it Catalyst inlines the corpus agg
+        // into BOTH consumers (two lineitem scans; the p17/s21 lesson)
+        val perPS = OpUtils.transientPersist(s, s"q73:$d",
+          li97.groupBy(col("l_partkey"), col("l_suppkey"))
+            .agg(sum(col("q")).as("sq")))
+        val perP = perPS.groupBy(col("l_partkey"))
+          .agg(sum(col("sq")).as("tq"), count(lit(1)).as("n_suppliers"))
+        perPS.join(perP, "l_partkey")
+          .filter(col("sq") * 2 > col("tq") && col("n_suppliers") >= 2)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_dominated"), sum(col("sq")).as("dominated_qty"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey").as("suppkey"), col("s_name"),
+            col("n_dominated"), col("dominated_qty"))
+          .orderBy(col("n_dominated").desc, col("suppkey"))
+      },
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey, SUM(q) AS sq FROM li GROUP BY 1, 2),
+        |p AS (
+        |  SELECT l_partkey, SUM(sq) AS tq, COUNT(*) AS n_suppliers
+        |  FROM ps GROUP BY 1),
+        |dom AS (
+        |  SELECT ps.l_suppkey, ps.sq
+        |  FROM ps JOIN p ON ps.l_partkey = p.l_partkey
+        |  WHERE ps.sq * 2 > p.tq AND p.n_suppliers >= 2)
+        |SELECT s_suppkey AS suppkey, s_name,
+        |  COUNT(*) AS n_dominated, CAST(SUM(sq) AS BIGINT) AS dominated_qty
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY n_dominated DESC, suppkey""".stripMargin)
   )
 
   /** Bucketed copies of orders/lineitem (8 buckets on the order key,

@@ -1303,6 +1303,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q73: one lineitem pass behind the persist barrier; dominance joins inside partkey; supplier broadcasts") {
+    val p = plan("q73_dominant_suppliers")
+    // the (part, supplier) agg computes ONCE: no parquet scan above the
+    // first cache boundary, so the per-part rollup re-groups partials
+    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d30: the three sample rates ride one literal fan-out over one corpus scan; only hashes shuffle") {
+    val p = plan("d30_sample_dedup_rate")
+    assert(p.split("documents.parquet").length - 1 === 1, p)
+    assert(p.contains("LocalTableScan"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
+  }
+
+  test("m19: decode runs once behind the persist barrier; candidates block on (n_frames, 8-bit band)") {
+    val p = plan("m19_audio_band_neardup")
+    assert(!p.split("InMemoryRelation")(0).contains("Scan ExistingRDD"), p)
+    assert(p.contains("& 255"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p19: one corpus pass into 16 shard counts; resume arithmetic is per-row on the bounded frame") {
+    val p = plan("p19_resume_manifest")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 1 && shuffled.head.contains("shard#"), p)
+  }
+
   test("meta: every 'PlanSpec' claim in an operator comment has a matching guard") {
     // r8 verdict "What's wrong #3": comments asserted guards that did
     // not exist. This pins the invariant — a query whose Scaladoc says
