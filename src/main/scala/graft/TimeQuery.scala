@@ -15,7 +15,9 @@ object TimeQuery {
           sys.error(s"unknown query: $name"))
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          // noop sink like Bench: count() lets Catalyst PRUNE the very
+          // columns being benchmarked (it misread t27 by 28×)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         println(f"TIME $name min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")

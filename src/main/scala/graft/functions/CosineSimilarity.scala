@@ -122,6 +122,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dup_gram_stats", exprs => DupGramStats(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dup_gram_profile", exprs => DupGramProfile(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_agg",
       exprs => CountMinAgg(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -150,6 +152,9 @@ object GraftFunctions {
 
   def dupGramStats(gs: Column): Column =
     org.apache.spark.sql.functions.call_function("dup_gram_stats", gs)
+
+  def dupGramProfile(ws: Column): Column =
+    org.apache.spark.sql.functions.call_function("dup_gram_profile", ws)
 
   def bloomMightContain(bf: Column, k: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", bf, k)

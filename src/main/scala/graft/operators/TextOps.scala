@@ -1251,24 +1251,28 @@ object TextOps {
     // the same doc (keep-first, position order) and the character mass
     // those repeats carry, both as integer ppm. Everything computes
     // INSIDE the row — zero shuffles, zero joins at any corpus size
-    // (PlanSpec-pinned). The repeat stats are the native one-pass
-    // [[graft.functions.DupGramStats]] hash-set expression (r10: the
-    // declarative exists-over-slice form was O(g²) lambda steps with an
-    // O(i) slice copy per position — 7.7 s at sf0.1, the slowest timed
-    // cell of r9; DupGramStatsSpec pins native ≡ declarative and the
-    // DuckDB oracle keeps the quadratic list form).
+    // (PlanSpec-pinned). The whole profile is the native one-pass
+    // [[graft.functions.DupGramProfile]] expression over the words
+    // array (r10, two lessons deep: the declarative exists-over-slice
+    // repeat scan was O(g²) — 7.7 s at sf0.1 —, and even with a native
+    // repeat counter the cell stayed ~5 s because MATERIALIZING the
+    // gram array (per-position slice + concat_ws) cost ~2.5 s/pass and
+    // the CodegenFallback HOF consumers paid it repeatedly; building
+    // each gram in the generated loop drops the cell to ~0.6 s).
+    // DupGramProfileSpec pins native ≡ plain-Scala truth; the DuckDB
+    // oracle keeps its independent quadratic list form.
     QueryDef.sql("t27_dup_gram_profile",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         Tables.documents(s, d)
-          .withColumn("gs", grams3(words(col("text"))))
-          .withColumn("st", graft.functions.GraftFunctions.dupGramStats(col("gs")))
           .select(col("doc_id"),
-            size(col("gs")).cast("long").as("n_grams"),
-            element_at(col("st"), 1).as("n_repeat"),
-            aggregate(col("gs"), lit(0L),
-              (a, g) => a + length(g).cast("long")).as("gram_chars"),
-            element_at(col("st"), 2).as("rep_chars"))
+            graft.functions.GraftFunctions.dupGramProfile(words(col("text")))
+              .as("m"))
+          .select(col("doc_id"),
+            element_at(col("m"), 1).as("n_grams"),
+            element_at(col("m"), 2).as("n_repeat"),
+            element_at(col("m"), 3).as("gram_chars"),
+            element_at(col("m"), 4).as("rep_chars"))
           .select(col("doc_id"), col("n_grams"), col("n_repeat"),
             expr("CASE WHEN n_grams > 0 THEN n_repeat * 1000000 div n_grams " +
               "ELSE CAST(0 AS BIGINT) END").as("repeat_ppm"),

@@ -1083,10 +1083,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("t27_dup_gram_profile")
     assert(!p.contains("Join"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
-    // r10: repeat stats are the native one-pass hash-set expression —
-    // the O(g²) exists-over-slice HOF must not reappear in the plan
-    assert(p.contains("dup_gram_stats"), p)
+    // r10: the whole profile is the native one-pass expression over the
+    // words array — neither the O(g²) exists-over-slice HOF nor the
+    // gram-array materialization (transform+concat_ws) may reappear
+    assert(p.contains("dup_gram_profile"), p)
     assert(!p.contains("exists(slice"), p)
+    assert(!p.contains("concat_ws"), p)
   }
 
   test("m16: channel sums decode in-partition; only 7-BIGINT partials ride the one source shuffle") {
