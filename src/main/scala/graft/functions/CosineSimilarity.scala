@@ -124,6 +124,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dup_gram_profile", exprs => DupGramProfile(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_hashes60", exprs => GramHashes60(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_agg",
       exprs => CountMinAgg(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -155,6 +157,10 @@ object GraftFunctions {
 
   def dupGramProfile(ws: Column): Column =
     org.apache.spark.sql.functions.call_function("dup_gram_profile", ws)
+
+  def gramHashes60(ws: Column, width: Int): Column =
+    org.apache.spark.sql.functions.call_function("gram_hashes60", ws,
+      org.apache.spark.sql.functions.lit(width))
 
   def bloomMightContain(bf: Column, k: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", bf, k)

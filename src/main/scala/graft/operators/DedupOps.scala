@@ -516,7 +516,9 @@ object DedupOps {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val sh = Tables.documents(s, d)
-          .withColumn("hs", transform(words(col("text")), w => md5Val(w, 15)))
+          // native gram_hashes60 width 1: per-word hashes in one pass
+          .withColumn("hs", graft.functions.GraftFunctions
+            .gramHashes60(words(col("text")), 1))
           .withColumn("simhash", graft.functions.GraftFunctions.simHash60(col("hs")))
           .select(col("doc_id"), col("simhash"))
         val bands = sh.select(col("doc_id"), col("simhash"),

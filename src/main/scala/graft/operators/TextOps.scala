@@ -341,9 +341,13 @@ object TextOps {
     QueryDef.sql("t09_word_rarity",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
         val wh = Tables.documents(s, d)
           .select(col("doc_id"),
-            explode(transform(words(col("text")), w => md5Val(w, 15))).as("wh"))
+            // native gram_hashes60 width 1: per-word 60-bit md5 in one
+            // generated pass (no per-word string hex round-trip)
+            explode(graft.functions.GraftFunctions
+              .gramHashes60(words(col("text")), 1)).as("wh"))
         val cnt = wh.repartition(col("wh"))
           .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("wh"))))
         cnt.groupBy(col("doc_id"))
@@ -572,9 +576,12 @@ object TextOps {
     // is a ratio of integers, bit-exact cross-engine.
     QueryDef.sql("t13_oov_rate",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val wx = Tables.documents(s, d)
           .select(col("doc_id"),
-            explode(transform(words(col("text")), w => md5Val(w, 15))).as("wh"))
+            // native gram_hashes60 width 1 (see t09)
+            explode(graft.functions.GraftFunctions
+              .gramHashes60(words(col("text")), 1)).as("wh"))
         val vocab = wx.groupBy(col("wh")).agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("wh"))
           .limit(1000)
@@ -619,10 +626,12 @@ object TextOps {
     // (df DESC, wh ASC), a deterministic total-order cut.
     QueryDef.sql("t14_doc_freq",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d)
         val dw = docs.select(col("doc_id"),
-          explode(array_distinct(transform(words(col("text")),
-            w => md5Val(w, 15)))).as("wh"))
+          // native gram_hashes60 width 1 (see t09)
+          explode(array_distinct(graft.functions.GraftFunctions
+            .gramHashes60(words(col("text")), 1))).as("wh"))
         val dfw = dw.groupBy(col("wh")).agg(count(lit(1)).as("df"))
         val total = docs.agg(count(lit(1)).as("n_docs"))
         dfw.crossJoin(broadcast(total))
@@ -660,9 +669,13 @@ object TextOps {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
+        graft.functions.GraftFunctions.register(s)
+        // native gram_hashes60: hashes each window in one generated
+        // pass — no gram strings materialize (r10 bench profile);
+        // GramHashes60Spec pins it == the md5Val pipeline
         val first = docs.select(col("doc_id"),
-            explode(array_distinct(transform(grams3(words(col("text"))),
-              g => md5Val(g, 15)))).as("wh"))
+            explode(array_distinct(graft.functions.GraftFunctions
+              .gramHashes60(words(col("text")), 3))).as("wh"))
           .groupBy(col("wh")).agg(min(col("doc_id")).as("fd"))
         val total = docs.agg(count(lit(1)).as("n_docs"))
         first.crossJoin(broadcast(total))
@@ -804,16 +817,19 @@ object TextOps {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
+        graft.functions.GraftFunctions.register(s)
         val tf = docs
-          .withColumn("wsh", transform(words(col("text")), w => md5Val(w, 15)))
+          // native gram_hashes60 width 1 (see t09)
+          .withColumn("wsh", graft.functions.GraftFunctions
+            .gramHashes60(words(col("text")), 1))
           .select(col("doc_id"),
             explode(transform(array_distinct(col("wsh")),
               w => struct(w.as("wh"),
                 size(filter(col("wsh"), x => x === w)).as("tf")))).as("e"))
           .select(col("doc_id"), col("e.wh").as("wh"), col("e.tf").as("tf"))
         val dfw = docs.select(col("doc_id"),
-            explode(array_distinct(transform(words(col("text")),
-              w => md5Val(w, 15)))).as("wh"))
+            explode(array_distinct(graft.functions.GraftFunctions
+              .gramHashes60(words(col("text")), 1))).as("wh"))
           .groupBy(col("wh")).agg(count(lit(1)).as("df"))
         val total = docs.agg(count(lit(1)).as("n_docs"))
         val head = dfw.crossJoin(broadcast(total))
@@ -946,10 +962,12 @@ object TextOps {
         // twice) the explode+count pipeline, the dominant cost at
         // corpus scale. Bounded registry: replays release the previous
         // frame (r7 ADVICE).
+        graft.functions.GraftFunctions.register(s)
         val gc = OpUtils.transientPersist(s, s"t21:$d",
           Tables.documents(s, d)
-            .select(explode(grams3(words(col("text")))).as("g"))
-            .select(md5Val(col("g"), 15).as("gh"))
+            // native gram_hashes60 (one generated pass, no gram strings)
+            .select(explode(graft.functions.GraftFunctions
+              .gramHashes60(words(col("text")), 3)).as("gh"))
             .groupBy(col("gh")).agg(count(lit(1)).as("cnt")))
         val tot = gc.agg(sum(col("cnt")).as("n_grams"),
           count(lit(1)).as("n_types"))
@@ -1047,9 +1065,11 @@ object TextOps {
     QueryDef.sql("t23_zipf_curve",
       (s, d) => {
         val powers = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+        graft.functions.GraftFunctions.register(s)
         val gc = Tables.documents(s, d)
-          .select(explode(grams3(words(col("text")))).as("g"))
-          .select(md5Val(col("g"), 15).as("gh"))
+          // native gram_hashes60 (one generated pass, no gram strings)
+          .select(explode(graft.functions.GraftFunctions
+            .gramHashes60(words(col("text")), 3)).as("gh"))
           .groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
         val wTop = Window.orderBy(col("cnt").desc, col("gh"))
         // bounded registry, not a bare persist (r7 ADVICE)
@@ -1370,10 +1390,12 @@ object TextOps {
     // integer via the DECIMAL(38,0) house pattern.
     QueryDef.sql("t29_unique_gram_mass",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val gx = Tables.documents(s, d)
           .select(col("source"),
-            explode(transform(grams3(words(col("text"))), g => md5Val(g, 15)))
-              .as("h"))
+            // native gram_hashes60 (one generated pass, no gram strings)
+            explode(graft.functions.GraftFunctions
+              .gramHashes60(words(col("text")), 3)).as("h"))
         gx.groupBy(col("source"), col("h"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("source"))
