@@ -543,6 +543,31 @@ object EventStreams {
           .as("space_pm"))
   }
 
+  /** Streaming revenue rollup — q72's partial-agg merge kept live: q72
+    * proves count/sum/min/max partials merge across BATCH date slices;
+    * this is the same merge running continuously, each micro-batch a
+    * slice. State is bounded at one row per (returnflag, ship year) —
+    * a handful of keys regardless of stream volume — and every
+    * accumulator is associative+commutative, so the complete-mode table
+    * equals q72's batch rollup whatever the arrival order
+    * (EventStreamsSpec pins it against the oracle-checked q72). At
+    * 100 TB this is the standing rollup an ingest tier maintains
+    * instead of rescanning the fact table. */
+  def rollupMergeStream(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rev = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+    lineitem
+      .select(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"),
+        (rev * 10000).cast("long").as("rev_i"), col("l_quantity"))
+      .groupBy(col("l_returnflag"), col("ship_year"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_i")).as("rev_i"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      .select(col("l_returnflag"), col("ship_year"), col("n_lines"),
+        (col("rev_i").cast("double") / 10000).as("revenue"),
+        col("min_qty"), col("max_qty"))
+  }
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

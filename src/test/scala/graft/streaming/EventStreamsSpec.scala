@@ -597,4 +597,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got === want)
   }
+
+  test("streaming revenue rollup converges to the batch q72 merge") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_shipdate").cast("string"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .as[(String, String, Double, Double, Double)].collect().toSeq
+    val input = MemoryStream[(String, String, Double, Double, Double)]
+    val query = EventStreams.rollupMergeStream(
+        input.toDF().toDF("l_returnflag", "ship_s", "l_extendedprice",
+            "l_discount", "l_quantity")
+          .withColumn("l_shipdate", col("ship_s").cast("timestamp")))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_out").start()
+    // three chunks: each micro-batch is a "date slice"; the standing
+    // rollup must merge partials exactly as q72's batch union does
+    val chunks = rows.grouped(math.max(1, rows.size / 3 + 1)).toSeq
+    chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    query.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+    val cols = Seq("l_returnflag", "ship_year", "n_lines", "revenue",
+      "min_qty", "max_qty").map(col)
+    val got = spark.table("rollup_out").select(cols: _*).collect().map(key).toSet
+    val want = graft.SparkEntry.queries("q72_partial_agg_merge")(spark, sf)
+      .select(cols: _*).collect().map(key).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
 }
