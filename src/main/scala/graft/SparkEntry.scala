@@ -74,7 +74,7 @@ object SparkEntry {
       "d16_semantic_dedup", "d17_line_dedup", "d21_contamination_report",
       "d23_prefix_dedup", "d24_soft_dedup_weights", "d25_threshold_sweep",
       "d26_dup_trend", "d27_cross_source_lines", "d28_cluster_keeper",
-      "d29_normalized_dedup", "d30_sample_dedup_rate",
+      "d29_normalized_dedup", "d30_sample_dedup_rate", "d31_embedding_coverage",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "s08_recall_eval",
       "s09_pq_search", "s11_ivfpq_search", "s13_cascade_rerank",
       "s14_embedding_health", "s16_binary_hamming", "s17_mips_lsh",
@@ -82,6 +82,7 @@ object SparkEntry {
       "s21_similarity_histogram", "s22_ivf_balance", "s23_knn_graph",
       "s24_ann_hubness", "s25_kmeans_churn", "s26_matryoshka_recall",
       "s27_centroid_drift", "s28_nprobe_recall", "s29_quant_distortion",
+      "s30_cluster_quality",
       "t02_quality_score",
       "t09_word_rarity", "t11_dsir_weights", "t14_doc_freq", "t16_bigram_lm",
       "t18_keyword_tfidf", "t19_gram_novelty", "t21_head_coverage",

@@ -1482,6 +1482,47 @@ object DedupOps {
          |  COUNT(*) - COUNT(DISTINCT h) AS n_dups,
          |  CAST(CAST(COUNT(*) - COUNT(DISTINCT h) AS HUGEINT) * 1000000
          |    // COUNT(*) AS BIGINT) AS dup_ppm
-         |FROM f GROUP BY 1 ORDER BY rate_denom""".stripMargin)
+         |FROM f GROUP BY 1 ORDER BY rate_denom""".stripMargin),
+
+    // -- embedding coverage audit (the semantic-dedup backlog) ----------
+    // d10/d16's semantic tier only sees documents that HAVE vectors; at
+    // 100 TB the vector store always lags ingest. Per source: how many
+    // documents are covered, the coverage ppm, and the TOKEN mass of
+    // the uncovered backlog (what it would cost to embed — the number
+    // the scheduling decision actually needs). Shape: both sides
+    // project to join keys before the id-equi join (text stays at the
+    // scan; the vector array never leaves its scan at all), one id
+    // shuffle, then the source rollup on the joined keys.
+    QueryDef.sql("d31_embedding_coverage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(words(col("text"))).cast("long").as("n_tokens"))
+        val vecs = Tables.embeddings(s, d).select(col("vec_id"))
+        docs.join(vecs, col("doc_id") === col("vec_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("vec_id")).as("n_with_vec"),
+            sum(when(col("vec_id").isNull, col("n_tokens")).otherwise(0L))
+              .as("backlog_tokens"))
+          .select(col("source"), col("n_docs"), col("n_with_vec"),
+            expr("CAST(CAST(n_with_vec AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+              .as("coverage_ppm"),
+            col("backlog_tokens"))
+          .orderBy(col("source"))
+      },
+      s"""WITH dm AS (
+         |  SELECT doc_id, source, CAST(len(${oWords("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |j AS (
+         |  SELECT dm.source, dm.n_tokens, e.vec_id
+         |  FROM dm LEFT JOIN embeddings e ON dm.doc_id = e.vec_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(vec_id) AS n_with_vec,
+         |  CAST(CAST(COUNT(vec_id) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS coverage_ppm,
+         |  CAST(SUM(CASE WHEN vec_id IS NULL THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS backlog_tokens
+         |FROM j GROUP BY 1 ORDER BY source""".stripMargin)
   )
 }

@@ -1968,6 +1968,62 @@ object SimilarityOps {
          |  CAST(SUM(err_nano) AS BIGINT) AS total_err_nano,
          |  CAST(SUM(err_nano) // COUNT(*) AS BIGINT) AS mean_err_nano,
          |  MAX(err_nano) AS max_err_nano
-         |FROM pe GROUP BY 1 ORDER BY label""".stripMargin)
+         |FROM pe GROUP BY 1 ORDER BY label""".stripMargin),
+
+    // -- cluster quality profile (SemDeDup-style cluster curation) -------
+    // The cluster-level read SemDeDup/SSL-curation pipelines act on:
+    // per embedding cluster (the IVF label), the member documents'
+    // quality distribution and token mass — a low-quality cluster is
+    // pruned WHOLE, far cheaper than per-doc filtering. Quality is the
+    // t02/d28 integer-milli score (order-independent BIGINT sums, no FP
+    // rollup). Shape: doc metrics reduce map-side to (id, qm, tokens)
+    // before the id-equi join with the (vec_id, label) projection —
+    // text and vectors stay at their scans; one id shuffle; the label
+    // rollup re-groups the joined keys.
+    QueryDef.sql("s30_cluster_quality",
+      (s, d) => {
+        val q = Tables.documents(s, d)
+          .withColumn("ws", words(col("text")))
+          .withColumn("n", size(col("ws")))
+          .withColumn("stop_hits",
+            size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
+          .withColumn("sum_len",
+            aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+          .withColumn("qm", floor((
+            least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
+              (col("stop_hits").cast("double") / col("n")) * 0.3 +
+              least((col("sum_len").cast("double") / col("n")) / 8.0, lit(1.0)) * 0.2
+            ) * 1000.0).cast("long"))
+          .select(col("doc_id"), col("n").cast("long").as("n_tokens"), col("qm"))
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+          .join(q, col("vec_id") === col("doc_id"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("qm")).as("sum_qm"),
+            min(col("qm")).as("min_qm"),
+            sum(col("n_tokens")).as("cluster_tokens"))
+          .select(col("label"), col("n_members"),
+            expr("CAST(sum_qm DIV n_members AS BIGINT)").as("mean_quality_milli"),
+            col("min_qm").as("min_quality_milli"), col("cluster_tokens"))
+          .orderBy(col("label"))
+      },
+      s"""WITH kq AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(floor((
+         |      least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |      (CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to')))
+         |         AS DOUBLE) / len(ws)) * 0.3 +
+         |      least((CAST(list_reduce([0] || list_transform(ws, w -> length(w)),
+         |         (a, b) -> a + b) AS DOUBLE) / len(ws)) / 8.0, 1.0) * 0.2
+         |      ) * 1000.0) AS BIGINT) AS qm
+         |  FROM (SELECT doc_id, ${oWords("text")} AS ws FROM documents)),
+         |j AS (
+         |  SELECT e.label, k.qm, k.n_tokens
+         |  FROM embeddings e JOIN kq k ON e.vec_id = k.doc_id)
+         |SELECT label, COUNT(*) AS n_members,
+         |  CAST(SUM(qm) // COUNT(*) AS BIGINT) AS mean_quality_milli,
+         |  MIN(qm) AS min_quality_milli,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS cluster_tokens
+         |FROM j GROUP BY 1 ORDER BY label""".stripMargin)
   )
 }

@@ -1338,6 +1338,28 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffled.length === 1 && shuffled.head.contains("shard#"), p)
   }
 
+  test("d31: text stays at its scan and vectors never load; only keys ride the coverage join") {
+    val p = plan("d31_embedding_coverage")
+    // the embeddings scan reads ONLY vec_id — the 512-byte vector
+    // column must not be decoded for a coverage count
+    val embScan = p.split("\n").find(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings.parquet")).get
+    assert(!embScan.split("ReadSchema")(1).contains("embedding:"), p)
+    // no text column on any exchange
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!shuffled.exists(_.contains("text#")), p)
+  }
+
+  test("s30: doc metrics reduce to (id, qm, tokens) before the join; one id shuffle; label rollup") {
+    val p = plan("s30_cluster_quality")
+    assert(!p.contains("CartesianProduct"), p)
+    val embScan = p.split("\n").find(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings.parquet")).get
+    assert(!embScan.split("ReadSchema")(1).contains("embedding:"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!shuffled.exists(_.contains("text#")), p)
+  }
+
   test("meta: every 'PlanSpec' claim in an operator comment has a matching guard") {
     // r8 verdict "What's wrong #3": comments asserted guards that did
     // not exist. This pins the invariant — a query whose Scaladoc says
