@@ -94,7 +94,7 @@ object SparkEntry {
       "p09_shuffle_shards", "p11_quality_curriculum", "p12_temporal_split",
       "p13_priority_sample", "p14_token_budget", "p15_pack_efficiency",
       "p16_shard_manifest", "p17_shard_skew", "p18_shard_mixture",
-      "p19_resume_manifest",
+      "p19_resume_manifest", "p20_epoch_decorrelation",
       "m11_pair_gate", "m12_audio_gate", "m13_video_length_gate",
       "m14_aspect_buckets", "m15_scene_cuts", "m16_channel_norm",
       "m17_corrupt_audit", "m18_image_band_neardup", "m19_audio_band_neardup")

@@ -1102,6 +1102,65 @@ object PipelineOps {
          |  CAST(n_docs - consumed AS BIGINT) AS remaining,
          |  CAST(CAST(consumed AS HUGEINT) * 1000000 // n_docs AS BIGINT)
          |    AS consumed_ppm
-         |FROM r ORDER BY shard""".stripMargin)
+         |FROM r ORDER BY shard""".stripMargin),
+
+    // -- epoch decorrelation audit ----------------------------------------
+    // Multi-epoch training reshuffles each epoch with a new seed (p09's
+    // hash salt); the point is DECORRELATION — two docs sharing a shard
+    // in epoch i should co-occur in epoch j at chance rate. This audits
+    // exactly that: for each epoch pair, the ppm of documents that kept
+    // the SAME shard number — chance is 1/16 ≈ 62,500 ppm; a pair far
+    // above it means the salts don't decorrelate and epoch-level loss
+    // curves share locality artifacts. Shape: all three epoch
+    // assignments compute in ONE map pass over doc ids (no join between
+    // epochs — same-row columns), the rollup is a 3-row literal-pair
+    // fan-out of integer equality flags; no doc ever shuffles.
+    QueryDef.sql("p20_epoch_decorrelation",
+      (s, d) => {
+        import s.implicits._
+        def sh(epoch: Int) = pmod(
+          md5Val(concat(col("doc_id").cast("string"), lit(s"#epoch$epoch")), 15),
+          lit(16L)).cast("int")
+        val pairs = Seq((0, 1), (0, 2), (1, 2)).toDF("epoch_a", "epoch_b")
+        val flags = Tables.documents(s, d)
+          .select(col("doc_id"), sh(0).as("s0"), sh(1).as("s1"), sh(2).as("s2"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("s0") === col("s1"), 1L).otherwise(0L)).as("same01"),
+            sum(when(col("s0") === col("s2"), 1L).otherwise(0L)).as("same02"),
+            sum(when(col("s1") === col("s2"), 1L).otherwise(0L)).as("same12"))
+        pairs.crossJoin(broadcast(flags)) // aggregate-bounded: 1 row
+          .select(col("epoch_a"), col("epoch_b"), col("n_docs"),
+            when(col("epoch_a") === 0 && col("epoch_b") === 1, col("same01"))
+              .when(col("epoch_a") === 0 && col("epoch_b") === 2, col("same02"))
+              .otherwise(col("same12")).as("n_same_shard"))
+          .select(col("epoch_a"), col("epoch_b"), col("n_docs"), col("n_same_shard"),
+            expr("CAST(CAST(n_same_shard AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+              .as("same_shard_ppm"))
+          .orderBy(col("epoch_a"), col("epoch_b"))
+      }, {
+      def osh(e: Int) =
+        s"CAST(${oMd5Val(s"CAST(doc_id AS VARCHAR) || '#epoch$e'", 15)} % 16 AS INTEGER)"
+      s"""WITH m AS (
+         |  SELECT doc_id, ${osh(0)} AS s0, ${osh(1)} AS s1, ${osh(2)} AS s2
+         |  FROM documents),
+         |f AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    SUM(CASE WHEN s0 = s1 THEN 1 ELSE 0 END) AS same01,
+         |    SUM(CASE WHEN s0 = s2 THEN 1 ELSE 0 END) AS same02,
+         |    SUM(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) AS same12
+         |  FROM m),
+         |p AS (SELECT * FROM (VALUES (0, 1), (0, 2), (1, 2)) AS t(epoch_a, epoch_b)),
+         |r AS (
+         |  SELECT p.epoch_a, p.epoch_b, f.n_docs,
+         |    CASE WHEN p.epoch_a = 0 AND p.epoch_b = 1 THEN f.same01
+         |         WHEN p.epoch_a = 0 AND p.epoch_b = 2 THEN f.same02
+         |         ELSE f.same12 END AS n_same_shard
+         |  FROM p CROSS JOIN f)
+         |SELECT epoch_a, epoch_b, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_same_shard AS BIGINT) AS n_same_shard,
+         |  CAST(CAST(n_same_shard AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+         |    AS same_shard_ppm
+         |FROM r ORDER BY epoch_a, epoch_b""".stripMargin
+      })
   )
 }

@@ -1360,6 +1360,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!shuffled.exists(_.contains("text#")), p)
   }
 
+  test("p20: all epoch assignments compute in one map pass; no doc shuffles; the fan-out is a 3-row literal") {
+    val p = plan("p20_epoch_decorrelation")
+    assert(p.split("documents.parquet").length - 1 === 1, p)
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("meta: every 'PlanSpec' claim in an operator comment has a matching guard") {
     // r8 verdict "What's wrong #3": comments asserted guards that did
     // not exist. This pins the invariant — a query whose Scaladoc says
