@@ -1,9 +1,11 @@
 package graft
 
 /** Ad-hoc single-query timer: `runMain graft.TimeQuery <sfDir> <name>...`
-  * runs each named SparkEntry query 3× (count() to materialize, like
-  * Bench) and prints min/all seconds — the per-operator feedback loop
-  * for optimization work without paying a full Bench sweep. */
+  * runs each named SparkEntry query 3× via a noop-sink write to
+  * materialize, like Bench (count() lets Catalyst prune the very columns
+  * being benchmarked — it misread t27 by 28×) and prints min/all
+  * seconds — the per-operator feedback loop for optimization work
+  * without paying a full Bench sweep. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: TimeQuery <sfDir> <queryName>...")

@@ -45,6 +45,15 @@ case class DupGramProfile(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
+    // validate EVERY element up front (not just windowed ones): a <3-word
+    // array must still throw on nulls, per the documented contract
+    var v = 0
+    while (v < n) {
+      if (xs.isNullAt(v))
+        throw new IllegalArgumentException(
+          s"dup_gram_profile: null word at index $v (input must be null-free)")
+      v += 1
+    }
     val g = if (n < 3) 0 else n - 2
     val sep = UTF8String.fromString(" ")
     val seen = new java.util.HashSet[UTF8String](Math.max(16, g * 2))
@@ -53,13 +62,6 @@ case class DupGramProfile(child: Expression) extends UnaryExpression {
     var gramChars = 0L
     var i = 0
     while (i < g) {
-      var k = i
-      while (k < i + 3) {
-        if (xs.isNullAt(k))
-          throw new IllegalArgumentException(
-            s"dup_gram_profile: null word at index $k (input must be null-free)")
-        k += 1
-      }
       val gram = UTF8String.concatWs(sep,
         xs.getUTF8String(i), xs.getUTF8String(i + 1), xs.getUTF8String(i + 2))
       val nc = gram.numChars().toLong
@@ -75,7 +77,7 @@ case class DupGramProfile(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val g = ctx.freshName("g")
       val i = ctx.freshName("i")
-      val k = ctx.freshName("k")
+      val v = ctx.freshName("v")
       val sep = ctx.freshName("sep")
       val gram = ctx.freshName("gram")
       val nc = ctx.freshName("nc")
@@ -85,6 +87,12 @@ case class DupGramProfile(child: Expression) extends UnaryExpression {
       val gramChars = ctx.freshName("gramChars")
       s"""
          |int $n = $a.numElements();
+         |for (int $v = 0; $v < $n; $v++) {
+         |  if ($a.isNullAt($v)) {
+         |    throw new IllegalArgumentException(
+         |      "dup_gram_profile: null word at index " + $v + " (input must be null-free)");
+         |  }
+         |}
          |int $g = ($n < 3) ? 0 : $n - 2;
          |UTF8String $sep = UTF8String.fromString(" ");
          |java.util.HashSet $seen = new java.util.HashSet(Math.max(16, $g * 2));
@@ -92,12 +100,6 @@ case class DupGramProfile(child: Expression) extends UnaryExpression {
          |long $repChars = 0L;
          |long $gramChars = 0L;
          |for (int $i = 0; $i < $g; $i++) {
-         |  for (int $k = $i; $k < $i + 3; $k++) {
-         |    if ($a.isNullAt($k)) {
-         |      throw new IllegalArgumentException(
-         |        "dup_gram_profile: null word at index " + $k + " (input must be null-free)");
-         |    }
-         |  }
          |  UTF8String $gram = UTF8String.concatWs($sep,
          |    $a.getUTF8String($i), $a.getUTF8String($i + 1), $a.getUTF8String($i + 2));
          |  long $nc = (long) $gram.numChars();

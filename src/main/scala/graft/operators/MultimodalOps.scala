@@ -1680,17 +1680,18 @@ object MultimodalOps {
         val bands = reps.select(col("dhash"), col("rep"), col("n_copies"),
             explode(sequence(lit(0), lit(3))).as("band"))
           .withColumn("key", expr("shiftright(dhash, band * 14) & 16383"))
+        // hamming BEFORE distinct (r10 verdict #1, the d09 rule): the
+        // verify bit_count is map-side on the join output, so the
+        // distinct's shuffle carries only true near-dups, not every
+        // band collision
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.rep") < col("b.rep"))
           .select(col("a.rep").as("img_a"), col("b.rep").as("img_b"),
-            col("a.dhash").as("ha"), col("b.dhash").as("hb"),
+            expr("bit_count(a.dhash ^ b.dhash)").as("hamming"),
             col("a.n_copies").as("copies_a"), col("b.n_copies").as("copies_b"))
-          .distinct()
-          .withColumn("hamming", expr("bit_count(ha ^ hb)"))
           .filter(col("hamming") <= 6)
-          .select(col("img_a"), col("img_b"), col("hamming"),
-            col("copies_a"), col("copies_b"))
+          .distinct()
           .orderBy(col("img_a"), col("img_b"))
       }, {
       // the m07 analytic dHash contract: gray(x, y) of group image gid
@@ -1765,19 +1766,17 @@ object MultimodalOps {
         val bands = reps.select(col("n_frames"), col("fp"), col("rep"),
             col("n_copies"), explode(sequence(lit(0), lit(2))).as("band"))
           .withColumn("key", expr("shiftright(fp, band * 8) & 255"))
+        // hamming BEFORE distinct (r10 verdict #1, the d09 rule)
         bands.as("a").join(bands.as("b"),
             col("a.n_frames") === col("b.n_frames") &&
               col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.rep") < col("b.rep"))
           .select(col("a.rep").as("clip_a"), col("b.rep").as("clip_b"),
             col("a.n_frames").as("n_frames"),
-            col("a.fp").as("fa"), col("b.fp").as("fb"),
+            expr("bit_count(a.fp ^ b.fp)").as("hamming"),
             col("a.n_copies").as("copies_a"), col("b.n_copies").as("copies_b"))
-          .distinct()
-          .withColumn("hamming", expr("bit_count(fa ^ fb)"))
           .filter(col("hamming") <= 2)
-          .select(col("clip_a"), col("clip_b"), col("n_frames"), col("hamming"),
-            col("copies_a"), col("copies_b"))
+          .distinct()
           .orderBy(col("clip_a"), col("clip_b"))
       },
       """WITH b AS (

@@ -1814,10 +1814,13 @@ object Relational {
     if (fs.exists(whPath)) fs.listStatus(whPath).foreach { st =>
       st.getPath.getName match {
         case stale(pidStr) =>
-          val pid = pidStr.toLong
-          if (pid != ProcessHandle.current().pid() &&
-              !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
-            fs.delete(st.getPath, true)
+          // a digit run beyond Long range is not a pid we wrote — treat
+          // the dir as foreign/kept instead of aborting the whole setup
+          scala.util.Try(pidStr.toLong).foreach { pid =>
+            if (pid != ProcessHandle.current().pid() &&
+                !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+              fs.delete(st.getPath, true)
+          }
         case _ =>
       }
     }

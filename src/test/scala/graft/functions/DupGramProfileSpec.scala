@@ -83,5 +83,12 @@ class DupGramProfileSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
     assert(spark.sql(
       "SELECT dup_gram_profile(CAST(NULL AS ARRAY<STRING>))").head().isNullAt(0))
+    // r10 ADVICE: sub-window arrays (<3 words) must ALSO throw on null
+    // elements — the validation pass runs over all n, not just windows
+    val exShort = intercept[Exception] {
+      spark.sql(
+        "SELECT dup_gram_profile(array('a', CAST(NULL AS STRING)))").head()
+    }
+    assert(exShort.getMessage != null)
   }
 }

@@ -1119,6 +1119,12 @@ class PlanSpec extends AnyFunSuite {
     // exchanges move (band, key, id, sketch) — never text
     val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
     assert(!shuffled.exists(_.contains("text#")), p)
+    // r10 verdict #1: the hamming verify runs BEFORE the distinct's
+    // exchange — Catalyst pushes it into the join condition itself, so
+    // the dedup shuffle carries true near-dups, not all band collisions
+    val joinLine = p.split("\n").find(l =>
+      l.contains("Join [band") || l.contains("Join [key")).getOrElse("")
+    assert(joinLine.contains("bit_count"), p)
   }
 
   // ---- r9 sweep: new operators land WITH their guards ----
@@ -1303,6 +1309,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.split("InMemoryRelation")(0).contains("Scan ExistingRDD"), p)
     assert(p.contains("16383"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // d09 rule: hamming verify rides the join condition, pre-distinct
+    val joinLine = p.split("\n").find(l =>
+      l.contains("Join [band") || l.contains("Join [key")).getOrElse("")
+    assert(joinLine.contains("bit_count"), p)
   }
 
   test("q73: one lineitem pass behind the persist barrier; dominance joins inside partkey; supplier broadcasts") {
@@ -1328,6 +1338,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.split("InMemoryRelation")(0).contains("Scan ExistingRDD"), p)
     assert(p.contains("& 255"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // d09 rule: hamming verify rides the join condition, pre-distinct
+    val joinLine = p.split("\n").find(l =>
+      l.contains("Join [n_frames") || l.contains("Join [band")).getOrElse("")
+    assert(joinLine.contains("bit_count"), p)
   }
 
   test("p19: one corpus pass into 16 shard counts; resume arithmetic is per-row on the bounded frame") {
