@@ -131,6 +131,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_estimate",
       exprs => CountMinEstimate(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cov_triangle_agg",
+      exprs => CovTriangleAgg(exprs(0)), "built-in")
   }
 
   /** Column API over the registered function. */

@@ -397,19 +397,23 @@ object DedupOps {
          |ORDER BY doc_id""".stripMargin),
 
     // -- 16-bit SimHash over word hashes -------------------------------
+    // Native path (r11: this was 59 s at sf1 on the interpreted 16-pass
+    // nested HOF): the 16-bit word hash md5Val(w,4) is EXACTLY the top
+    // 16 bits of gram_hashes60's 60-bit value (first 4 vs first 15 hex
+    // chars of the same md5), so hs16 = hs60 >> 44; and simhash60 over
+    // 16-bit values IS the 16-bit majority sketch — bits 16..59 vote
+    // strictly negative and stay clear. One generated pass per doc; the
+    // oracle keeps its independent 16-pass list_reduce form and the
+    // original INT type is preserved by the cast.
     QueryDef.sql("d05_simhash",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         Tables.documents(s, d)
-          .withColumn("hs", transform(words(col("text")), w => md5Val(w, 4)))
-          // SQL expr: shiftright/shiftleft with a lambda-var bit count has
-          // no Column-API overload.
-          .withColumn("simhash", expr(
-            """aggregate(
-              |  transform(sequence(0, 15), j ->
-              |    IF(aggregate(hs, 0,
-              |         (acc, x) -> acc + IF((shiftright(x, j) & 1) = 1, 1, -1)) > 0,
-              |       shiftleft(1, j), 0)),
-              |  0, (a, b) -> a + b)""".stripMargin))
+          .withColumn("hs", transform(
+            graft.functions.GraftFunctions.gramHashes60(words(col("text")), 1),
+            x => shiftright(x, 44)))
+          .withColumn("simhash",
+            graft.functions.GraftFunctions.simHash60(col("hs")).cast("int"))
           .select(col("doc_id"), col("simhash"))
           .orderBy(col("doc_id"))
       },
@@ -515,12 +519,18 @@ object DedupOps {
     QueryDef.sql("d09_simhash_band_pairs",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val sh = Tables.documents(s, d)
-          // native gram_hashes60 width 1: per-word hashes in one pass
-          .withColumn("hs", graft.functions.GraftFunctions
-            .gramHashes60(words(col("text")), 1))
-          .withColumn("simhash", graft.functions.GraftFunctions.simHash60(col("hs")))
-          .select(col("doc_id"), col("simhash"))
+        // persist barrier (the m18/m19 house move): without it BOTH
+        // self-join sides re-run the full text scan + sketch pipeline,
+        // and the join-key isnotnull inference re-evaluates simhash60 a
+        // second time per row below the project — the sketch computes
+        // once, 16 bytes/doc cross into the band join
+        val sh = OpUtils.transientPersist(s, s"d09:$d",
+          Tables.documents(s, d)
+            // native gram_hashes60 width 1: per-word hashes in one pass
+            .withColumn("hs", graft.functions.GraftFunctions
+              .gramHashes60(words(col("text")), 1))
+            .withColumn("simhash", graft.functions.GraftFunctions.simHash60(col("hs")))
+            .select(col("doc_id"), col("simhash")))
         val bands = sh.select(col("doc_id"), col("simhash"),
             explode(sequence(lit(0), lit(3))).as("band"))
           .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))

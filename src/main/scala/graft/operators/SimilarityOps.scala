@@ -1366,32 +1366,38 @@ object SimilarityOps {
     // (floor(x*64+.5) — floor, not round: round's tie rule diverges
     // across engines on exact .5 fractions, floor+0.5 doesn't), so every
     // per-row product and both running sums are exact BIGINTs —
-    // order-independent under any partitioning, no decimal needed. The
-    // pair explode is map-side CPU feeding partial aggregation: the
-    // shuffle carries only 2080 (i,j) cells × partitions, and the two
-    // per-dim sum frames join back by broadcast. n·Σxy−ΣxΣy stays under
-    // 2^63 up to ~10M rows per corpus slice; beyond that the same plan
-    // runs with DECIMAL(38) sums. cov is in original units (÷64²).
+    // order-independent under any partitioning, no decimal needed.
+    // r10 verdict #2: the old declarative pair explode amplified every
+    // row ×2080 structs before partial aggregation — the native
+    // [[graft.functions.CovTriangleAgg]] folds each quantized vector
+    // into ONE 2145-long buffer (n + 64 dim sums + 2080 products) with
+    // zero row amplification; partials merge by addition, so the
+    // shuffle is 2145 longs/partition at ANY corpus size and the two
+    // old broadcast joins vanish (dim sums ride the same buffer). The
+    // cell fan-out is a constant 2080-row local table against the one
+    // sketch row. n·Σxy−ΣxΣy stays under 2^63 up to ~10M rows per
+    // corpus slice; beyond that the same plan runs with DECIMAL(38)
+    // sums. cov is in original units (÷64²). CovTriangleSpec pins the
+    // native plan bit-equal to the old explode formulation.
     QueryDef.sql("s20_embedding_covariance",
       (s, d) => {
-        val q = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.CovTriangle
+        val q = Tables.embeddings(s, d).select(
           transform(col("embedding"),
             x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("q"))
-        val ds = q.select(posexplode(col("q")).as(Seq("i0", "qi")))
-          .groupBy((col("i0") + 1).cast("long").as("i"))
-          .agg(sum(col("qi")).as("s"))
-        val pairs = q.select(explode(flatten(transform(
-            sequence(lit(1), lit(64)), i => transform(sequence(i, lit(64)),
-              j => struct(i.cast("long").as("i"), j.cast("long").as("j"),
-                (element_at(col("q"), i) * element_at(col("q"), j)).as("p"))))))
-            .as("e"))
-          .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-          .agg(count(lit(1)).as("n"), sum(col("e.p")).as("spq"))
-        pairs
-          .join(broadcast(ds.select(col("i").as("ii"), col("s").as("si"))),
-            col("i") === col("ii"))
-          .join(broadcast(ds.select(col("i").as("jj"), col("s").as("sj"))),
-            col("j") === col("jj"))
+        val sk = q.agg(call_function("cov_triangle_agg", col("q")).as("b"))
+        import s.implicits._
+        val cells = (1 to CovTriangle.Dims).flatMap(i =>
+          (i to CovTriangle.Dims).map(j =>
+            (i.toLong, j.toLong, CovTriangle.slot(i, j) + 1)))
+          .toDF("i", "j", "pos")
+        sk.crossJoin(cells) // 1 sketch row × constant 2080-cell index
+          .select(col("i"), col("j"),
+            element_at(col("b"), lit(1)).as("n"),
+            element_at(col("b"), (col("i") + 1).cast("int")).as("si"),
+            element_at(col("b"), (col("j") + 1).cast("int")).as("sj"),
+            element_at(col("b"), col("pos").cast("int")).as("spq"))
           .select(col("i"), col("j"), col("n"),
             ((col("n") * col("spq") - col("si") * col("sj")).cast("double") /
               (col("n") * col("n")) / lit(4096)).as("cov"))
