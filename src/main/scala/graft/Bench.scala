@@ -190,6 +190,29 @@ object Bench {
         f"ticker compressed loop 42M (zstd + dict): ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
     }
 
+    // Dissociated dual-channel DSv2 read loop (r11): /dissoc/info/
+    // discovery → CONCURRENT meta/body fetch (bodies out of order) →
+    // bounded in-order reassembly → spark.read — the reference
+    // dissociated client's loop (cudf-flight-client.cc:51-325) at
+    // get_simple scale, through the public read path.
+    if (benchFull) {
+      val dRows = 10000000L
+      def dissocLoop(): Double = timed {
+        val server = new graft.server.ArrowHttpServer(spark)
+        server.register("dloop", graft.datagen.Generators.flightBench(spark, dRows))
+        server.start()
+        try {
+          val n = spark.read.format("arrows")
+            .option("dissoc", s"${server.baseUrl}/dissoc/info/dloop").load().count()
+          require(n == dRows, s"dissoc loop read $n rows, expected $dRows")
+        } finally server.stop()
+      }
+      val trials = (1 to loopReps).map(_ => dissocLoop())
+      runs("arrows_dissoc_loop_10m") = trials
+      System.err.println(
+        f"dissoc dual-channel loop 10M: ${trials.min}%.2f seconds elapsed (min of $loopReps)")
+    }
+
     // client timing breakdown (time-to-schema / time-to-first-batch /
     // total), the get_compressed client's mandated metrics — measured
     // with a raw arrow-java client against a 1M-row serve.

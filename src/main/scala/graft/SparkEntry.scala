@@ -68,7 +68,7 @@ object SparkEntry {
       "q67_disjunctive_revenue", "q68_idle_customers", "q69_top_supplier",
       "q70_product_profit", "q71_part_supplier_variety", "q72_partial_agg_merge",
       "q73_dominant_suppliers",
-      "d03_minhash_lsh_pairs", "d09_simhash_band_pairs",
+      "d03_minhash_lsh_pairs", "d05_simhash", "d09_simhash_band_pairs",
       "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "d16_semantic_dedup", "d17_line_dedup", "d21_contamination_report",
@@ -82,22 +82,23 @@ object SparkEntry {
       "s21_similarity_histogram", "s22_ivf_balance", "s23_knn_graph",
       "s24_ann_hubness", "s25_kmeans_churn", "s26_matryoshka_recall",
       "s27_centroid_drift", "s28_nprobe_recall", "s29_quant_distortion",
-      "s30_cluster_quality",
+      "s30_cluster_quality", "s31_quantization_sheet",
       "t02_quality_score",
       "t09_word_rarity", "t11_dsir_weights", "t14_doc_freq", "t16_bigram_lm",
       "t18_keyword_tfidf", "t19_gram_novelty", "t21_head_coverage",
       "t22_readability", "t23_zipf_curve", "t24_heavy_hitters",
       "t25_quality_bands", "t26_char_classes", "t27_dup_gram_profile",
-      "t28_footer_boilerplate", "t29_unique_gram_mass",
+      "t28_footer_boilerplate", "t29_unique_gram_mass", "t30_footer_strip_effect",
       "p01_curated_corpus", "p02_token_packing",
       "p04_domain_mixture", "p06_curation_funnel", "p07_doc_chunks",
       "p09_shuffle_shards", "p11_quality_curriculum", "p12_temporal_split",
       "p13_priority_sample", "p14_token_budget", "p15_pack_efficiency",
       "p16_shard_manifest", "p17_shard_skew", "p18_shard_mixture",
-      "p19_resume_manifest", "p20_epoch_decorrelation",
+      "p19_resume_manifest", "p20_epoch_decorrelation", "p21_crossmodal_coverage",
       "m11_pair_gate", "m12_audio_gate", "m13_video_length_gate",
       "m14_aspect_buckets", "m15_scene_cuts", "m16_channel_norm",
-      "m17_corrupt_audit", "m18_image_band_neardup", "m19_audio_band_neardup")
+      "m17_corrupt_audit", "m18_image_band_neardup", "m19_audio_band_neardup",
+      "m20_caption_asset_audit", "m21_orphan_assets")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)

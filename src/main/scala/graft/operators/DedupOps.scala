@@ -61,10 +61,17 @@ object DedupOps {
   private val sigCache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
   private def gramFrame(s: SparkSession, d: String): DataFrame =
-    gvCache.getOrElseUpdate((System.identityHashCode(s), d),
+    gvCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      graft.functions.GraftFunctions.register(s)
       corpus(s, d)
-        .withColumn("gvs", gramVals(grams3(words(col("t")))))
-        .persist())
+        // r11: native gram_hashes60(ws,3) % 2^30 is BIT-IDENTICAL to
+        // gramVals(grams3(ws)) — same md5, same low 30 bits — without
+        // materializing a gram string per window (the t27 trap)
+        .withColumn("gvs", transform(
+          graft.functions.GraftFunctions.gramHashes60(words(col("t")), 3),
+          h => pmod(h, lit(1L << 30))))
+        .persist()
+    })
 
   private def signatures(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate((System.identityHashCode(s), d),
@@ -372,25 +379,39 @@ object DedupOps {
          |ORDER BY doc_id""".stripMargin),
 
     // -- exact n-gram Jaccard on the known near-dup pairs --------------
+    // r11 rewrite (was 106 s at sf1 — the worst hidden cell of the
+    // unbenched sweep): both gram sets were STRING arrays from the
+    // interpreted grams3 HOF, intersected as strings, and the two text
+    // variants met through a pointless self-join on doc_id. Now ONE
+    // projection computes both variants' native 60-bit hash sets
+    // (gram_hashes60, one generated pass each) and set ops run over
+    // longs; the oracle hashes its string grams with the same md5
+    // rule, so the distinct/intersect contract is identical bits in
+    // both engines. No join, no string arrays, no second scan.
     QueryDef.sql("d04_ngram_jaccard",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val orig = docs.select(col("doc_id"), trim(col("text")).as("t"))
-        val pert = docs.select(col("doc_id"),
-          regexp_replace(trim(col("text")), " +[^ ]+$", "").as("p"))
-        orig.join(pert, "doc_id")
-          .withColumn("ga", array_distinct(grams3(words(col("t")))))
-          .withColumn("gb", array_distinct(grams3(words(col("p")))))
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"), trim(col("text")).as("t"))
+          .withColumn("ga", array_distinct(graft.functions.GraftFunctions
+            .gramHashes60(words(col("t")), 3)))
+          .withColumn("gb", array_distinct(graft.functions.GraftFunctions
+            .gramHashes60(words(regexp_replace(col("t"), " +[^ ]+$", "")), 3)))
           .select(col("doc_id"),
             (size(array_intersect(col("ga"), col("gb"))).cast("double") /
               size(array_union(col("ga"), col("gb")))).as("jaccard"))
           .orderBy(col("doc_id"))
       },
-      s"""WITH g AS (
+      s"""WITH g0 AS (
          |  SELECT doc_id,
-         |    list_distinct(${oGrams3(oWords("trim(text)"))}) AS ga,
-         |    list_distinct(${oGrams3(oWords("regexp_replace(trim(text), ' +[^ ]+$$', '')"))}) AS gb
-         |  FROM documents)
+         |    ${oGrams3(oWords("trim(text)"))} AS ga0,
+         |    ${oGrams3(oWords("regexp_replace(trim(text), ' +[^ ]+$$', '')"))} AS gb0
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(ga0, x -> ${oMd5Val("x", 15)})) AS ga,
+         |    list_distinct(list_transform(gb0, x -> ${oMd5Val("x", 15)})) AS gb
+         |  FROM g0)
          |SELECT doc_id,
          |  CAST(len(list_intersect(ga, gb)) AS DOUBLE) / len(list_distinct(ga || gb)) AS jaccard
          |FROM g
@@ -941,9 +962,15 @@ object DedupOps {
     // matrix is a broadcast self-join of a source-count-sized frame.
     QueryDef.sql("d19_source_similarity",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        // r11: explode the native 60-bit hashes, then pmod COLUMN-wise
+        // (codegen) — bit-identical to gramVals(grams3(ws)) at a
+        // fraction of the cost (was 28 s at sf1 on the string pipeline)
         val gv = Tables.documents(s, d)
           .select(col("source"),
-            explode(gramVals(grams3(words(col("text"))))).as("v"))
+            explode(graft.functions.GraftFunctions
+              .gramHashes60(words(col("text")), 3)).as("h"))
+          .select(col("source"), pmod(col("h"), lit(1L << 30)).as("v"))
         val sigAggs = (0 until MinhashK).map(j =>
           min(pmod(col("v") * minhashA(j) + minhashB(j), lit(MinhashP))).as(s"h$j"))
         val sig = gv.groupBy(col("source")).agg(sigAggs.head, sigAggs.tail: _*)

@@ -1818,6 +1818,133 @@ object MultimodalOps {
         |  CAST(copies_a AS BIGINT) AS copies_a, CAST(copies_b AS BIGINT) AS copies_b
         |FROM pairs
         |WHERE bit_count(xor(fa, fb)) <= 2
-        |ORDER BY clip_a, clip_b""".stripMargin)
+        |ORDER BY clip_a, clip_b""".stripMargin),
+
+    // -- caption → image referential audit --------------------------------
+    // The cross-modal integrity gate (r10 verdict #4): every document is
+    // a caption referencing image asset doc_id % 640; the asset registry
+    // is m17's image frame (ids < 500, REAL byte-level validatePpm with
+    // m17's fault schedule), so a reference can be DANGLING (ref ≥ 500 —
+    // the asset was never ingested) or point at a CORRUPT image. Per
+    // source: how much of the caption feed is actually trainable.
+    // 100 TB shape: the registry side is ABSOLUTELY bounded (id < 500 at
+    // any SF — the d11/d24 fixed-eval-side pattern) and broadcasts as a
+    // keys+verdict frame; the caption side reaches the join with only
+    // (doc_id, source, ref) — no text, no bytes; validation runs where
+    // the bytes sit (mapPartitions), as in m17.
+    QueryDef.sql("m20_caption_asset_audit",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 500)
+        val verdicts = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val raw = ppmBytes(id)
+            val bytes =
+              if (id % 31 == 0) { val c = raw.clone(); c(0) = 'X'.toByte; c }
+              else if (id % 23 == 0) raw.take(raw.length - 5)
+              else raw
+            Row(id, validatePpm(bytes))
+          }
+        }
+        val assets = s.createDataFrame(verdicts, StructType(Seq(
+          StructField("img_id", LongType, nullable = false),
+          StructField("verdict", StringType, nullable = false))))
+        val caps = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            (col("doc_id") % 640).as("img_ref"))
+        // .distinct() is a no-op on the unique-id frame; it marks the
+        // broadcast side as aggregation-bounded for the house hint rule
+        // (the d11 evalGrams pattern) — ≤500 rows at any SF either way
+        caps.join(broadcast(assets.distinct()), col("img_ref") === col("img_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_captions"),
+            sum(when(col("verdict").isNull, 1L).otherwise(0L)).as("n_dangling"),
+            sum(when(col("verdict").isNotNull && col("verdict") =!= "ok", 1L)
+              .otherwise(0L)).as("n_corrupt"),
+            sum(when(col("verdict") === "ok", 1L).otherwise(0L)).as("n_ok"))
+          .select(col("source"), col("n_captions"), col("n_dangling"),
+            col("n_corrupt"), col("n_ok"),
+            expr("CAST(CAST(n_ok AS DECIMAL(38,0)) * 1000000 DIV n_captions AS BIGINT)")
+              .as("ok_ppm"))
+          .orderBy(col("source"))
+      },
+      """WITH a AS (
+        |  SELECT doc_id AS img_id,
+        |    CASE WHEN doc_id % 31 = 0 THEN 'bad_magic'
+        |         WHEN doc_id % 23 = 0 THEN 'truncated'
+        |         ELSE 'ok' END AS verdict
+        |  FROM documents WHERE doc_id < 500),
+        |c AS (SELECT doc_id, source, doc_id % 640 AS img_ref FROM documents)
+        |SELECT source, COUNT(*) AS n_captions,
+        |  CAST(SUM(CASE WHEN a.img_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dangling,
+        |  CAST(SUM(CASE WHEN a.verdict IS NOT NULL AND a.verdict <> 'ok'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN a.verdict = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(CAST(SUM(CASE WHEN a.verdict = 'ok' THEN 1 ELSE 0 END) AS HUGEINT)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS ok_ppm
+        |FROM c LEFT JOIN a ON c.img_ref = a.img_id
+        |GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // -- orphaned image assets (the reverse referential direction) --------
+    // m20 finds captions whose image is missing; this finds images no
+    // caption references — storage paying for bytes no training example
+    // reaches (the d31 backlog pattern, inverted). Assets carry the
+    // source of their carrier document; the reference set is the
+    // DISTINCT caption refs — ≤ 640 longs at ANY SF (the ref keyspace
+    // is absolutely bounded by the % 640 contract), so it broadcasts
+    // and the audit costs one caption key-scan + one bounded join. Real
+    // byte validation tags how many orphans were corrupt anyway (cold
+    // comfort accounting).
+    QueryDef.sql("m21_orphan_assets",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).filter(col("doc_id") < 500)
+        val verdicts = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val raw = ppmBytes(id)
+            val bytes =
+              if (id % 31 == 0) { val c = raw.clone(); c(0) = 'X'.toByte; c }
+              else if (id % 23 == 0) raw.take(raw.length - 5)
+              else raw
+            Row(id, r.getString(1), validatePpm(bytes))
+          }
+        }
+        val assets = s.createDataFrame(verdicts, StructType(Seq(
+          StructField("img_id", LongType, nullable = false),
+          StructField("source", StringType, nullable = false),
+          StructField("verdict", StringType, nullable = false))))
+        val refs = Tables.documents(s, d)
+          .select((col("doc_id") % 640).as("img_ref")).distinct()
+        assets.join(broadcast(refs), col("img_id") === col("img_ref"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(when(col("img_ref").isNull, 1L).otherwise(0L)).as("n_orphans"),
+            sum(when(col("img_ref").isNull && col("verdict") === "ok", 1L)
+              .otherwise(0L)).as("n_orphans_ok"))
+          .select(col("source"), col("n_assets"), col("n_orphans"),
+            col("n_orphans_ok"),
+            expr("CAST(CAST(n_orphans AS DECIMAL(38,0)) * 1000000 DIV n_assets AS BIGINT)")
+              .as("orphan_ppm"))
+          .orderBy(col("source"))
+      },
+      """WITH a AS (
+        |  SELECT doc_id AS img_id, source,
+        |    CASE WHEN doc_id % 31 = 0 THEN 'bad_magic'
+        |         WHEN doc_id % 23 = 0 THEN 'truncated'
+        |         ELSE 'ok' END AS verdict
+        |  FROM documents WHERE doc_id < 500),
+        |r AS (SELECT DISTINCT doc_id % 640 AS img_ref FROM documents)
+        |SELECT source, COUNT(*) AS n_assets,
+        |  CAST(SUM(CASE WHEN r.img_ref IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphans,
+        |  CAST(SUM(CASE WHEN r.img_ref IS NULL AND verdict = 'ok'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans_ok,
+        |  CAST(CAST(SUM(CASE WHEN r.img_ref IS NULL THEN 1 ELSE 0 END) AS HUGEINT)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS orphan_ppm
+        |FROM a LEFT JOIN r ON a.img_id = r.img_ref
+        |GROUP BY 1 ORDER BY source""".stripMargin)
   )
 }

@@ -1161,6 +1161,58 @@ object PipelineOps {
          |  CAST(CAST(n_same_shard AS HUGEINT) * 1000000 // n_docs AS BIGINT)
          |    AS same_shard_ppm
          |FROM r ORDER BY epoch_a, epoch_b""".stripMargin
-      })
+      }),
+
+    // -- per-source cross-modal pair coverage ------------------------------
+    // The planning sheet a multimodal training run reads before choosing
+    // its mixture: per source, what fraction of captions can actually
+    // pair with their assets. Registries are the m-tier contracts —
+    // image ref doc_id % 640 resolvable iff < 500 (m17/m20), USABLE iff
+    // also not on the fault schedule (%31 bad magic, %23 truncated);
+    // audio ref doc_id % 1300 resolvable iff < 1000 (m19's clip space).
+    // All four flags are pure key arithmetic in ONE map-side projection
+    // — no join, no bytes, no text — so the whole sheet is one corpus
+    // key-scan into a |sources|-row rollup (m20/m21 carry the REAL
+    // byte-validated joins; this is the aggregate dashboard over the
+    // same contracts). ppm via the DECIMAL(38,0) house pattern.
+    QueryDef.sql("p21_crossmodal_coverage",
+      (s, d) => {
+        val imgRef = col("doc_id") % 640
+        val audRef = col("doc_id") % 1300
+        val imgOk = imgRef < 500 && imgRef % 31 =!= 0 && imgRef % 23 =!= 0
+        val audOk = audRef < 1000
+        Tables.documents(s, d)
+          .select(col("source"),
+            when(imgOk, 1L).otherwise(0L).as("img"),
+            when(audOk, 1L).otherwise(0L).as("aud"),
+            when(imgOk && audOk, 1L).otherwise(0L).as("both"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("img")).as("n_img_usable"),
+            sum(col("aud")).as("n_aud"), sum(col("both")).as("n_both"))
+          .select(col("source"), col("n_docs"), col("n_img_usable"),
+            col("n_aud"), col("n_both"),
+            expr("CAST(CAST(n_img_usable AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+              .as("img_ppm"),
+            expr("CAST(CAST(n_aud AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+              .as("aud_ppm"),
+            expr("CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)")
+              .as("both_ppm"))
+          .orderBy(col("source"))
+      },
+      """WITH f AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 640 < 500 AND (doc_id % 640) % 31 <> 0
+        |      AND (doc_id % 640) % 23 <> 0 THEN 1 ELSE 0 END AS img,
+        |    CASE WHEN doc_id % 1300 < 1000 THEN 1 ELSE 0 END AS aud
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(img) AS BIGINT) AS n_img_usable,
+        |  CAST(SUM(aud) AS BIGINT) AS n_aud,
+        |  CAST(SUM(img * aud) AS BIGINT) AS n_both,
+        |  CAST(CAST(SUM(img) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS img_ppm,
+        |  CAST(CAST(SUM(aud) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS aud_ppm,
+        |  CAST(CAST(SUM(img * aud) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+        |    AS both_ppm
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin)
   )
 }

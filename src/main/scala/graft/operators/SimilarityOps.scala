@@ -2030,6 +2030,183 @@ object SimilarityOps {
          |  CAST(SUM(qm) // COUNT(*) AS BIGINT) AS mean_quality_milli,
          |  MIN(qm) AS min_quality_milli,
          |  CAST(SUM(n_tokens) AS BIGINT) AS cluster_tokens
-         |FROM j GROUP BY 1 ORDER BY label""".stripMargin)
+         |FROM j GROUP BY 1 ORDER BY label""".stripMargin),
+
+    // -- quantization decision sheet: recall@10 × storage per format ------
+    // The one-page answer to "which vector format do we ship?" (r10
+    // verdict #5): fp64 (the truth, 512 B/vec), scalar int8 (s06's
+    // per-vector max-abs codes, 64 B), 8-byte PQ (s09's ADC), and the
+    // 60-bit sign binary (s16's hamming, 8 B) — recall@10 of each
+    // against the SAME exact-cosine truth, as exact integer ppm.
+    // 100 TB shape: every derived form (int8 codes, sign mask, PQ
+    // codes) computes in ONE map-side projection over ONE corpus scan
+    // (codebook broadcast, the s09 argmin fold — no per-vector window);
+    // the pair pass against the bounded query sample (vec_id < 20,
+    // broadcast) emits FIXED-WIDTH scalars (cos, dot8, hamming, adc) —
+    // 4 numbers per candidate, no vectors — into ONE persisted scored
+    // frame that all four rankings share; every ranking is a per-query
+    // top-10 window (WindowGroupLimit keeps k rows per map partition
+    // pre-exchange). Rank tie rules are total orders, so recall is
+    // bit-exact cross-engine.
+    QueryDef.sql("s31_quantization_sheet",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = vecs(s, d)
+        val cb = centroids(s, d, e)
+          .select(col("label").cast("long").as("code"), col("cv"))
+          .agg(collect_list(struct(col("code"), col("cv"))).as("cb"))
+        def chunkDist(v: Column, cv: Column, c: Int): Column =
+          (1 to 8).foldLeft(lit(0.0)) { (acc, j) =>
+            val dv = element_at(v, c * 8 + j) - element_at(cv, c * 8 + j)
+            acc + dv * dv
+          }
+        val maskE = "aggregate(sequence(1, 60), CAST(0 AS BIGINT), " +
+          "(acc, i) -> acc + IF(element_at(v, i) > 0.0D, " +
+          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
+        val forms = e
+          .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+          .filter(col("mx") > 0)
+          .withColumn("q8", transform(col("v"),
+            x => floor(x * (lit(127.0) / col("mx")) + lit(0.5)).cast("long")))
+          .withColumn("mask", expr(maskE))
+          .crossJoin(broadcast(cb))
+        val q = forms.filter(col("vec_id") < 20)
+          .withColumn("qtab", array((0 until 8).map { c =>
+            transform(array_sort(col("cb")),
+              x => chunkDist(col("v"), x.getField("cv"), c))
+          }: _*))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("q8").as("qq"), col("mask").as("qm"), col("qtab"))
+        val n = forms.filter(col("vec_id") >= 20)
+          .withColumn("codes", array((0 until 8).map { c =>
+            aggregate(col("cb"),
+              struct(lit(1e30).as("s"), lit(99L).as("k")),
+              (acc, x) => {
+                val dist = chunkDist(col("v"), x.getField("cv"), c)
+                when(dist < acc.getField("s") ||
+                    (dist === acc.getField("s") &&
+                      x.getField("code") < acc.getField("k")),
+                  struct(dist.as("s"), x.getField("code").as("k")))
+                  .otherwise(acc)
+              }).getField("k")
+          }: _*))
+          .select(col("vec_id").as("n_id"), col("v").as("nv"),
+            col("q8"), col("mask"), col("codes"))
+        val pairs = OpUtils.transientPersist(s, s"s31:$d",
+          n.crossJoin(broadcast(q))
+            .select(col("q_id"), col("n_id"),
+              cosine(col("qv"), col("nv")).as("cos"),
+              graft.functions.GraftFunctions.int8Dot(col("qq"), col("q8"))
+                .as("dot8"),
+              expr("bit_count(qm ^ mask)").as("hamming"),
+              (0 until 8).foldLeft(lit(0.0)) { (acc, c) =>
+                acc + element_at(element_at(col("qtab"), c + 1),
+                  (element_at(col("codes"), c + 1) + 1).cast("int"))
+              }.as("adc")))
+        def top10(order: Seq[Column]): DataFrame = pairs
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(order: _*)))
+          .filter(col("rnk") <= 10)
+          .select(col("q_id"), col("n_id"))
+        val truth = top10(Seq(col("cos").desc, col("n_id")))
+        def armRow(fmt: String, bytes: Long, order: Seq[Column]): DataFrame =
+          truth.join(top10(order).withColumn("hit", lit(1L)),
+              Seq("q_id", "n_id"), "left")
+            .agg(count(lit(1)).as("n_truth"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+            .select(lit(fmt).as("format"), lit(bytes).as("bytes_per_vec"),
+              col("n_truth"), col("n_hit"),
+              expr("CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000 DIV n_truth AS BIGINT)")
+                .as("recall_ppm"))
+        armRow("bin60", 8L, Seq(col("hamming"), col("n_id")))
+          .unionAll(armRow("fp64", 512L, Seq(col("cos").desc, col("n_id"))))
+          .unionAll(armRow("int8", 64L, Seq(col("dot8").desc, col("n_id"))))
+          .unionAll(armRow("pq8", 8L, Seq(col("adc"), col("n_id"))))
+          .orderBy(col("format"))
+      }, {
+      val oMask = "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, 61), " +
+        "i -> CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) " +
+        "ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)"
+      s"""WITH e AS ($oVecs),
+         |cents0 AS ($oCents),
+         |cb AS (SELECT CAST(label AS BIGINT) AS code, cv FROM cents0),
+         |em AS (
+         |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+         |  FROM e),
+         |k AS (
+         |  SELECT vec_id, v,
+         |    list_transform(v, x -> CAST(floor(x * (CAST(127.0 AS DOUBLE) / mx)
+         |      + 0.5) AS BIGINT)) AS q8,
+         |    $oMask AS mask
+         |  FROM em WHERE mx > 0),
+         |ch AS (SELECT unnest(range(0, 8)) AS c),
+         |cd AS (
+         |  SELECT k.vec_id, ch.c, cb.code,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, 9),
+         |      j -> (k.v[ch.c*8+j] - cb.cv[ch.c*8+j]) *
+         |           (k.v[ch.c*8+j] - cb.cv[ch.c*8+j])),
+         |      (a, b) -> a + b) AS dist
+         |  FROM k CROSS JOIN ch CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, c, code FROM (
+         |    SELECT vec_id, c, code,
+         |      row_number() OVER (PARTITION BY vec_id, c ORDER BY dist, code) AS rk
+         |    FROM cd) WHERE rk = 1),
+         |adc AS (
+         |  SELECT qd.vec_id AS q_id, enc.vec_id AS n_id,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list(qd.dist ORDER BY qd.c),
+         |      (a, b) -> a + b) AS adc
+         |  FROM enc JOIN (SELECT * FROM cd WHERE vec_id < 20) qd
+         |    ON qd.c = enc.c AND qd.code = enc.code
+         |  WHERE enc.vec_id >= 20
+         |  GROUP BY qd.vec_id, enc.vec_id),
+         |p0 AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    ${oCosine("q.v", "n.v")} AS cos,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(
+         |      range(1, len(q.q8) + 1), i -> (q.q8)[i] * (n.q8)[i]),
+         |      (a, b) -> a + b) AS dot8,
+         |    CAST(bit_count(xor(q.mask, n.mask)) AS INTEGER) AS hamming
+         |  FROM (SELECT * FROM k WHERE vec_id < 20) q
+         |  CROSS JOIN (SELECT * FROM k WHERE vec_id >= 20) n),
+         |pairs AS (
+         |  SELECT p0.q_id, p0.n_id, p0.cos, p0.dot8, p0.hamming, adc.adc
+         |  FROM p0 JOIN adc ON p0.q_id = adc.q_id AND p0.n_id = adc.n_id),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+         |    FROM pairs) WHERE r <= 10),
+         |arm AS (
+         |  SELECT 'bin60' AS format, 8 AS bytes_per_vec, q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY hamming, n_id) AS r FROM pairs) WHERE r <= 10
+         |  UNION ALL
+         |  SELECT 'fp64', 512, q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, n_id) AS r FROM pairs) WHERE r <= 10
+         |  UNION ALL
+         |  SELECT 'int8', 64, q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dot8 DESC, n_id) AS r FROM pairs) WHERE r <= 10
+         |  UNION ALL
+         |  SELECT 'pq8', 8, q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc, n_id) AS r FROM pairs) WHERE r <= 10),
+         |tx AS (
+         |  SELECT f.format, f.bytes_per_vec, t.q_id, t.n_id
+         |  FROM (SELECT DISTINCT format, bytes_per_vec FROM arm) f
+         |  CROSS JOIN truth t)
+         |SELECT tx.format, CAST(tx.bytes_per_vec AS BIGINT) AS bytes_per_vec,
+         |  COUNT(*) AS n_truth,
+         |  CAST(SUM(CASE WHEN arm.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST(CAST(SUM(CASE WHEN arm.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM tx LEFT JOIN arm
+         |  ON arm.format = tx.format AND arm.q_id = tx.q_id AND arm.n_id = tx.n_id
+         |GROUP BY 1, 2
+         |ORDER BY tx.format""".stripMargin
+      })
   )
 }

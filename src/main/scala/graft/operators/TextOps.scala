@@ -127,20 +127,31 @@ object TextOps {
          |ORDER BY doc_id""".stripMargin),
 
     // -- language-ID heuristic (stopword-profile n-gram scoring) -------
+    // One explode pass with codegen'd isin indicators (r11): the old
+    // per-doc `filter(ws, isin)` HOFs were interpreted AND re-split the
+    // text once per language (CollapseProject inlines the words expr
+    // into each of the 5 score columns) — 15 s at sf1. Words explode
+    // once; each word scores 5 integer indicators inside whole-stage
+    // codegen; the per-doc rollup is a partial agg on (doc_id, lang).
     QueryDef.sql("t03_language_id",
       (s, d) => {
-        val ws = words(col("text"))
-        val scores = profiles.map { case (lang, prof) =>
-          lang -> size(filter(ws, w => w.isin(prof: _*)))
+        val aggs = profiles.map { case (lg, prof) =>
+          sum(when(col("w").isin(prof: _*), 1).otherwise(0)).as(s"s_$lg")
         }
-        val best = scores.tail.foldLeft(
-          struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
-          case (acc, (lang, sc)) =>
+        val perDoc = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(aggs.head, aggs.tail: _*)
+        val best = profiles.tail.foldLeft(
+          struct(col(s"s_${profiles.head._1}").as("s"),
+            lit(profiles.head._1).as("l"))) {
+          case (acc, (lang, _)) =>
             // strictly-greater keeps the alphabetically-first lang on ties
-            when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l")))
+            when(col(s"s_$lang") > acc.getField("s"),
+              struct(col(s"s_$lang").as("s"), lit(lang).as("l")))
               .otherwise(acc)
         }
-        Tables.documents(s, d)
+        perDoc
           .withColumn("pred", best.getField("l"))
           .withColumn("score", best.getField("s"))
           .groupBy(col("lang"), col("pred"))
@@ -264,26 +275,33 @@ object TextOps {
     // Entirely per-row (map-side, no shuffle before the final sort) —
     // linear at 100 TB. Counts are exact set arithmetic, the fraction a
     // single deterministic IEEE division of two ints in both engines.
+    // r11: bigrams leave the doc as native 60-bit hashes (gram_hashes60
+    // width 2, one generated pass) — the string-bigram materialization
+    // was the t27 trap again (7.3 s at sf1); distinct-count over hashed
+    // bigrams is the contract on BOTH sides (the oracle hashes its
+    // string bigrams with the same md5 rule, so any collision collides
+    // identically in both engines).
     QueryDef.sql("t07_repetition_ratio",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("ws", words(col("text")))
-        .withColumn("g2", when(size(col("ws")) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
-            i => concat_ws(" ", slice(col("ws"), i, lit(2))))))
-        .select(col("doc_id"),
-          size(col("g2")).as("n_bigrams"),
-          (size(col("g2")) - size(array_distinct(col("g2")))).as("n_dup"),
-          when(size(col("g2")) > 0,
-            (size(col("g2")) - size(array_distinct(col("g2")))).cast("double")
-              / size(col("g2")))
-            .otherwise(lit(0.0)).as("dup_frac"))
-        .orderBy(col("doc_id")),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .withColumn("g2", graft.functions.GraftFunctions
+            .gramHashes60(words(col("text")), 2))
+          .select(col("doc_id"),
+            size(col("g2")).as("n_bigrams"),
+            (size(col("g2")) - size(array_distinct(col("g2")))).as("n_dup"),
+            when(size(col("g2")) > 0,
+              (size(col("g2")) - size(array_distinct(col("g2")))).cast("double")
+                / size(col("g2")))
+              .otherwise(lit(0.0)).as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
       s"""WITH w AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
          |g AS (
          |  SELECT doc_id,
-         |    CASE WHEN len(ws) < 2 THEN []
+         |    CASE WHEN len(ws) < 2 THEN CAST([] AS BIGINT[])
          |         ELSE list_transform(range(1, len(ws)),
-         |                i -> array_to_string(ws[i:i+1], ' ')) END AS g2
+         |                bi -> ${oMd5Val("array_to_string(ws[bi:bi+1], ' ')", 15)}) END AS g2
          |  FROM w)
          |SELECT doc_id, len(g2) AS n_bigrams,
          |  len(g2) - len(list_distinct(g2)) AS n_dup,
@@ -502,19 +520,23 @@ object TextOps {
     // the final sort) — linear at 100 TB like t02/t07.
     QueryDef.sql("t12_gopher_rules",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val ws = col("ws")
         Tables.documents(s, d)
           .withColumn("ws", words(col("text")))
           .withColumn("n", size(ws))
+          // r11: sum of word lengths == non-space chars of the trimmed
+          // text (words are split on spaces) — one codegen'd string op
+          // instead of the interpreted transform+aggregate HOF pair
           .withColumn("sum_len",
-            aggregate(transform(ws, w => length(w)), lit(0), (a, b) => a + b))
+            length(translate(trim(col("text")), " ", "")))
           .withColumn("stop_hits",
             size(filter(ws, w => w.isin("the", "a", "of", "and", "to"))))
           .withColumn("n_sym",
             size(filter(ws, w => w.rlike("[^a-z0-9]"))))
-          .withColumn("g2", when(size(ws) < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(ws) - 1),
-              i => concat_ws(" ", slice(ws, i, lit(2))))))
+          // r11: bigram dup test over native 60-bit hashes (the t07 move)
+          .withColumn("g2", graft.functions.GraftFunctions
+            .gramHashes60(ws, 2))
           .withColumn("n_dup_bg", size(col("g2")) - size(array_distinct(col("g2"))))
           .withColumn("fail_mask",
             when(col("n") < 50 || col("n") > 100000, lit(1)).otherwise(lit(0)) +
@@ -537,9 +559,9 @@ object TextOps {
          |      AS sum_len,
          |    len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits,
          |    len(list_filter(ws, x -> regexp_matches(x, '[^a-z0-9]'))) AS n_sym,
-         |    CASE WHEN len(ws) < 2 THEN []
+         |    CASE WHEN len(ws) < 2 THEN CAST([] AS BIGINT[])
          |         ELSE list_transform(range(1, len(ws)),
-         |                i -> array_to_string(ws[i:i+1], ' ')) END AS g2
+         |                bi -> ${oMd5Val("array_to_string(ws[bi:bi+1], ' ')", 15)}) END AS g2
          |  FROM w),
          |f AS (
          |  SELECT doc_id, n, sum_len, stop_hits, n_sym,
@@ -766,34 +788,41 @@ object TextOps {
     // the row via array_distinct, so there is NO shuffle at any scale
     // (PlanSpec-pinned); ratios are integer-over-integer divisions of
     // identical values in both engines, bit-exact.
+    // r11: types count over native 60-bit word/bigram hashes — no string
+    // arrays survive the projection (7.7 s → codegen at sf1); the
+    // oracle hashes its strings with the same md5 rule, so distinctness
+    // is the identical contract in both engines.
     QueryDef.sql("t17_lexical_diversity",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d)
-          .withColumn("ws", words(col("text")))
-          .withColumn("bg", when(size(col("ws")) < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
-              i => concat_ws(" ", slice(col("ws"), i, lit(2))))))
+          .withColumn("wsh", graft.functions.GraftFunctions
+            .gramHashes60(words(col("text")), 1))
+          .withColumn("bg", graft.functions.GraftFunctions
+            .gramHashes60(words(col("text")), 2))
         docs.select(col("doc_id"),
-            size(col("ws")).as("n_tokens"),
-            size(array_distinct(col("ws"))).as("n_types"),
-            (size(array_distinct(col("ws"))).cast("double") /
-              size(col("ws"))).as("ttr"),
+            size(col("wsh")).as("n_tokens"),
+            size(array_distinct(col("wsh"))).as("n_types"),
+            (size(array_distinct(col("wsh"))).cast("double") /
+              size(col("wsh"))).as("ttr"),
             size(array_distinct(col("bg"))).as("n_bigram_types"),
             when(size(col("bg")) === 0, lit(0.0))
               .otherwise(size(array_distinct(col("bg"))).cast("double") /
                 size(col("bg"))).as("bigram_ttr"))
           .orderBy(col("doc_id"))
       },
-      s"""WITH g AS (
-         |  SELECT doc_id, ${oWords("text")} AS ws,
-         |    CASE WHEN len(${oWords("text")}) < 2 THEN []
-         |         ELSE list_transform(range(1, len(${oWords("text")})),
-         |                i -> array_to_string((${oWords("text")})[i:i+1], ' ')) END AS bg
-         |  FROM documents)
+      s"""WITH w0 AS (SELECT doc_id, ${oWords("text")} AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(ws, w -> ${oMd5Val("w", 15)}) AS wsh,
+         |    CASE WHEN len(ws) < 2 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, len(ws)),
+         |                bi -> ${oMd5Val("array_to_string(ws[bi:bi+1], ' ')", 15)}) END AS bg
+         |  FROM w0)
          |SELECT doc_id,
-         |  len(ws) AS n_tokens,
-         |  len(list_distinct(ws)) AS n_types,
-         |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+         |  len(wsh) AS n_tokens,
+         |  len(list_distinct(wsh)) AS n_types,
+         |  CAST(len(list_distinct(wsh)) AS DOUBLE) / len(wsh) AS ttr,
          |  len(list_distinct(bg)) AS n_bigram_types,
          |  CASE WHEN len(bg) = 0 THEN 0.0
          |       ELSE CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END AS bigram_ttr
@@ -1423,6 +1452,114 @@ object TextOps {
          |    AS distinct_ppm,
          |  CAST(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
          |    // SUM(cnt) AS BIGINT) AS singleton_ppm
-         |FROM pg GROUP BY 1 ORDER BY source""".stripMargin)
+         |FROM pg GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // -- what stripping the dominant footer would buy ---------------------
+    // t28 FINDS the dominant footer per source; this answers the next
+    // question a pipeline owner asks before shipping the strip rule:
+    // how many tokens it removes (strip_token_ppm) and whether a SECOND
+    // boilerplate layer hides underneath — post_top_ppm is the dominant
+    // share of the tail distribution AFTER the strip, where an affected
+    // doc's new tail is the 8-gram that ended 8 words earlier (both
+    // hashes computed in the SAME map-side projection — text is read
+    // once and never again). 100 TB shape: ONE corpus scan into a
+    // persisted per-doc frame of (source, n_words, 2 longs); the
+    // dominant-footer winner is t28's padded-key arg_max over the
+    // bounded per-source footer table and joins back by BROADCAST
+    // (|sources| rows — absolutely bounded); tails re-group on (source,
+    // hash) counts, so no exchange ever carries text. Docs left with
+    // <8 words after the strip leave the post distribution (post_docs
+    // counts survivors).
+    QueryDef.sql("t30_footer_strip_effect",
+      (s, d) => {
+        val ws = words(trim(col("text")))
+        val tails = OpUtils.transientPersist(s, s"t30:$d",
+          Tables.documents(s, d)
+            .select(col("source"), ws.as("ws"))
+            .filter(size(col("ws")) >= 8)
+            .select(col("source"), size(col("ws")).cast("long").as("nw"),
+              md5Val(concat_ws(" ", slice(col("ws"), size(col("ws")) - 7, lit(8))), 15)
+                .as("th"),
+              when(size(col("ws")) >= 16,
+                md5Val(concat_ws(" ", slice(col("ws"), size(col("ws")) - 15, lit(8))), 15))
+                .as("ph")))
+        // dominant footer per source: t28's padded arg_max key verbatim
+        val winner = tails.groupBy(col("source"), col("th"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("key", concat(lpad(col("cnt").cast("string"), 12, "0"),
+            lpad((lit(2000000000000000000L) - col("th")).cast("string"), 19, "0")))
+          .groupBy(col("source"))
+          .agg(max_by(col("th"), col("key")).as("fh"),
+            max_by(col("cnt"), col("key")).as("top_count"))
+        val post = tails.join(broadcast(winner), Seq("source"))
+          .withColumn("nt", when(col("th") =!= col("fh"), col("th"))
+            .otherwise(col("ph"))) // affected doc: pre-tail (null if nw<16)
+        val postTop = post.filter(col("nt").isNotNull)
+          .groupBy(col("source"), col("nt"))
+          .agg(count(lit(1)).as("pcnt"))
+          .withColumn("pkey", concat(lpad(col("pcnt").cast("string"), 12, "0"),
+            lpad((lit(2000000000000000000L) - col("nt")).cast("string"), 19, "0")))
+          .groupBy(col("source"))
+          .agg(sum(col("pcnt")).as("post_docs"),
+            max_by(col("pcnt"), col("pkey")).as("post_top_count"))
+        val base = tails.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+        base.join(winner.select(col("source"), col("top_count")), Seq("source"))
+          .join(postTop, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("top_count"),
+            expr("CAST(CAST(top_count AS DECIMAL(38,0)) * 8000000 DIV n_tokens AS BIGINT)")
+              .as("strip_token_ppm"),
+            col("post_docs"), col("post_top_count"),
+            expr("CAST(CAST(post_top_count AS DECIMAL(38,0)) * 1000000 DIV post_docs AS BIGINT)")
+              .as("post_top_ppm"))
+          .orderBy(col("source"))
+      },
+      s"""WITH fw AS (
+         |  SELECT source, ${oWords("trim(text)")} AS ws FROM documents),
+         |tl AS (
+         |  SELECT source, CAST(len(ws) AS BIGINT) AS nw,
+         |    ${oMd5Val("array_to_string(ws[-8:], ' ')", 15)} AS th,
+         |    CASE WHEN len(ws) >= 16
+         |      THEN ${oMd5Val("array_to_string(ws[-16:-9], ' ')", 15)} END AS ph
+         |  FROM fw WHERE len(ws) >= 8),
+         |pf AS (SELECT source, th, COUNT(*) AS cnt FROM tl GROUP BY 1, 2),
+         |pk AS (
+         |  SELECT source, th, cnt,
+         |    lpad(CAST(cnt AS VARCHAR), 12, '0') ||
+         |      lpad(CAST(2000000000000000000 - th AS VARCHAR), 19, '0') AS key
+         |  FROM pf),
+         |win AS (
+         |  SELECT source, arg_max(th, key) AS fh, arg_max(cnt, key) AS top_count
+         |  FROM pk GROUP BY 1),
+         |post AS (
+         |  SELECT tl.source,
+         |    CASE WHEN tl.th <> win.fh THEN tl.th ELSE tl.ph END AS nt
+         |  FROM tl JOIN win ON tl.source = win.source),
+         |pt AS (
+         |  SELECT source, nt, COUNT(*) AS pcnt FROM post
+         |  WHERE nt IS NOT NULL GROUP BY 1, 2),
+         |ptk AS (
+         |  SELECT source, pcnt,
+         |    lpad(CAST(pcnt AS VARCHAR), 12, '0') ||
+         |      lpad(CAST(2000000000000000000 - nt AS VARCHAR), 19, '0') AS pkey
+         |  FROM pt),
+         |ptop AS (
+         |  SELECT source, CAST(SUM(pcnt) AS BIGINT) AS post_docs,
+         |    CAST(arg_max(pcnt, pkey) AS BIGINT) AS post_top_count
+         |  FROM ptk GROUP BY 1),
+         |base AS (
+         |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_tokens
+         |  FROM tl GROUP BY 1)
+         |SELECT base.source, base.n_docs, base.n_tokens,
+         |  CAST(win.top_count AS BIGINT) AS top_count,
+         |  CAST(CAST(win.top_count AS HUGEINT) * 8000000 // base.n_tokens AS BIGINT)
+         |    AS strip_token_ppm,
+         |  ptop.post_docs, ptop.post_top_count,
+         |  CAST(CAST(ptop.post_top_count AS HUGEINT) * 1000000 // ptop.post_docs
+         |    AS BIGINT) AS post_top_ppm
+         |FROM base
+         |JOIN win ON base.source = win.source
+         |JOIN ptop ON base.source = ptop.source
+         |ORDER BY base.source""".stripMargin)
   )
 }

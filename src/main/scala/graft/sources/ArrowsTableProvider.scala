@@ -39,11 +39,14 @@ class ArrowsTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "arrows"
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val paths = ArrowsTableProvider.resolvePaths(options)
-    require(paths.nonEmpty, "arrows source needs at least one path or url")
-    ArrowsTableProvider.readSchema(paths.head)
-  }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Option(options.get("dissoc")) match {
+      case Some(infoUrl) => ArrowsTableProvider.dissocSchema(infoUrl)
+      case None =>
+        val paths = ArrowsTableProvider.resolvePaths(options)
+        require(paths.nonEmpty, "arrows source needs at least one path or url")
+        ArrowsTableProvider.readSchema(paths.head)
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
@@ -159,6 +162,82 @@ object ArrowsTableProvider {
     new BufferedInputStream(conn.getInputStream, 1 << 16)
   }
 
+  // ---- dissociated dual-channel read (SURVEY §3.3; the reference
+  // client's out-of-order completion / in-order delivery,
+  // dissociated-ipc/cudf-flight-client.cc:51-325, as a spark.read path)
+
+  /** Resolve a `/dissoc/info/` discovery document to its (metadata,
+    * body) channel URIs — the HTTP analogue of the reference's
+    * dual-location FlightInfo. */
+  def resolveDissoc(infoUrl: String): (String, String) = {
+    val json = new String(
+      URI.create(infoUrl).toURL.openStream().readAllBytes(), "UTF-8")
+    val pairs = "\"uri\":\\s*\"([^\"]+)\",\\s*\"channel\":\\s*\"(\\w+)\"".r
+      .findAllMatchIn(json).map(m => m.group(2) -> m.group(1)).toMap
+    (pairs.getOrElse("metadata",
+        throw new IllegalArgumentException(s"no metadata channel in $infoUrl")),
+      pairs.getOrElse("body",
+        throw new IllegalArgumentException(s"no body channel in $infoUrl")))
+  }
+
+  private def openRaw(url: String): InputStream = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    val code = conn.getResponseCode
+    require(code == 200, s"GET $url -> HTTP $code")
+    new BufferedInputStream(conn.getInputStream, 1 << 16)
+  }
+
+  /** EOF that re-throws the background fetch failure instead of letting a
+    * closed pipe read as a clean (but truncated) stream. */
+  private final class ErrSurfacingStream(in: InputStream,
+      err: java.util.concurrent.atomic.AtomicReference[Throwable])
+      extends java.io.FilterInputStream(in) {
+    private def chk(n: Int): Int = {
+      if (n < 0 && err.get != null)
+        throw new java.io.IOException("dissociated fetch failed", err.get)
+      n
+    }
+    override def read(): Int = chk(super.read())
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      chk(super.read(b, off, len))
+  }
+
+  /** The reassembled Arrow IPC stream behind a dissoc info URL: both
+    * channels are fetched CONCURRENTLY on a daemon thread, bodies may
+    * complete out of order, and [[graft.dissociated.Dissociated.reassemble]]'s
+    * bounded window (16 pending slots — constant memory at any stream
+    * length) delivers batches in sequence order through a pipe. */
+  def openDissoc(infoUrl: String): InputStream = {
+    val (metaUrl, bodyUrl) = resolveDissoc(infoUrl)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val pipeIn = new java.io.PipedInputStream(1 << 20)
+    val pipeOut = new java.io.PipedOutputStream(pipeIn)
+    val t = new Thread(() => {
+      try {
+        val meta = openRaw(metaUrl)
+        val body = openRaw(bodyUrl)
+        try graft.dissociated.Dissociated.reassemble(meta, body, pipeOut)
+        finally { meta.close(); body.close() }
+      } catch { case e: Throwable => err.set(e) }
+      finally scala.util.Try(pipeOut.close())
+    }, "dissoc-dsv2-fetch")
+    t.setDaemon(true)
+    t.start()
+    new ErrSurfacingStream(pipeIn, err)
+  }
+
+  /** Schema of a dissociated dataset: read the reassembled stream's
+    * schema message only (the channel fetch stops at the prefix). */
+  def dissocSchema(infoUrl: String): StructType = {
+    val alloc = ArrowBridge.newAllocator("dissoc-schema-probe")
+    try {
+      val r = new ArrowStreamReader(openDissoc(infoUrl), alloc,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+      try ArrowSchemas.fromArrowSchema(r.getVectorSchemaRoot.getSchema)
+      finally r.close()
+    } finally alloc.close()
+  }
+
   /** Local file in the Arrow IPC *file* format? (ARROW1 magic) */
   def isFileFormat(path: String): Boolean =
     !isUrl(path) && {
@@ -216,7 +295,13 @@ final class ArrowsScanBuilder(full: StructType, options: CaseInsensitiveStringMa
     val byName = full.fields.map(f => f.name -> f).toMap
     required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
   }
-  override def build(): Scan = {
+  override def build(): Scan = Option(options.get("dissoc")) match {
+    case Some(infoUrl) =>
+      new ArrowsScan(full, required, Nil, 1, Nil, dissoc = Some(infoUrl))
+    case None => buildPaths()
+  }
+
+  private def buildPaths(): Scan = {
     val paths = ArrowsTableProvider.resolvePaths(options)
     // Spark's V2 Table.columns() bridge strips StructField metadata, so
     // the original-type tags (dictionary/uint/...) that steer reader
@@ -237,7 +322,8 @@ final class ArrowsScanBuilder(full: StructType, options: CaseInsensitiveStringMa
 }
 
 final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String],
-    rangePartitions: Int, rawDirs: Seq[String], split: Boolean = true)
+    rangePartitions: Int, rawDirs: Seq[String], split: Boolean = true,
+    dissoc: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -257,7 +343,12 @@ final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String
     * additionally splits into byte-range partitions — the get_range
     * split-fetch made a parallel scan (SURVEY §2.4; §4). */
   override def planInputPartitions(): Array[InputPartition] =
-    paths.flatMap { p =>
+    // dissociated dual-channel dataset: inherently ONE paired stream per
+    // info URL (the protocol's unit of parallelism is the dataset; the
+    // out-of-order concurrency lives INSIDE the channel fetch)
+    if (dissoc.isDefined)
+      Array(ArrowsInputPartition(dissoc.get, -1, -1, -1, dissoc = true))
+    else paths.flatMap { p =>
       val expanded =
         if (split && ArrowsTableProvider.isUrl(p) && p.contains("/q/")) {
           val parts = ArrowsTableProvider.probeSplits(p)
@@ -277,7 +368,8 @@ final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String
 }
 
 final case class ArrowsInputPartition(path: String,
-    schemaEnd: Long, start: Long, end: Long) extends InputPartition {
+    schemaEnd: Long, start: Long, end: Long,
+    dissoc: Boolean = false) extends InputPartition {
   def isRanged: Boolean = start >= 0
 }
 
@@ -313,7 +405,10 @@ final class ArrowsReaderFactory(required: StructType)
 abstract class ArrowsReaderBase(part: ArrowsInputPartition) {
   protected val alloc = ArrowBridge.newAllocator("dsv2-read")
   protected val reader =
-    if (part.isRanged) {
+    if (part.dissoc)
+      new ArrowStreamReader(ArrowsTableProvider.openDissoc(part.path), alloc,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+    else if (part.isRanged) {
       val pieces = java.util.Arrays.asList(
         ArrowsTableProvider.openRange(part.path, 0, part.schemaEnd),
         ArrowsTableProvider.openRange(part.path, part.start, part.end),

@@ -149,4 +149,41 @@ class DissociatedSpec extends AnyFunSuite {
     res.close()
     assert(rows.size === 5000)
   }
+
+  test("dissoc DSv2 read: spark.read resolves /dissoc/info/ and reassembles both channels") {
+    // SURVEY §3.3's stated Spark mapping, closed (r10 verdict #3): a
+    // registered dataset is consumed end-to-end through spark.read —
+    // discovery JSON → concurrent meta/body fetch (bodies out of order
+    // within the server's 8-wide windows) → bounded in-order reassembly
+    // feeding the normal arrows reader
+    val server = new ArrowHttpServer(spark)
+    server.register("dsv2trading", Generators.ticker(spark, 9000, 3))
+    server.start()
+    try {
+      val infoUrl = s"${server.baseUrl}/dissoc/info/dsv2trading"
+      val df = spark.read.format("arrows").option("dissoc", infoUrl).load()
+      // inferred schema matches the generator's
+      assert(df.schema.fieldNames.toSeq === Generators.ticker(spark, 1, 1).schema.fieldNames.toSeq)
+      val rows = df.collect()
+      assert(rows.length === 9000)
+      assert(rows.forall(_.getLong(df.schema.fieldIndex("price")) % 100 == 0))
+      // column pruning + aggregation through the normal plan surface
+      import org.apache.spark.sql.functions._
+      val n = spark.read.format("arrows").option("dissoc", infoUrl).load()
+        .agg(countDistinct(col("ticker"))).head().getLong(0)
+      assert(n === 60)
+    } finally server.stop()
+  }
+
+  test("dissoc DSv2 read: unknown dataset fails with the fetch error, not a silent empty frame") {
+    val server = new ArrowHttpServer(spark)
+    server.start()
+    try {
+      val ex = intercept[Exception] {
+        spark.read.format("arrows")
+          .option("dissoc", s"${server.baseUrl}/dissoc/info/nosuch").load().collect()
+      }
+      assert(ex.getMessage != null)
+    } finally server.stop()
+  }
 }

@@ -1385,6 +1385,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  // ---- r11 sweep: new operators land WITH their guards ----
+
+  test("t30: one documents scan behind the persist barrier; winner joins broadcast; no text on exchanges") {
+    val p = plan("t30_footer_strip_effect")
+    // text is read ONCE: no parquet scan above the first cache boundary
+    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!shuffled.exists(_.contains("text#")) && !shuffled.exists(_.contains("ws#")), p)
+  }
+
+  test("m20/m21: referential audits join keys-only against the broadcast-bounded asset side") {
+    for (name <- Seq("m20_caption_asset_audit", "m21_orphan_assets")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), s"$name:\n$p")
+      // caption text never loads: the corpus scan reads only keys
+      val capScan = p.split("\n").filter(l =>
+        l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      assert(capScan.nonEmpty && capScan.forall(l =>
+        !l.split("ReadSchema")(1).split("\n")(0).contains("text:")), s"$name:\n$p")
+    }
+  }
+
+  test("p21: coverage sheet is one key-scan — no join, one source shuffle, no text read") {
+    val p = plan("p21_crossmodal_coverage")
+    assert(!p.contains("Join"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 1 && shuffled.head.contains("source#"), p)
+    val scan = p.split("\n").find(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet")).get
+    assert(!scan.split("ReadSchema")(1).split("\n")(0).contains("text:"), p)
+  }
+
+  test("s31: every ranking is a bounded top-10 window over the one persisted scored frame") {
+    val p = plan("s31_quantization_sheet")
+    // WindowGroupLimit keeps 10 rows per query per map partition
+    // before each ranking exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    // all five rankings (truth + 4 arms) read the persisted pair frame,
+    // not a recomputed pair join: no parquet scan above the first cache
+    // boundary
+    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("meta: every 'PlanSpec' claim in an operator comment has a matching guard") {
     // r8 verdict "What's wrong #3": comments asserted guards that did
     // not exist. This pins the invariant — a query whose Scaladoc says
