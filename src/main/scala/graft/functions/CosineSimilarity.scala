@@ -134,6 +134,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cov_triangle_agg",
       exprs => CovTriangleAgg(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_dist_table", exprs => PqDistTable(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API over the registered function. */

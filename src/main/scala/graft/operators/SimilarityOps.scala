@@ -632,35 +632,21 @@ object SimilarityOps {
     // values — and therefore ranks — are bit-exact cross-engine.
     QueryDef.sql("s09_pq_search",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = vecs(s, d)
         val cb = centroids(s, d, e)
           .select(col("label").cast("long").as("code"), col("cv"))
           .agg(collect_list(struct(col("code"), col("cv"))).as("cb"))
-        def chunkDist(v: Column, cv: Column, c: Int): Column =
-          (1 to 8).foldLeft(lit(0.0)) { (acc, j) =>
-            val dv = element_at(v, c * 8 + j) - element_at(cv, c * 8 + j)
-            acc + dv * dv
-          }
+        // native pq_encode/pq_dist_table (r11): one JVM loop per vector
+        // instead of the 8-chunk interpreted aggregate-HOF fold —
+        // PqCodecSpec pins both bit-equal to the declarative form
         val enc = e.crossJoin(broadcast(cb))
-          .select(col("vec_id"), array((0 until 8).map { c =>
-            aggregate(col("cb"),
-              struct(lit(1e30).as("s"), lit(99L).as("k")),
-              (acc, x) => {
-                val dist = chunkDist(col("v"), x.getField("cv"), c)
-                when(dist < acc.getField("s") ||
-                    (dist === acc.getField("s") &&
-                      x.getField("code") < acc.getField("k")),
-                  struct(dist.as("s"), x.getField("code").as("k")))
-                  .otherwise(acc)
-              }).getField("k")
-          }: _*).as("codes"))
+          .select(col("vec_id"),
+            call_function("pq_encode", col("v"), col("cb")).as("codes"))
         val q = e.filter(col("vec_id") < 10)
           .crossJoin(broadcast(cb))
           .select(col("vec_id").as("q_id"),
-            array((0 until 8).map { c =>
-              transform(array_sort(col("cb")),
-                x => chunkDist(col("v"), x.getField("cv"), c))
-            }: _*).as("qtab"))
+            call_function("pq_dist_table", col("v"), col("cb")).as("qtab"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
         enc.crossJoin(broadcast(q))
           .select(col("q_id"), col("vec_id").as("n_id"),
@@ -773,30 +759,17 @@ object SimilarityOps {
     // every ADC sum are fixed-order folds — bit-exact cross-engine.
     QueryDef.sql("s11_ivfpq_search",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = vecs(s, d)
         val cents = centroids(s, d, e)
         val cb = cents
           .select(col("label").cast("long").as("code"), col("cv"))
           .agg(collect_list(struct(col("code"), col("cv"))).as("cb"))
-        def chunkDist(v: Column, cv: Column, c: Int): Column =
-          (1 to 8).foldLeft(lit(0.0)) { (acc, j) =>
-            val dv = element_at(v, c * 8 + j) - element_at(cv, c * 8 + j)
-            acc + dv * dv
-          }
         // the inverted lists: cell = label, payload = the 8 PQ codes
+        // (native pq_encode — one JVM loop, PqCodecSpec-pinned)
         val enc = e.crossJoin(broadcast(cb))
-          .select(col("vec_id"), col("label"), array((0 until 8).map { c =>
-            aggregate(col("cb"),
-              struct(lit(1e30).as("s"), lit(99L).as("k")),
-              (acc, x) => {
-                val dist = chunkDist(col("v"), x.getField("cv"), c)
-                when(dist < acc.getField("s") ||
-                    (dist === acc.getField("s") &&
-                      x.getField("code") < acc.getField("k")),
-                  struct(dist.as("s"), x.getField("code").as("k")))
-                  .otherwise(acc)
-              }).getField("k")
-          }: _*).as("codes"))
+          .select(col("vec_id"), col("label"),
+            call_function("pq_encode", col("v"), col("cb")).as("codes"))
         // coarse probe: nearest-cosine centroid picks the one cell
         val wc = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("label"))
         val q = e.filter(col("vec_id") < 15)
@@ -808,10 +781,7 @@ object SimilarityOps {
           .select(col("q_id"), col("qv"), col("label"))
         val qtab = q.crossJoin(broadcast(cb))
           .select(col("q_id"), col("label"),
-            array((0 until 8).map { c =>
-              transform(array_sort(col("cb")),
-                x => chunkDist(col("qv"), x.getField("cv"), c))
-            }: _*).as("qtab"))
+            call_function("pq_dist_table", col("qv"), col("cb")).as("qtab"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
         enc.as("c").join(broadcast(qtab).as("b"),
             col("c.label") === col("b.label") && col("c.vec_id") =!= col("b.q_id"))
@@ -2055,11 +2025,6 @@ object SimilarityOps {
         val cb = centroids(s, d, e)
           .select(col("label").cast("long").as("code"), col("cv"))
           .agg(collect_list(struct(col("code"), col("cv"))).as("cb"))
-        def chunkDist(v: Column, cv: Column, c: Int): Column =
-          (1 to 8).foldLeft(lit(0.0)) { (acc, j) =>
-            val dv = element_at(v, c * 8 + j) - element_at(cv, c * 8 + j)
-            acc + dv * dv
-          }
         val maskE = "aggregate(sequence(1, 60), CAST(0 AS BIGINT), " +
           "(acc, i) -> acc + IF(element_at(v, i) > 0.0D, " +
           "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
@@ -2071,25 +2036,11 @@ object SimilarityOps {
           .withColumn("mask", expr(maskE))
           .crossJoin(broadcast(cb))
         val q = forms.filter(col("vec_id") < 20)
-          .withColumn("qtab", array((0 until 8).map { c =>
-            transform(array_sort(col("cb")),
-              x => chunkDist(col("v"), x.getField("cv"), c))
-          }: _*))
+          .withColumn("qtab", call_function("pq_dist_table", col("v"), col("cb")))
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("q8").as("qq"), col("mask").as("qm"), col("qtab"))
         val n = forms.filter(col("vec_id") >= 20)
-          .withColumn("codes", array((0 until 8).map { c =>
-            aggregate(col("cb"),
-              struct(lit(1e30).as("s"), lit(99L).as("k")),
-              (acc, x) => {
-                val dist = chunkDist(col("v"), x.getField("cv"), c)
-                when(dist < acc.getField("s") ||
-                    (dist === acc.getField("s") &&
-                      x.getField("code") < acc.getField("k")),
-                  struct(dist.as("s"), x.getField("code").as("k")))
-                  .otherwise(acc)
-              }).getField("k")
-          }: _*))
+          .withColumn("codes", call_function("pq_encode", col("v"), col("cb")))
           .select(col("vec_id").as("n_id"), col("v").as("nv"),
             col("q8"), col("mask"), col("codes"))
         val pairs = OpUtils.transientPersist(s, s"s31:$d",
