@@ -137,6 +137,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_value_counts", exprs => LongValueCounts(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_profile", exprs => WordProfile(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_dist_table", exprs => PqDistTable(exprs(0), exprs(1)), "built-in")
   }
 
@@ -171,4 +175,8 @@ object GraftFunctions {
 
   def bloomMightContain(bf: Column, k: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", bf, k)
+
+  /** [n, sum_len, stop_hits, n_sym, n_complex] — see [[WordProfile]]. */
+  def wordProfile(ws: Column): Column =
+    org.apache.spark.sql.functions.call_function("word_profile", ws)
 }

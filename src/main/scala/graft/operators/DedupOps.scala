@@ -1394,12 +1394,11 @@ object DedupOps {
       (s, d) => {
         val labels = clusterLabels(s, d)
         val q = Tables.documents(s, d)
-          .withColumn("ws", words(col("text")))
-          .withColumn("n", size(col("ws")))
-          .withColumn("stop_hits",
-            size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
-          .withColumn("sum_len",
-            aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+          // native word_profile (r11): one pass for n/sum_len/stop_hits
+          .withColumn("wp", graft.functions.GraftFunctions.wordProfile(words(col("text"))))
+          .withColumn("n", element_at(col("wp"), 1))
+          .withColumn("stop_hits", element_at(col("wp"), 3))
+          .withColumn("sum_len", element_at(col("wp"), 2))
           .withColumn("qm", floor((
             least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
               (col("stop_hits").cast("double") / col("n")) * 0.3 +

@@ -1181,15 +1181,14 @@ object MultimodalOps {
         val ws = col("ws")
         Tables.documents(s, d).filter(col("doc_id") < 1000)
           .withColumn("ws", graft.operators.OpUtils.words(col("text")))
-          .withColumn("n", size(ws))
-          .withColumn("sum_len",
-            aggregate(transform(ws, w => length(w)), lit(0), (a, b) => a + b))
-          .withColumn("stop_hits",
-            size(filter(ws, w => w.isin("the", "a", "of", "and", "to"))))
-          .withColumn("n_sym", size(filter(ws, w => w.rlike("[^a-z0-9]"))))
-          .withColumn("g2", when(size(ws) < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(ws) - 1),
-              i => concat_ws(" ", slice(ws, i, lit(2))))))
+          // native word_profile + hashed bigrams (r11): one generated
+          // pass each — the interpreted HOF quartet is gone
+          .withColumn("wp", graft.functions.GraftFunctions.wordProfile(ws))
+          .withColumn("n", element_at(col("wp"), 1))
+          .withColumn("sum_len", element_at(col("wp"), 2))
+          .withColumn("stop_hits", element_at(col("wp"), 3))
+          .withColumn("n_sym", element_at(col("wp"), 4))
+          .withColumn("g2", graft.functions.GraftFunctions.gramHashes60(ws, 2))
           .withColumn("text_fail",
             col("n") < 50 || col("n") > 100000 ||
               col("sum_len") < col("n") * 3 || col("sum_len") > col("n") * 10 ||
@@ -1220,9 +1219,9 @@ object MultimodalOps {
          |    len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to')))
          |      AS stop_hits,
          |    len(list_filter(ws, w -> regexp_matches(w, '[^a-z0-9]'))) AS n_sym,
-         |    CASE WHEN len(ws) < 2 THEN []
+         |    CASE WHEN len(ws) < 2 THEN CAST([] AS BIGINT[])
          |         ELSE list_transform(range(1, len(ws)),
-         |                i -> array_to_string(ws[i:i+1], ' ')) END AS g2
+         |                bi -> ${graft.operators.OpUtils.oMd5Val("array_to_string(ws[bi:bi+1], ' ')", 15)}) END AS g2
          |  FROM t),
          |tf AS (
          |  SELECT doc_id,

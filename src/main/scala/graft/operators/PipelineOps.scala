@@ -29,12 +29,11 @@ object PipelineOps {
     QueryDef.sql("p01_curated_corpus",
       (s, d) => {
         val q = Tables.documents(s, d)
-          .withColumn("ws", words(col("text")))
-          .withColumn("n_words", size(col("ws")))
-          .withColumn("stop_hits",
-            size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
-          .withColumn("sum_len",
-            aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+          // native word_profile (r11): one pass for n/sum_len/stop_hits
+          .withColumn("wp", graft.functions.GraftFunctions.wordProfile(words(col("text"))))
+          .withColumn("n_words", element_at(col("wp"), 1))
+          .withColumn("stop_hits", element_at(col("wp"), 3))
+          .withColumn("sum_len", element_at(col("wp"), 2))
           .withColumn("quality",
             least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
               (col("stop_hits").cast("double") / col("n_words")) * 0.3 +
@@ -274,15 +273,14 @@ object PipelineOps {
         val ws = col("ws")
         val base = Tables.documents(s, d)
           .withColumn("ws", words(col("text")))
-          .withColumn("n", size(ws))
-          .withColumn("sum_len",
-            aggregate(transform(ws, w => length(w)), lit(0), (a, b) => a + b))
-          .withColumn("stop_hits",
-            size(filter(ws, w => w.isin("the", "a", "of", "and", "to"))))
-          .withColumn("n_sym", size(filter(ws, w => w.rlike("[^a-z0-9]"))))
-          .withColumn("g2", when(size(ws) < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size(ws) - 1),
-              i => concat_ws(" ", slice(ws, i, lit(2))))))
+          // native word_profile + hashed bigrams (r11): one generated
+          // pass each — the interpreted HOF quartet is gone
+          .withColumn("wp", graft.functions.GraftFunctions.wordProfile(ws))
+          .withColumn("n", element_at(col("wp"), 1))
+          .withColumn("sum_len", element_at(col("wp"), 2))
+          .withColumn("stop_hits", element_at(col("wp"), 3))
+          .withColumn("n_sym", element_at(col("wp"), 4))
+          .withColumn("g2", graft.functions.GraftFunctions.gramHashes60(ws, 2))
           .withColumn("gopher_fail",
             col("n") < 50 || col("n") > 100000 ||
               col("sum_len") < col("n") * 3 || col("sum_len") > col("n") * 10 ||
@@ -336,9 +334,9 @@ object PipelineOps {
          |      AS sum_len,
          |    len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS stop_hits,
          |    len(list_filter(ws, x -> regexp_matches(x, '[^a-z0-9]'))) AS n_sym,
-         |    CASE WHEN len(ws) < 2 THEN []
+         |    CASE WHEN len(ws) < 2 THEN CAST([] AS BIGINT[])
          |         ELSE list_transform(range(1, len(ws)),
-         |                i -> array_to_string(ws[i:i+1], ' ')) END AS g2
+         |                bi -> ${oMd5Val("array_to_string(ws[bi:bi+1], ' ')", 15)}) END AS g2
          |  FROM w),
          |gf AS (
          |  SELECT doc_id, source,
@@ -598,10 +596,10 @@ object PipelineOps {
         val w = Window.partitionBy(col("phase"), col("shard"))
           .orderBy(col("h"), col("doc_id"))
         Tables.documents(s, d)
-          .withColumn("ws", words(col("text")))
-          .withColumn("n", size(col("ws")))
-          .withColumn("stop_hits",
-            size(filter(col("ws"), x => x.isin("the", "a", "of", "and", "to"))))
+          // native word_profile (r11): one pass for n/stop_hits
+          .withColumn("wp", graft.functions.GraftFunctions.wordProfile(words(col("text"))))
+          .withColumn("n", element_at(col("wp"), 1))
+          .withColumn("stop_hits", element_at(col("wp"), 3))
           .withColumn("phase",
             when(col("n").between(20, 100000) && col("stop_hits") >= 4, 0)
               .when(col("stop_hits") >= 2, 1)
@@ -760,12 +758,11 @@ object PipelineOps {
       (s, d) => {
         val per = OpUtils.transientPersist(s, s"p14:$d",
           Tables.documents(s, d)
-            .withColumn("ws", words(col("text")))
-            .withColumn("n", size(col("ws")))
-            .withColumn("stop_hits",
-              size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
-            .withColumn("sum_len",
-              aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+            // native word_profile (r11): one pass for n/sum_len/stop_hits
+            .withColumn("wp", graft.functions.GraftFunctions.wordProfile(words(col("text"))))
+            .withColumn("n", element_at(col("wp"), 1))
+            .withColumn("stop_hits", element_at(col("wp"), 3))
+            .withColumn("sum_len", element_at(col("wp"), 2))
             .withColumn("quality",
               least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
                 (col("stop_hits").cast("double") / col("n")) * 0.3 +

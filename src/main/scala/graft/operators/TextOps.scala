@@ -94,22 +94,25 @@ object TextOps {
     // score = 0.5*min(tokens/100,1) + 0.3*stopword_ratio + 0.2*min(avg_len/8,1)
     // fixed double op order mirrored by the oracle.
     QueryDef.sql("t02_quality_score",
-      (s, d) => Tables.documents(s, d)
-        .withColumn("ws", words(col("text")))
-        .withColumn("n", size(col("ws")))
-        .withColumn("stop_hits",
-          size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
-        .withColumn("sum_len",
-          aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          // native word_profile (r11): one generated pass replaces the
+          // interpreted filter/transform/aggregate HOF trio
+          .withColumn("wp", graft.functions.GraftFunctions.wordProfile(words(col("text"))))
+          .withColumn("n", element_at(col("wp"), 1))
+          .withColumn("sum_len", element_at(col("wp"), 2))
+          .withColumn("stop_hits", element_at(col("wp"), 3))
         .select(col("doc_id"),
-          col("n").as("n_tokens"),
+          col("n").cast("int").as("n_tokens"),
           (col("stop_hits").cast("double") / col("n")).as("stop_ratio"),
           (col("sum_len").cast("double") / col("n")).as("avg_word_len"),
           (least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
             (col("stop_hits").cast("double") / col("n")) * 0.3 +
             least((col("sum_len").cast("double") / col("n")) / 8.0, lit(1.0)) * 0.2
             ).as("quality"))
-        .orderBy(col("doc_id")),
+        .orderBy(col("doc_id"))
+      },
       s"""WITH q AS (
          |  SELECT doc_id, ${oWords("text")} AS ws FROM documents),
          |m AS (
@@ -524,16 +527,13 @@ object TextOps {
         val ws = col("ws")
         Tables.documents(s, d)
           .withColumn("ws", words(col("text")))
-          .withColumn("n", size(ws))
-          // r11: sum of word lengths == non-space chars of the trimmed
-          // text (words are split on spaces) — one codegen'd string op
-          // instead of the interpreted transform+aggregate HOF pair
-          .withColumn("sum_len",
-            length(translate(trim(col("text")), " ", "")))
-          .withColumn("stop_hits",
-            size(filter(ws, w => w.isin("the", "a", "of", "and", "to"))))
-          .withColumn("n_sym",
-            size(filter(ws, w => w.rlike("[^a-z0-9]"))))
+          // native word_profile (r11): n/sum_len/stop_hits/n_sym in one
+          // generated pass — the three interpreted HOFs are gone
+          .withColumn("wp", graft.functions.GraftFunctions.wordProfile(ws))
+          .withColumn("n", element_at(col("wp"), 1).cast("int"))
+          .withColumn("sum_len", element_at(col("wp"), 2).cast("int"))
+          .withColumn("stop_hits", element_at(col("wp"), 3).cast("int"))
+          .withColumn("n_sym", element_at(col("wp"), 4).cast("int"))
           // r11: bigram dup test over native 60-bit hashes (the t07 move)
           .withColumn("g2", graft.functions.GraftFunctions
             .gramHashes60(ws, 2))
@@ -848,14 +848,15 @@ object TextOps {
         val docs = Tables.documents(s, d)
         graft.functions.GraftFunctions.register(s)
         val tf = docs
-          // native gram_hashes60 width 1 (see t09)
+          // native gram_hashes60 width 1 (see t09); tf per distinct word
+          // via the native one-pass hashmap (long_value_counts) — the
+          // old transform+filter form rescanned the token array once
+          // per distinct word, interpreted
           .withColumn("wsh", graft.functions.GraftFunctions
             .gramHashes60(words(col("text")), 1))
           .select(col("doc_id"),
-            explode(transform(array_distinct(col("wsh")),
-              w => struct(w.as("wh"),
-                size(filter(col("wsh"), x => x === w)).as("tf")))).as("e"))
-          .select(col("doc_id"), col("e.wh").as("wh"), col("e.tf").as("tf"))
+            explode(call_function("long_value_counts", col("wsh"))).as("e"))
+          .select(col("doc_id"), col("e.v").as("wh"), col("e.c").as("tf"))
         val dfw = docs.select(col("doc_id"),
             explode(array_distinct(graft.functions.GraftFunctions
               .gramHashes60(words(col("text")), 1))).as("wh"))
@@ -1046,12 +1047,14 @@ object TextOps {
     // projection, zero shuffles at any scale (PlanSpec-pinned).
     QueryDef.sql("t22_readability",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         Tables.documents(s, d)
-          .withColumn("ws", words(col("text")))
+          // native word_profile (r11): n/sum_len/n_complex in one pass
+          .withColumn("wp", graft.functions.GraftFunctions.wordProfile(words(col("text"))))
           .select(col("doc_id"),
-            size(col("ws")).as("n_words"),
-            length(concat_ws("", col("ws"))).as("n_word_chars"),
-            size(filter(col("ws"), x => length(x) >= 7)).as("n_complex"),
+            element_at(col("wp"), 1).cast("int").as("n_words"),
+            element_at(col("wp"), 2).cast("int").as("n_word_chars"),
+            element_at(col("wp"), 5).cast("int").as("n_complex"),
             greatest(lit(1),
               length(col("text")) -
                 length(regexp_replace(col("text"), "[.!?]", ""))).as("n_sentences"))
@@ -1183,12 +1186,11 @@ object TextOps {
         // PlanSpec guard caught exactly this)
         val g = OpUtils.transientPersist(s, s"t25:$d",
           Tables.documents(s, d)
-          .withColumn("ws", words(col("text")))
-          .withColumn("n", size(col("ws")))
-          .withColumn("stop_hits",
-            size(filter(col("ws"), w => w.isin("the", "a", "of", "and", "to"))))
-          .withColumn("sum_len",
-            aggregate(transform(col("ws"), w => length(w)), lit(0), (a, b) => a + b))
+          // native word_profile (r11): one pass for n/sum_len/stop_hits
+          .withColumn("wp", graft.functions.GraftFunctions.wordProfile(words(col("text"))))
+          .withColumn("n", element_at(col("wp"), 1))
+          .withColumn("stop_hits", element_at(col("wp"), 3))
+          .withColumn("sum_len", element_at(col("wp"), 2))
           .withColumn("quality",
             least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
               (col("stop_hits").cast("double") / col("n")) * 0.3 +
