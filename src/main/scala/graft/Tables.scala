@@ -13,8 +13,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every operator reaches its input through here, so this is the one
+    // choke point that guarantees graft's native functions resolve on
+    // ANY session (idempotent after the first call) — r11: a spec-built
+    // session skipped GraftSession.get's registration and word_profile
+    // failed to resolve in a query that hadn't registered explicitly
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -156,6 +156,7 @@ object EventStreams {
       horizon: String = "10 minutes"): Dataset[DocVerdict] = {
     import docs.sparkSession.implicits._
     import graft.operators.OpUtils.words
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val horizonMs = horizon match {
       case s if s.endsWith(" minutes") => s.stripSuffix(" minutes").trim.toLong * 60000L
       case s => s.trim.toLong
@@ -163,15 +164,15 @@ object EventStreams {
     val ws = col("ws")
     val scored = docs
       .withColumn("ws", words(col("text")))
-      .withColumn("n", size(ws))
-      .withColumn("sum_len",
-        aggregate(transform(ws, w => length(w)), lit(0), (a, b) => a + b))
-      .withColumn("stop_hits",
-        size(filter(ws, w => w.isin("the", "a", "of", "and", "to"))))
-      .withColumn("n_sym", size(filter(ws, w => w.rlike("[^a-z0-9]"))))
-      .withColumn("g2", when(size(ws) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(ws) - 1),
-          i => concat_ws(" ", slice(ws, i, lit(2))))))
+      // native word_profile + hashed bigrams (r11, same move as the
+      // p06 batch twin) — a per-micro-batch map stage should not pay
+      // interpreted HOFs either
+      .withColumn("wp", graft.functions.GraftFunctions.wordProfile(ws))
+      .withColumn("n", element_at(col("wp"), 1))
+      .withColumn("sum_len", element_at(col("wp"), 2))
+      .withColumn("stop_hits", element_at(col("wp"), 3))
+      .withColumn("n_sym", element_at(col("wp"), 4))
+      .withColumn("g2", graft.functions.GraftFunctions.gramHashes60(ws, 2))
       .withColumn("gopher_fail",
         col("n") < 50 || col("n") > 100000 ||
           col("sum_len") < col("n") * 3 || col("sum_len") > col("n") * 10 ||
@@ -567,6 +568,27 @@ object EventStreams {
         (col("rev_i").cast("double") / 10000).as("revenue"),
         col("min_qty"), col("max_qty"))
   }
+
+  /** Streaming caption→asset referential audit — the unbounded twin of
+    * m20: every ARRIVING caption probes the STATIC asset-verdict store
+    * (the m17/m20 registry: img_id, verdict) and is tagged dangling /
+    * corrupt / ok at the point of ingest, instead of in a nightly
+    * batch audit. Stream-static LEFT join: ZERO stream-side join
+    * state (per-micro-batch re-plan), no watermark needed; no
+    * broadcast hint, same reason as [[enrichedCounts]] — the registry
+    * grows with ingested assets, and the re-plan picks broadcast
+    * while the snapshot fits. Output is the per-caption verdict
+    * stream a quarantine sink consumes; the per-source rollup is the
+    * batch m20 run over any bounded slice of it. */
+  def captionAuditStream(caps: DataFrame, assetVerdicts: DataFrame): DataFrame =
+    caps
+      .withColumn("img_ref", col("doc_id") % 640)
+      .join(assetVerdicts.select(col("img_id"), col("verdict")),
+        col("img_ref") === col("img_id"), "left")
+      .select(col("doc_id"), col("us"), col("img_ref"),
+        when(col("verdict").isNull, "dangling")
+          .when(col("verdict") =!= "ok", "corrupt")
+          .otherwise("ok").as("caption_verdict"))
 
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet

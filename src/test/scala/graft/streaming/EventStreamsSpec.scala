@@ -630,4 +630,40 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got === want)
   }
+
+  test("streaming caption audit tags every arrival with m20's verdict schedule") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // static asset registry: m17/m20's schedule over ids < 500
+    val verdicts = (0L until 500L).map { id =>
+      val v = if (id % 31 == 0) "bad_magic"
+        else if (id % 23 == 0) "truncated" else "ok"
+      (id, v)
+    }.toDF("img_id", "verdict")
+    val input = MemoryStream[(Long, Long)]
+    val stream = EventStreams.captionAuditStream(
+      input.toDF().toDF("doc_id", "us"), verdicts)
+    val query = stream.writeStream.outputMode("append")
+      .format("memory").queryName("caption_out").start()
+    val caps = (0L until 1300L).map(i => (i, 1700000000000000L + i * 1000L))
+    caps.grouped(500).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    query.stop()
+
+    val got = spark.table("caption_out")
+      .select(col("doc_id"), col("caption_verdict"))
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 1300)
+    // batch m20 semantics replayed per caption
+    (0L until 1300L).foreach { id =>
+      val ref = id % 640
+      val want =
+        if (ref >= 500) "dangling"
+        else if (ref % 31 == 0 || ref % 23 == 0) "corrupt"
+        else "ok"
+      assert(got(id) === want, s"caption $id (ref $ref)")
+    }
+  }
 }
