@@ -95,6 +95,7 @@ object SparkEntry {
       "p13_priority_sample", "p14_token_budget", "p15_pack_efficiency",
       "p16_shard_manifest", "p17_shard_skew", "p18_shard_mixture",
       "p19_resume_manifest", "p20_epoch_decorrelation", "p21_crossmodal_coverage",
+      "p22_subshard_packing",
       "m11_pair_gate", "m12_audio_gate", "m13_video_length_gate",
       "m14_aspect_buckets", "m15_scene_cuts", "m16_channel_norm",
       "m17_corrupt_audit", "m18_image_band_neardup", "m19_audio_band_neardup",

@@ -115,6 +115,75 @@ object PipelineOps {
          |       ELSE CAST(floor((cum - 1) / 2048.0) AS BIGINT) END AS last_seq
          |FROM c ORDER BY doc_id""".stripMargin),
 
+    // -- two-level token packing: the Zipf-shard answer to p02 ----------
+    // p02 packs per source with ONE running-sum window per source key —
+    // correct, parallel across sources, but a single Zipf-dominant
+    // source serializes into one partition's window (r10 verdict
+    // "What's wrong #3"). This is the d09 treatment applied to packing:
+    // each source splits into 16 SUB-SHARDS (doc_id % 16); the running
+    // sum runs per (source, sub) — 16× the parallelism, and the knob
+    // grows with the corpus exactly like d10's cell ladder — then each
+    // sub-shard's offsets shift by a BASE = the exclusive prefix sum of
+    // sub-shard totals, computed on the bounded |sources|×16 rollup and
+    // broadcast back. Offsets stay exact and contiguous per source; the
+    // layout contract is order-by-(sub, doc_id) within a source instead
+    // of p02's order-by-doc_id — the trade a two-level packer makes.
+    QueryDef.sql("p22_subshard_packing",
+      (s, d) => {
+        val wLocal = Window.partitionBy(col("source"), col("sub"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = OpUtils.transientPersist(s, s"p22:$d",
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              (col("doc_id") % 16).as("sub"),
+              size(words(col("text"))).cast("long").as("n_tokens"))
+            .withColumn("lcum", sum(col("n_tokens")).over(wLocal)))
+        val wBase = Window.partitionBy(col("source")).orderBy(col("sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bases = local.groupBy(col("source"), col("sub"))
+          .agg(max(col("lcum")).as("sub_total"))
+          .withColumn("base", coalesce(sum(col("sub_total")).over(wBase), lit(0L)))
+          .select(col("source").as("bsrc"), col("sub").as("bsub"), col("base"))
+        local.join(broadcast(bases),
+            col("source") === col("bsrc") && col("sub") === col("bsub"))
+          .withColumn("cum", col("base") + col("lcum"))
+          .withColumn("start_off", col("cum") - col("n_tokens"))
+          .withColumn("first_seq", floor(col("start_off") / 2048.0).cast("long"))
+          .withColumn("last_seq",
+            when(col("n_tokens") === 0, col("first_seq"))
+              .otherwise(floor((col("cum") - 1) / 2048.0).cast("long")))
+          .select(col("doc_id"), col("source"), col("sub"), col("n_tokens"),
+            col("start_off"), col("first_seq"), col("last_seq"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id, source, doc_id % 16 AS sub,
+         |    CAST(len(${oWords("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, source, sub, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source, sub ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS lcum
+         |  FROM t),
+         |st AS (
+         |  SELECT source, sub, MAX(lcum) AS sub_total FROM l GROUP BY 1, 2),
+         |b AS (
+         |  SELECT source, sub,
+         |    COALESCE(SUM(sub_total) OVER (PARTITION BY source ORDER BY sub
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+         |  FROM st),
+         |c AS (
+         |  SELECT l.doc_id, l.source, l.sub, l.n_tokens, b.base + l.lcum AS cum
+         |  FROM l JOIN b ON l.source = b.source AND l.sub = b.sub)
+         |SELECT doc_id, source, CAST(sub AS BIGINT) AS sub, n_tokens,
+         |  CAST(cum - n_tokens AS BIGINT) AS start_off,
+         |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS first_seq,
+         |  CASE WHEN n_tokens = 0
+         |       THEN CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT)
+         |       ELSE CAST(floor((cum - 1) / 2048.0) AS BIGINT) END AS last_seq
+         |FROM c ORDER BY doc_id""".stripMargin),
+
     // -- leakage-safe train/val split (cluster-aware) ------------------
     // Hash-mod splitting on raw doc_id leaks: two near-duplicate
     // documents can land on opposite sides of the train/val fence, and

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{GraftSession, SparkEntry}
@@ -1429,6 +1430,29 @@ class PlanSpec extends AnyFunSuite {
     // boundary
     assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p22: the doc running sum partitions on (source, sub); bases broadcast back") {
+    val p = plan("p22_subshard_packing")
+    // the d09 treatment for packing: the per-doc window key includes
+    // the sub-shard, so a Zipf source spreads over 16 partitions
+    val docWin = p.split("\n").find(l =>
+      l.contains("Window") && l.contains("lcum")).getOrElse("")
+    assert(docWin.contains("source#") && docWin.contains("sub#"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p22 totals: the two-level layout packs every source to p02's exact token total") {
+    val a = SparkEntry.queries("p22_subshard_packing")(spark, sf)
+      .groupBy(col("source"))
+      .agg(max(col("start_off") + col("n_tokens")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = SparkEntry.queries("p02_token_packing")(spark, sf)
+      .groupBy(col("source"))
+      .agg(max(col("start_off") + col("n_tokens")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty && a === b)
   }
 
   test("meta: every 'PlanSpec' claim in an operator comment has a matching guard") {
