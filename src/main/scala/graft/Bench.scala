@@ -197,20 +197,25 @@ object Bench {
     // get_simple scale, through the public read path.
     if (benchFull) {
       val dRows = 10000000L
-      def dissocLoop(): Double = timed {
-        val server = new graft.server.ArrowHttpServer(spark)
-        server.register("dloop", graft.datagen.Generators.flightBench(spark, dRows))
-        server.start()
-        try {
+      // server startup + registration hoisted OUT of timed{} (r11
+      // advice): the cell measures the read path — discovery →
+      // one task per published channel pair → concurrent meta/body
+      // fetch → bounded reassembly → count. Rep 1 additionally pays
+      // the server-side one-time spill; min-of-reps reports warm reads.
+      val server = new graft.server.ArrowHttpServer(spark)
+      server.register("dloop", graft.datagen.Generators.flightBench(spark, dRows))
+      server.start()
+      try {
+        def dissocLoop(): Double = timed {
           val n = spark.read.format("arrows")
             .option("dissoc", s"${server.baseUrl}/dissoc/info/dloop").load().count()
           require(n == dRows, s"dissoc loop read $n rows, expected $dRows")
-        } finally server.stop()
-      }
-      val trials = (1 to loopReps).map(_ => dissocLoop())
-      runs("arrows_dissoc_loop_10m") = trials
-      System.err.println(
-        f"dissoc dual-channel loop 10M: ${trials.min}%.2f seconds elapsed (min of $loopReps)")
+        }
+        val trials = (1 to loopReps).map(_ => dissocLoop())
+        runs("arrows_dissoc_loop_10m") = trials
+        System.err.println(
+          f"dissoc dual-channel loop 10M: ${trials.min}%.2f seconds elapsed (min of $loopReps)")
+      } finally server.stop()
     }
 
     // client timing breakdown (time-to-schema / time-to-first-batch /

@@ -240,6 +240,20 @@ object MultimodalOps {
     header ++ px
   }
 
+  /** The ingest-fault schedule shared by m17/m20/m21 (ONE definition —
+    * the r11 advice: three inlined copies would drift silently because
+    * each query's oracle hardcodes the matching CASE): id % 31 → magic
+    * byte stomped ("bad_magic"), else id % 23 → 5-byte truncation
+    * ("truncated"), else clean bytes. Deterministic at the BYTE level so
+    * [[validatePpm]] really parses and the oracle asserts the verdicts
+    * analytically (the m06 contract-oracle pattern). */
+  def faultedPpmBytes(docId: Long): Array[Byte] = {
+    val raw = ppmBytes(docId)
+    if (docId % 31 == 0) { val c = raw.clone(); c(0) = 'X'.toByte; c }
+    else if (docId % 23 == 0) raw.take(raw.length - 5)
+    else raw
+  }
+
   /** Real P6 decoder: parses magic / `#` comments / dims / maxval, then
     * accumulates per-channel sums over the raster. Returns (width,
     * height, mean_r, mean_g, mean_b, rec601_luma_of_means,
@@ -1608,12 +1622,7 @@ object MultimodalOps {
         val verdicts = ids.rdd.mapPartitions { it =>
           it.map { r =>
             val id = r.getLong(0)
-            val raw = ppmBytes(id)
-            val bytes =
-              if (id % 31 == 0) { val c = raw.clone(); c(0) = 'X'.toByte; c }
-              else if (id % 23 == 0) raw.take(raw.length - 5)
-              else raw
-            Row(id, r.getString(1), validatePpm(bytes))
+            Row(id, r.getString(1), validatePpm(faultedPpmBytes(id)))
           }
         }
         val schema = StructType(Seq(
@@ -1838,12 +1847,7 @@ object MultimodalOps {
         val verdicts = ids.rdd.mapPartitions { it =>
           it.map { r =>
             val id = r.getLong(0)
-            val raw = ppmBytes(id)
-            val bytes =
-              if (id % 31 == 0) { val c = raw.clone(); c(0) = 'X'.toByte; c }
-              else if (id % 23 == 0) raw.take(raw.length - 5)
-              else raw
-            Row(id, validatePpm(bytes))
+            Row(id, validatePpm(faultedPpmBytes(id)))
           }
         }
         val assets = s.createDataFrame(verdicts, StructType(Seq(
@@ -1903,12 +1907,7 @@ object MultimodalOps {
         val verdicts = ids.rdd.mapPartitions { it =>
           it.map { r =>
             val id = r.getLong(0)
-            val raw = ppmBytes(id)
-            val bytes =
-              if (id % 31 == 0) { val c = raw.clone(); c(0) = 'X'.toByte; c }
-              else if (id % 23 == 0) raw.take(raw.length - 5)
-              else raw
-            Row(id, r.getString(1), validatePpm(bytes))
+            Row(id, r.getString(1), validatePpm(faultedPpmBytes(id)))
           }
         }
         val assets = s.createDataFrame(verdicts, StructType(Seq(

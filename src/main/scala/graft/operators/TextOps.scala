@@ -141,8 +141,13 @@ object TextOps {
         val aggs = profiles.map { case (lg, prof) =>
           sum(when(col("w").isin(prof: _*), 1).otherwise(0)).as(s"s_$lg")
         }
+        // coalesce(text, '') (r11 advice): words('') is [''] in both
+        // engines, so a NULL-text doc keeps one zero-score row and lands
+        // under the alphabetically-first language instead of vanishing
+        // from the explode (the oracle coalesces identically)
         val perDoc = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+          .select(col("doc_id"), col("lang"),
+            explode(words(coalesce(col("text"), lit("")))).as("w"))
           .groupBy(col("doc_id"), col("lang"))
           .agg(aggs.head, aggs.tail: _*)
         val best = profiles.tail.foldLeft(
@@ -163,7 +168,7 @@ object TextOps {
       }, {
         val oScores = profiles.map { case (lang, prof) =>
           val set = prof.map(w => s"'$w'").mkString(", ")
-          lang -> s"len(list_filter(${oWords("text")}, w -> w IN ($set)))"
+          lang -> s"len(list_filter(${oWords("coalesce(text, '')")}, w -> w IN ($set)))"
         }
         val pred = oScores.tail.foldLeft(
           s"{'s': ${oScores.head._2}, 'l': '${oScores.head._1}'}") {

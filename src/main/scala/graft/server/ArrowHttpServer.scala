@@ -439,16 +439,50 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   // spills to zero part files (empty result) falls back to the direct
   // chunk-relay path so a schema frame is still served.
 
+  /** Split a dissoc path remainder into (dataset, optional part index):
+    * `{name}` addresses the whole dataset, `{name}/{i}` one spilled
+    * part (per-part channel pairs are the dissociated scan's unit of
+    * parallelism — the reference FlightInfo's plural endpoint list,
+    * cudf-flight-server.cc:349-365). */
+  private def dissocTarget(path: String): (String, Option[Int]) = {
+    val k = path.lastIndexOf('/')
+    if (k > 0 && path.length > k + 1 && path.drop(k + 1).forall(_.isDigit))
+      (path.take(k), Some(path.drop(k + 1).toInt))
+    else (path, None)
+  }
+
   server.createContext("/dissoc/info/", exchange => safely(exchange) {
-    val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/info/")
-    if (!datasets.contains(name)) sendText(exchange, 404, s"no dataset $name")
-    else {
-      exchange.getResponseHeaders.set("Content-Type", "application/json")
-      sendText(exchange, 200,
-        s"""{"ticket": "$name", "locations": [
-           |  {"uri": "$baseUrl/dissoc/meta/$name", "channel": "metadata"},
-           |  {"uri": "$baseUrl/dissoc/data/$name", "channel": "body"}
-           |]}""".stripMargin)
+    val (name, idx) = dissocTarget(
+      exchange.getRequestURI.getPath.stripPrefix("/dissoc/info/"))
+    datasets.get(name) match {
+      case None => sendText(exchange, 404, s"no dataset $name")
+      case Some(dfFn) =>
+        exchange.getResponseHeaders.set("Content-Type", "application/json")
+        val n = ensureSpilled(name, dfFn).size
+        idx match {
+          case Some(i) if i >= n =>
+            sendText(exchange, 404, s"no part $i of $name ($n parts)")
+          case Some(i) =>
+            sendText(exchange, 200,
+              s"""{"ticket": "$name/$i", "locations": [
+                 |  {"uri": "$baseUrl/dissoc/meta/$name/$i", "channel": "metadata"},
+                 |  {"uri": "$baseUrl/dissoc/data/$name/$i", "channel": "body"}
+                 |]}""".stripMargin)
+          case None =>
+            // whole-dataset channels stay first (single-pair clients);
+            // a multi-part spill additionally publishes one info URI per
+            // part so a parallel scan plans one task per pair
+            val parts =
+              if (n <= 1) ""
+              else (0 until n)
+                .map(i => s"""{"uri": "$baseUrl/dissoc/info/$name/$i"}""")
+                .mkString(""", "parts": [""", ", ", "]")
+            sendText(exchange, 200,
+              s"""{"ticket": "$name", "locations": [
+                 |  {"uri": "$baseUrl/dissoc/meta/$name", "channel": "metadata"},
+                 |  {"uri": "$baseUrl/dissoc/data/$name", "channel": "body"}
+                 |]$parts}""".stripMargin)
+        }
     }
   })
 
@@ -456,38 +490,50 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     ensureSpilled(name, dfFn).map(k => files(k))
 
   server.createContext("/dissoc/meta/", exchange => safely(exchange) {
-    val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/meta/")
+    val (name, idx) = dissocTarget(
+      exchange.getRequestURI.getPath.stripPrefix("/dissoc/meta/"))
     datasets.get(name) match {
       case None => sendText(exchange, 404, s"no dataset $name")
       case Some(dfFn) =>
-        exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
-        exchange.sendResponseHeaders(200, 0)
-        val out = exchange.getResponseBody
         val parts = spilledPaths(name, dfFn)
-        if (parts.nonEmpty)
-          graft.dissociated.Dissociated.streamMetadataFromFiles(parts, out)
-        else
-          graft.dissociated.Dissociated.streamMetadataChannel(dfFn(), out)
-        out.close()
+        if (idx.exists(_ >= parts.size))
+          sendText(exchange, 404, s"no part ${idx.get} of $name (${parts.size} parts)")
+        else {
+          exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
+          exchange.sendResponseHeaders(200, 0)
+          val out = exchange.getResponseBody
+          val serve = idx.map(i => Vector(parts(i))).getOrElse(parts)
+          if (serve.nonEmpty)
+            graft.dissociated.Dissociated.streamMetadataFromFiles(serve, out)
+          else
+            graft.dissociated.Dissociated.streamMetadataChannel(dfFn(), out)
+          out.close()
+        }
     }
   })
 
   server.createContext("/dissoc/data/", exchange => safely(exchange) {
-    val name = exchange.getRequestURI.getPath.stripPrefix("/dissoc/data/")
+    val (name, idx) = dissocTarget(
+      exchange.getRequestURI.getPath.stripPrefix("/dissoc/data/"))
     datasets.get(name) match {
       case None => sendText(exchange, 404, s"no dataset $name")
       case Some(dfFn) =>
-        exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
-        exchange.sendResponseHeaders(200, 0)
-        val out = exchange.getResponseBody
-        // out-of-order delivery within windows of 8 (stays under the
-        // client's bounded reassembly window)
         val parts = spilledPaths(name, dfFn)
-        if (parts.nonEmpty)
-          graft.dissociated.Dissociated.streamBodyFromFiles(parts, out)
-        else
-          graft.dissociated.Dissociated.streamBodyChannel(dfFn(), out)
-        out.close()
+        if (idx.exists(_ >= parts.size))
+          sendText(exchange, 404, s"no part ${idx.get} of $name (${parts.size} parts)")
+        else {
+          exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
+          exchange.sendResponseHeaders(200, 0)
+          val out = exchange.getResponseBody
+          // out-of-order delivery within windows of 8 (stays under the
+          // client's bounded reassembly window)
+          val serve = idx.map(i => Vector(parts(i))).getOrElse(parts)
+          if (serve.nonEmpty)
+            graft.dissociated.Dissociated.streamBodyFromFiles(serve, out)
+          else
+            graft.dissociated.Dissociated.streamBodyChannel(dfFn(), out)
+          out.close()
+        }
     }
   })
 

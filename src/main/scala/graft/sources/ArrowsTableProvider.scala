@@ -166,14 +166,28 @@ object ArrowsTableProvider {
   // client's out-of-order completion / in-order delivery,
   // dissociated-ipc/cudf-flight-client.cc:51-325, as a spark.read path)
 
+  /** Parse a `/dissoc/info/` discovery document (real JSON parsing via
+    * the jackson already on Spark's classpath — key order and whitespace
+    * are not part of the contract; the r11 regex was): the
+    * channel→uri map from `locations` plus any per-part info URIs from
+    * `parts` (the reference's FlightInfo endpoint list is plural by
+    * design, cudf-flight-server.cc:349-365 — a spilled dataset publishes
+    * one (metadata, body) pair per part for a parallel scan). */
+  def dissocInfo(infoUrl: String): (Map[String, String], Seq[String]) = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(URI.create(infoUrl).toURL.openStream().readAllBytes())
+    val chans = root.path("locations").elements().asScala
+      .map(l => l.path("channel").asText() -> l.path("uri").asText()).toMap
+    val parts = root.path("parts").elements().asScala
+      .map(_.path("uri").asText()).filter(_.nonEmpty).toSeq
+    (chans, parts)
+  }
+
   /** Resolve a `/dissoc/info/` discovery document to its (metadata,
     * body) channel URIs — the HTTP analogue of the reference's
     * dual-location FlightInfo. */
   def resolveDissoc(infoUrl: String): (String, String) = {
-    val json = new String(
-      URI.create(infoUrl).toURL.openStream().readAllBytes(), "UTF-8")
-    val pairs = "\"uri\":\\s*\"([^\"]+)\",\\s*\"channel\":\\s*\"(\\w+)\"".r
-      .findAllMatchIn(json).map(m => m.group(2) -> m.group(1)).toMap
+    val pairs = dissocInfo(infoUrl)._1
     (pairs.getOrElse("metadata",
         throw new IllegalArgumentException(s"no metadata channel in $infoUrl")),
       pairs.getOrElse("body",
@@ -343,12 +357,20 @@ final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String
     * additionally splits into byte-range partitions — the get_range
     * split-fetch made a parallel scan (SURVEY §2.4; §4). */
   override def planInputPartitions(): Array[InputPartition] =
-    // dissociated dual-channel dataset: inherently ONE paired stream per
-    // info URL (the protocol's unit of parallelism is the dataset; the
-    // out-of-order concurrency lives INSIDE the channel fetch)
-    if (dissoc.isDefined)
-      Array(ArrowsInputPartition(dissoc.get, -1, -1, -1, dissoc = true))
-    else paths.flatMap { p =>
+    // dissociated dual-channel dataset: the protocol's unit of
+    // parallelism is the CHANNEL PAIR — a spilled dataset publishes one
+    // per part (the reference's FlightInfo endpoint list is plural,
+    // cudf-flight-server.cc:349-365), so plan one InputPartition per
+    // pair; the out-of-order concurrency lives INSIDE each pair's fetch.
+    // A single-pair dataset (unspilled/empty) stays one partition.
+    if (dissoc.isDefined) {
+      val parts =
+        try ArrowsTableProvider.dissocInfo(dissoc.get)._2
+        catch { case _: Exception => Nil }
+      if (parts.size > 1)
+        parts.map(u => ArrowsInputPartition(u, -1, -1, -1, dissoc = true)).toArray
+      else Array(ArrowsInputPartition(dissoc.get, -1, -1, -1, dissoc = true))
+    } else paths.flatMap { p =>
       val expanded =
         if (split && ArrowsTableProvider.isUrl(p) && p.contains("/q/")) {
           val parts = ArrowsTableProvider.probeSplits(p)

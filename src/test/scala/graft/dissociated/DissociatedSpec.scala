@@ -175,6 +175,29 @@ class DissociatedSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("dissoc DSv2 read: a spilled multi-part dataset plans one task per channel pair") {
+    // r11 verdict #3: the discovery doc publishes one (metadata, body)
+    // pair per spilled part (FlightInfo's endpoint list is plural by
+    // design) and the scan plans one InputPartition per pair — a dissoc
+    // read of a 1000-part dataset is 1000 tasks, not one
+    val server = new ArrowHttpServer(spark)
+    server.register("dsv2parts", Generators.ticker(spark, 12000, 4))
+    server.start()
+    try {
+      val infoUrl = s"${server.baseUrl}/dissoc/info/dsv2parts"
+      val (chans, parts) = graft.sources.ArrowsTableProvider.dissocInfo(infoUrl)
+      assert(chans.keySet === Set("metadata", "body")) // whole-dataset pair kept
+      assert(parts.size === 4)
+      val df = spark.read.format("arrows").option("dissoc", infoUrl).load()
+      assert(df.rdd.getNumPartitions === 4)
+      assert(df.count() === 12000)
+      // each per-part pair is a self-contained stream (own schema frame)
+      val one = spark.read.format("arrows").option("dissoc", parts.head).load()
+      assert(one.rdd.getNumPartitions === 1)
+      assert(one.count() > 0)
+    } finally server.stop()
+  }
+
   test("dissoc DSv2 read: unknown dataset fails with the fetch error, not a silent empty frame") {
     val server = new ArrowHttpServer(spark)
     server.start()
