@@ -68,7 +68,11 @@ object SparkEntry {
       "q67_disjunctive_revenue", "q68_idle_customers", "q69_top_supplier",
       "q70_product_profit", "q71_part_supplier_variety", "q72_partial_agg_merge",
       "q73_dominant_suppliers",
-      "d03_minhash_lsh_pairs", "d05_simhash", "d09_simhash_band_pairs",
+      // d04/d19/t03/t07/t12/t17: the cells the r11 unbenched sweep caught
+      // (d04 at 106 s) and repaired — standing bench members so a
+      // regression in any of them can't hide again (r11 verdict #1)
+      "d03_minhash_lsh_pairs", "d04_ngram_jaccard", "d05_simhash",
+      "d09_simhash_band_pairs", "d19_source_similarity",
       "d10_embedding_neardup_lsh", "d08_substring_dedup",
       "d11_decontaminate", "d13_containment_complete", "d15_incremental_dedup",
       "d16_semantic_dedup", "d17_line_dedup", "d21_contamination_report",
@@ -83,8 +87,9 @@ object SparkEntry {
       "s24_ann_hubness", "s25_kmeans_churn", "s26_matryoshka_recall",
       "s27_centroid_drift", "s28_nprobe_recall", "s29_quant_distortion",
       "s30_cluster_quality", "s31_quantization_sheet",
-      "t02_quality_score",
-      "t09_word_rarity", "t11_dsir_weights", "t14_doc_freq", "t16_bigram_lm",
+      "t02_quality_score", "t03_language_id", "t07_repetition_ratio",
+      "t09_word_rarity", "t11_dsir_weights", "t12_gopher_rules",
+      "t14_doc_freq", "t16_bigram_lm", "t17_lexical_diversity",
       "t18_keyword_tfidf", "t19_gram_novelty", "t21_head_coverage",
       "t22_readability", "t23_zipf_curve", "t24_heavy_hitters",
       "t25_quality_bands", "t26_char_classes", "t27_dup_gram_profile",

@@ -1,0 +1,41 @@
+package graft
+
+/** Full-inventory timing sweep (r11 verdict #1, institutionalized): time
+  * EVERY SparkEntry query once at the given SF through the same noop-sink
+  * materialization as Bench, and emit one `SWEEPJSON {json}` line (and
+  * optionally a file) mapping query → seconds. One rep is enough to catch
+  * a 100×-scale interpreted cell (the class of regression that hid d04 at
+  * 106 s for nine rounds because only the 131-cell bench was timed); the
+  * gate fails any cell over budget that has no committed audit note.
+  *
+  * A query that THROWS fails the sweep (exit 1) — this runs strictly
+  * after the oracle gates, so an error here is a timing-harness problem,
+  * not a correctness signal.
+  *
+  * usage: runMain graft.Sweep <sfDir> [outFile]
+  */
+object Sweep {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Sweep <sfDir> [outFile]")
+    val sfDir = args(0)
+    val spark = GraftSession.builder("graft-sweep", "32").getOrCreate()
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink like Bench: count() lets Catalyst prune the very
+        // columns being timed (it misread t27 by 28×)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        times(name) = sec
+        System.err.println(f"SWEEP $name $sec%.3f s")
+      }
+    } finally spark.stop()
+    val cells = times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+    val json =
+      s"""{"sf_dir":"$sfDir","n_queries":${times.size},"queries":{$cells}}"""
+    println(s"SWEEPJSON $json")
+    args.lift(1).foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n"))
+  }
+}

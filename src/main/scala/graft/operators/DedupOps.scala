@@ -537,6 +537,20 @@ object DedupOps {
     // sketch pairs sit near hamming 30, so output is proportional to
     // true near-dups. PlanSpec pins the 32767 band mask on the join
     // key and the absence of any loop join.
+    //
+    // Output-proportionality, MEASURED (r12, graft.D09Audit →
+    // bench/r12_d09_proportionality.json): sf0.1→sf1 true pairs grow
+    // 512 → 30,081 (58.8× on 10× docs — dup clusters densify
+    // quadratically, the ANSWER is superlinear) while the cell's
+    // runtime grows 15.6× — runtime grows 3.8× SLOWER than the output,
+    // so the superlinearity is the answer, not the join. Band
+    // collisions (28.2M at sf1, evaluated in-join by the codegen'd
+    // bit_count predicate, never shuffled) cluster because simhash band
+    // values are common-word-correlated, NOT because sketches repeat
+    // (49,878 distinct of 50,000 — the m18 distinct-frame move buys
+    // nothing here, measured). Narrower 5×12-bit bands would RAISE
+    // collision volume (~12× bucket population, quadratic in pair
+    // count), so 4×15 stands.
     QueryDef.sql("d09_simhash_band_pairs",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
