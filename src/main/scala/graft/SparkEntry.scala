@@ -104,7 +104,7 @@ object SparkEntry {
       "m11_pair_gate", "m12_audio_gate", "m13_video_length_gate",
       "m14_aspect_buckets", "m15_scene_cuts", "m16_channel_norm",
       "m17_corrupt_audit", "m18_image_band_neardup", "m19_audio_band_neardup",
-      "m20_caption_asset_audit", "m21_orphan_assets")
+      "m20_caption_asset_audit", "m21_orphan_assets", "m22_caption_image_swap")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)

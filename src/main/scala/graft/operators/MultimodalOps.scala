@@ -1943,6 +1943,126 @@ object MultimodalOps {
         |  CAST(CAST(SUM(CASE WHEN r.img_ref IS NULL THEN 1 ELSE 0 END) AS HUGEINT)
         |    * 1000000 // COUNT(*) AS BIGINT) AS orphan_ppm
         |FROM a LEFT JOIN r ON a.img_id = r.img_ref
-        |GROUP BY 1 ORDER BY source""".stripMargin)
+        |GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // -- cross-modal near-dup composition: re-caption / asset-swap --------
+    // (r11 verdict #4) Caption pairs that are TEXT near-dups (d09's
+    // 60-bit simhash, 4×15-bit bands, hamming ≤ 3) whose referenced
+    // images are NOT near-dups (m18's 56-bit dHash, 4×14-bit bands,
+    // hamming ≤ 6, over REALLY-decoded asset bytes) — near-identical
+    // captions describing genuinely different pictures: the asset-swap /
+    // stale-recaption signal a paired-modality curation tier gates on.
+    // Contract: doc_id references asset (doc_id % 640) whose stored
+    // content group is gid = ref % 40 with m18's ppmBytes recipe.
+    // Same-gid pairs are CONSISTENT re-captions (not swaps) and drop;
+    // image-near-dup gid pairs drop via an anti-join against the banded
+    // image pair set. 100 TB shape: one banded join per modality — the
+    // text side shuffles 16-byte sketches (never text), the image side
+    // bands over the DISTINCT asset-content registry (decode in
+    // mapPartitions, bytes never shuffle; bounded by content variety,
+    // 40 here) whose verified pair set is aggregate-bounded and
+    // broadcasts into the anti-join keys-only.
+    QueryDef.sql("m22_caption_image_swap",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        // text sketch frame + referenced asset content group, one scan
+        val sh = OpUtils.transientPersist(s, s"m22:$d",
+          Tables.documents(s, d)
+            .withColumn("hs", graft.functions.GraftFunctions
+              .gramHashes60(OpUtils.words(col("text")), 1))
+            .withColumn("simhash", graft.functions.GraftFunctions.simHash60(col("hs")))
+            .select(col("doc_id"), col("simhash"),
+              ((col("doc_id") % 640) % 40).as("gid")))
+        val bands = sh.select(col("doc_id"), col("simhash"), col("gid"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
+        val textPairs = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            expr("bit_count(a.simhash ^ b.simhash)").as("text_hamming"),
+            col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
+          .filter(col("text_hamming") <= 3)
+          .distinct()
+        // image sketches over the DISTINCT asset-content registry
+        val gids = Tables.documents(s, d)
+          .select(((col("doc_id") % 640) % 40).as("gid")).distinct()
+        val ih = gids.rdd.mapPartitions { it =>
+          it.map { r => val g = r.getLong(0); Row(g, dhashPpm(ppmBytes(g))) }
+        }
+        val ihDf = s.createDataFrame(ih, StructType(Seq(
+          StructField("gid", LongType, nullable = false),
+          StructField("dhash", LongType, nullable = false))))
+        val ib = ihDf.select(col("gid"), col("dhash"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("key", expr("shiftright(dhash, band * 14) & 16383"))
+        val imgPairs = ib.as("x").join(ib.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.gid") < col("y.gid") &&
+              expr("bit_count(x.dhash ^ y.dhash)") <= 6)
+          .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
+          .distinct()
+        textPairs
+          .filter(col("gid_a") =!= col("gid_b")) // same image = consistent re-caption
+          .join(broadcast(imgPairs),
+            least(col("gid_a"), col("gid_b")) === col("ga") &&
+              greatest(col("gid_a"), col("gid_b")) === col("gb"), "left_anti")
+          .orderBy(col("a_id"), col("b_id"))
+      }, {
+        val oGray = (sx: String, sy: String) =>
+          s"""((gid*31 + (3*(($sy)*w+($sx)))*7) % 256
+             | + (gid*31 + (3*(($sy)*w+($sx))+1)*7) % 256
+             | + (gid*31 + (3*(($sy)*w+($sx))+2)*7) % 256)""".stripMargin
+        val sy = "((j // 7) * h) // 8"
+        val sx0 = "((j % 7) * w) // 8"
+        val sx1 = "(((j % 7) + 1) * w) // 8"
+        s"""WITH h AS (
+           |  SELECT doc_id, (doc_id % 640) % 40 AS gid,
+           |    list_transform(${OpUtils.oWords("text")}, w -> ${OpUtils.oMd5Val("w", 15)}) AS hs
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, gid,
+           |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 60), j ->
+           |      CASE WHEN list_reduce([0] || list_transform(hs, x ->
+           |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+           |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
+           |      (a, b) -> a + b) AS simhash
+           |  FROM h),
+           |k AS (SELECT doc_id, gid, simhash, unnest(range(0, 4)) AS band FROM sh),
+           |kb AS (SELECT doc_id, gid, simhash, band,
+           |  (simhash >> (band * 15)) & 32767 AS key FROM k),
+           |tp AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    bit_count(xor(a.simhash, b.simhash)) AS text_hamming,
+           |    a.gid AS gid_a, b.gid AS gid_b
+           |  FROM kb a JOIN kb b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |gdim AS (
+           |  SELECT gid, 4 + gid % 13 AS w, 4 + (gid * 3) % 11 AS h
+           |  FROM (SELECT DISTINCT (doc_id % 640) % 40 AS gid FROM documents)),
+           |idh AS (
+           |  SELECT gid,
+           |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 56), j ->
+           |      CASE WHEN ${oGray(sx1, sy)} > ${oGray(sx0, sy)}
+           |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+           |      (acc, bit) -> acc + bit) AS dhash
+           |  FROM gdim),
+           |ik AS (SELECT gid, dhash, unnest(range(0, 4)) AS band FROM idh),
+           |ikb AS (SELECT gid, dhash, band,
+           |  (dhash >> (band * 14)) & 16383 AS key FROM ik),
+           |ipair AS (
+           |  SELECT DISTINCT x.gid AS ga, y.gid AS gb FROM ikb x JOIN ikb y
+           |    ON x.band = y.band AND x.key = y.key AND x.gid < y.gid
+           |       AND bit_count(xor(x.dhash, y.dhash)) <= 6)
+           |SELECT a_id, b_id, CAST(text_hamming AS INTEGER) AS text_hamming,
+           |  gid_a, gid_b
+           |FROM tp
+           |WHERE gid_a <> gid_b
+           |  AND NOT EXISTS (SELECT 1 FROM ipair
+           |    WHERE ipair.ga = least(gid_a, gid_b)
+           |      AND ipair.gb = greatest(gid_a, gid_b))
+           |ORDER BY a_id, b_id""".stripMargin
+      })
   )
 }

@@ -1348,6 +1348,24 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("bit_count"), p)
   }
 
+  test("m22: both modality band masks key their joins; text never shuffles; image pair set broadcasts into the anti-join") {
+    val p = plan("m22_caption_image_swap")
+    // text bands 4×15-bit (32767 mask), image bands 4×14-bit (16383)
+    assert(p.contains("32767"), p)
+    assert(p.contains("16383"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // sketches cross the exchanges, never caption text
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!shuffled.exists(_.contains("text#")), p)
+    // both hamming verifies ride their band join's condition (d09 rule)
+    val joinLines = p.split("\n").filter(l =>
+      l.contains("Join [band") || l.contains("Join [key"))
+    assert(joinLines.nonEmpty && joinLines.forall(_.contains("bit_count")), p)
+    // the composition is a broadcast LEFT ANTI on gid keys only
+    assert(p.contains("LeftAnti"), p)
+    assert(p.split("\n").exists(l => l.contains("Broadcast") && l.contains("LeftAnti")), p)
+  }
+
   test("p19: one corpus pass into 16 shard counts; resume arithmetic is per-row on the bounded frame") {
     val p = plan("p19_resume_manifest")
     assert(!p.contains("Join"), p)
