@@ -590,6 +590,26 @@ object EventStreams {
           .when(col("verdict") =!= "ok", "corrupt")
           .otherwise("ok").as("caption_verdict"))
 
+  /** Streaming orphan-asset audit — the unbounded twin of m21, run at
+    * INGEST (r11 verdict #5): each arriving asset (already carrying its
+    * byte-validation verdict from the m17 ingest gate) probes the
+    * reference registry — the DISTINCT caption refs, ≤ 640 keys at ANY
+    * SF by the % 640 contract — and is tagged referenced/orphan the
+    * moment it lands, so storage reclaim is continuous instead of a
+    * nightly sweep. Stream-static LEFT join against an
+    * aggregate-bounded frame: ZERO stream-side join state (per-micro-
+    * batch re-plan), no watermark; the bounded refs snapshot broadcasts
+    * at re-plan. `reclaimable_ok` is m21's cold-comfort column — bytes
+    * that validate clean but nothing references. */
+  def orphanAssetStream(assets: DataFrame, refs: DataFrame): DataFrame =
+    assets
+      .join(refs.select(col("img_ref")).distinct(),
+        col("img_id") === col("img_ref"), "left")
+      .select(col("img_id"), col("us"), col("source"), col("verdict"),
+        when(col("img_ref").isNull, "orphan").otherwise("referenced")
+          .as("ref_status"),
+        (col("img_ref").isNull && col("verdict") === "ok").as("reclaimable_ok"))
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

@@ -43,6 +43,48 @@ class ArrowsStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dissoc-reassembled artifacts feed the arrows micro-batch source incrementally") {
+    // r11 verdict #5: the dissociated dual-channel read composes with
+    // the unbounded source — each segment arrives over the dissoc
+    // protocol (concurrent meta/body, bounded reassembly), lands as a
+    // plain .arrows artifact (reassembly output IS a valid IPC stream),
+    // and the micro-batch source picks it up on the next trigger; the
+    // converged stream equals the batch read of the same directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-dissoc-stream").toString
+    val server = new graft.server.ArrowHttpServer(spark)
+    server.register("seg0", Generators.ticker(spark, 1000, 2))
+    server.register("seg1", Generators.ticker(spark, 600, 2))
+    server.start()
+    try {
+      def land(name: String): Unit = {
+        val in = ArrowsTableProvider.openDissoc(s"${server.baseUrl}/dissoc/info/$name")
+        val f = new java.io.File(dir, s"$name.arrows")
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        try in.transferTo(out) finally { out.close(); in.close() }
+      }
+      land("seg0")
+      val schema = spark.read.format("arrows").load(dir).schema
+      val q = spark.readStream.format("arrows").schema(schema).load(dir)
+        .groupBy(col("ticker")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("dissoc_stream_out").start()
+      try {
+        q.processAllAvailable()
+        val n1 = spark.table("dissoc_stream_out")
+          .agg(sum(col("n"))).head().getLong(0)
+        assert(n1 === 1000L)
+
+        land("seg1")
+        q.processAllAvailable()
+        val n2 = spark.table("dissoc_stream_out")
+          .agg(sum(col("n"))).head().getLong(0)
+        assert(n2 === 1600L)
+      } finally q.stop()
+      // stream convergence equals the batch read of the same artifacts
+      assert(spark.read.format("arrows").load(dir).count() === 1600L)
+    } finally server.stop()
+  }
+
   test("writeStream sink: per-epoch part files, batch- and stream-readable") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

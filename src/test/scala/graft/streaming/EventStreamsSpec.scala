@@ -666,4 +666,61 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got(id) === want, s"caption $id (ref $ref)")
     }
   }
+
+  test("streaming orphan-asset audit replays m21's classification at ingest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // static reference registry: the DISTINCT caption refs of a corpus
+    // of 250 documents — refs {0..249}, so arriving assets ≥ 250 are
+    // orphans (bounded ≤ 640 keys at ANY SF by the % 640 contract)
+    val nDocs = 250L
+    val refs = (0L until nDocs).map(_ % 640).distinct.toDF("img_ref")
+
+    // arriving assets carry the m17 ingest-gate verdict (the shared
+    // faultedPpmBytes schedule validated by the real byte parser)
+    val input = MemoryStream[(Long, Long, String, String)]
+    val stream = EventStreams.orphanAssetStream(
+      input.toDF().toDF("img_id", "us", "source", "verdict"), refs)
+    val query = stream.writeStream.outputMode("append")
+      .format("memory").queryName("orphan_out").start()
+    val assets = (0L until 500L).map { id =>
+      val v = graft.operators.MultimodalOps.validatePpm(
+        graft.operators.MultimodalOps.faultedPpmBytes(id))
+      (id, 1700000000000000L + id * 1000L, s"src_${id % 4}", v)
+    }
+    assets.grouped(200).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    query.stop()
+
+    val got = spark.table("orphan_out")
+      .select(col("img_id"), col("ref_status"), col("reclaimable_ok"))
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size === 500)
+    // batch m21 semantics replayed per asset: orphan iff no caption
+    // references it; reclaimable iff orphan AND bytes validate clean
+    (0L until 500L).foreach { id =>
+      val orphan = id >= nDocs
+      val ok = !(id % 31 == 0 || id % 23 == 0)
+      assert(got(id)._1 === (if (orphan) "orphan" else "referenced"), s"asset $id")
+      assert(got(id)._2 === (orphan && ok), s"asset $id reclaimable")
+    }
+    // the classification also matches m21's aggregate exactly: replaying
+    // the stream output through m21's rollup shape gives its counters
+    val agg = spark.table("orphan_out")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("ref_status") === "orphan", 1L).otherwise(0L)).as("n_orphans"),
+        sum(when(col("reclaimable_ok"), 1L).otherwise(0L)).as("n_orphans_ok"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = (0L until 500L).groupBy(id => s"src_${id % 4}").toSeq.sortBy(_._1)
+      .map { case (src, ids) =>
+        (src, ids.size.toLong,
+          ids.count(_ >= nDocs).toLong,
+          ids.count(id => id >= nDocs && !(id % 31 == 0 || id % 23 == 0)).toLong)
+      }
+    assert(agg === want)
+  }
 }
