@@ -120,6 +120,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_mask60", exprs => SignMask60(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dup_gram_stats", exprs => DupGramStats(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dup_gram_profile", exprs => DupGramProfile(exprs(0)), "built-in")
@@ -162,6 +164,9 @@ object GraftFunctions {
 
   def simHash60(hs: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash60", hs)
+
+  def signMask60(v: Column): Column =
+    org.apache.spark.sql.functions.call_function("sign_mask60", v)
 
   def dupGramStats(gs: Column): Column =
     org.apache.spark.sql.functions.call_function("dup_gram_stats", gs)

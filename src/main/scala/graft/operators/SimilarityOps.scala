@@ -1039,10 +1039,10 @@ object SimilarityOps {
     // query's group before the (q_id, n_id, ham) fixed-width exchange.
     QueryDef.sql("s16_binary_hamming",
       (s, d) => {
-        val maskE = "aggregate(sequence(1, 60), CAST(0 AS BIGINT), " +
-          "(acc, i) -> acc + IF(element_at(v, i) > 0.0D, " +
-          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
-        val m = vecs(s, d).select(col("vec_id"), expr(maskE).as("mask"))
+        // native sign_mask60 (r12): one generated loop replaces the
+        // 60-step interpreted aggregate HOF — same exact bits
+        val m = vecs(s, d).select(col("vec_id"),
+          graft.functions.GraftFunctions.signMask60(col("v")).as("mask"))
         val q = m.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("mask").as("qm"))
         val w = Window.partitionBy(col("q_id"))
@@ -2024,15 +2024,14 @@ object SimilarityOps {
         val cb = centroids(s, d, e)
           .select(col("label").cast("long").as("code"), col("cv"))
           .agg(collect_list(struct(col("code"), col("cv"))).as("cb"))
-        val maskE = "aggregate(sequence(1, 60), CAST(0 AS BIGINT), " +
-          "(acc, i) -> acc + IF(element_at(v, i) > 0.0D, " +
-          "shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))"
         val forms = e
           .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
           .filter(col("mx") > 0)
           .withColumn("q8", transform(col("v"),
             x => floor(x * (lit(127.0) / col("mx")) + lit(0.5)).cast("long")))
-          .withColumn("mask", expr(maskE))
+          // native sign_mask60 (r12): one generated loop, same bits as
+          // the 60-step aggregate HOF it replaces
+          .withColumn("mask", graft.functions.GraftFunctions.signMask60(col("v")))
           .crossJoin(broadcast(cb))
         val q = forms.filter(col("vec_id") < 20)
           .withColumn("qtab", call_function("pq_dist_table", col("v"), col("cb")))
