@@ -1577,6 +1577,73 @@ object DedupOps {
          |    AS coverage_ppm,
          |  CAST(SUM(CASE WHEN vec_id IS NULL THEN n_tokens ELSE 0 END) AS BIGINT)
          |    AS backlog_tokens
-         |FROM j GROUP BY 1 ORDER BY source""".stripMargin)
+         |FROM j GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // -- duplication rate by quality band (dedup × quality composition) --
+    // The selection-bias check a curation tier runs before trusting its
+    // quality threshold: if low-quality docs duplicate MORE, naive
+    // dedup-then-filter and filter-then-dedup give different corpora,
+    // and the dup rate per band says which order loses less. Identical
+    // trimmed text implies identical word profile implies identical
+    // band (quality is a pure function of the text), so every exact-dup
+    // cluster lives in ONE band and the rollup is exact. 100 TB shape:
+    // one map-side-partial shuffle on the 16-byte text hash (text never
+    // shuffles; word_profile folds map-side), then a ≤20-row band
+    // rollup — the d01 exact tier fused with t25's banding at no extra
+    // corpus pass.
+    QueryDef.sql("d32_quality_dup_profile",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val clusters = Tables.documents(s, d)
+          .withColumn("h", unhex(md5(trim(col("text")))))
+          .withColumn("wp", graft.functions.GraftFunctions
+            .wordProfile(OpUtils.words(col("text"))))
+          .withColumn("n", element_at(col("wp"), 1))
+          .withColumn("stop_hits", element_at(col("wp"), 3))
+          .withColumn("sum_len", element_at(col("wp"), 2))
+          .withColumn("quality",
+            least(col("n").cast("double") / 100.0, lit(1.0)) * 0.5 +
+              (col("stop_hits").cast("double") / col("n")) * 0.3 +
+              least((col("sum_len").cast("double") / col("n")) / 8.0, lit(1.0)) * 0.2)
+          .withColumn("band",
+            least(floor(col("quality") * 20.0).cast("int"), lit(19)))
+          .groupBy(col("h"))
+          // all copies share the band (same text) — max is the identity
+          .agg(max(col("band")).as("band"), count(lit(1)).as("n_copies"))
+        clusters.groupBy(col("band"))
+          .agg(sum(col("n_copies")).as("n_docs"),
+            sum(when(col("n_copies") >= 2, col("n_copies")).otherwise(0L))
+              .as("n_dup_docs"),
+            sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup_clusters"))
+          .withColumn("dup_ppm",
+            expr("CAST(CAST(n_dup_docs AS DECIMAL(38,0)) * 1000000 DIV n_docs AS BIGINT)"))
+          .orderBy(col("band"))
+      },
+      s"""WITH q AS (
+         |  SELECT unhex(md5(trim(text))) AS h, ${oWords("text")} AS ws
+         |  FROM documents),
+         |m AS (
+         |  SELECT h, len(ws) AS n,
+         |    len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to')))
+         |      AS stop_hits,
+         |    list_reduce([0] || list_transform(ws, w -> length(w)),
+         |      (a, b) -> a + b) AS sum_len
+         |  FROM q),
+         |b AS (
+         |  SELECT h, LEAST(CAST(floor((
+         |    least(CAST(n AS DOUBLE) / 100.0, 1.0) * 0.5 +
+         |      (CAST(stop_hits AS DOUBLE) / n) * 0.3 +
+         |      least((CAST(sum_len AS DOUBLE) / n) / 8.0, 1.0) * 0.2
+         |    ) * 20.0) AS INTEGER), 19) AS band
+         |  FROM m),
+         |c AS (SELECT h, MAX(band) AS band, COUNT(*) AS n_copies FROM b GROUP BY h)
+         |SELECT band, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_copies >= 2 THEN n_copies ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_clusters,
+         |  CAST(CAST(SUM(CASE WHEN n_copies >= 2 THEN n_copies ELSE 0 END) AS HUGEINT)
+         |    * 1000000 // CAST(SUM(n_copies) AS HUGEINT) AS BIGINT) AS dup_ppm
+         |FROM c GROUP BY band ORDER BY band""".stripMargin)
   )
 }

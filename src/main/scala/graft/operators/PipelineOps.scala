@@ -1279,6 +1279,59 @@ object PipelineOps {
         |  CAST(CAST(SUM(aud) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS aud_ppm,
         |  CAST(CAST(SUM(img * aud) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
         |    AS both_ppm
-        |FROM f GROUP BY 1 ORDER BY source""".stripMargin)
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // -- dedup-aware packing manifest (dedup × packing composition) ------
+    // What p02's packer SHOULD consume: the exact-dedup keepers (d01's
+    // min-doc-per-trimmed-text-hash rule), not the raw feed — packing
+    // duplicates burns shard budget on bytes the loss never needs twice.
+    // Per source: feed size, keeper count, raw vs kept token mass, the
+    // 2048-token shard count the keeper stream packs into (contiguous
+    // per-source packing ⇒ exactly ceil(kept/2048) shards — integer
+    // arithmetic, no window needed for the manifest), and the ppm of
+    // token mass dedup saved. 100 TB shape: one shuffle on the 16-byte
+    // text hash marks keepers (text never shuffles; token counts fold
+    // map-side), then a bounded per-source rollup — the manifest costs
+    // two exchanges at any corpus size.
+    QueryDef.sql("p23_dedup_aware_packing",
+      (s, d) => {
+        val marked = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            unhex(md5(trim(col("text")))).as("h"),
+            size(words(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("keeper",
+            row_number().over(Window.partitionBy(col("h"))
+              .orderBy(col("doc_id"))) === 1)
+        marked.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keeper"), 1L).otherwise(0L)).as("n_keepers"),
+            sum(col("n_tokens")).as("raw_tokens"),
+            sum(when(col("keeper"), col("n_tokens")).otherwise(0L))
+              .as("kept_tokens"))
+          .withColumn("n_shards", expr("(kept_tokens + 2047) DIV 2048"))
+          .withColumn("saved_ppm",
+            expr("CAST(CAST(raw_tokens - kept_tokens AS DECIMAL(38,0)) " +
+              "* 1000000 DIV raw_tokens AS BIGINT)"))
+          .orderBy(col("source"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id, source, unhex(md5(trim(text))) AS h,
+         |    CAST(len(${oWords("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |k AS (
+         |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+         |    AS keeper
+         |  FROM t)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+         |  CAST(SUM(CASE WHEN keeper THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  CAST((SUM(CASE WHEN keeper THEN n_tokens ELSE 0 END) + 2047) // 2048
+         |    AS BIGINT) AS n_shards,
+         |  CAST(CAST(SUM(n_tokens) - SUM(CASE WHEN keeper THEN n_tokens ELSE 0 END)
+         |      AS HUGEINT) * 1000000 // CAST(SUM(n_tokens) AS HUGEINT) AS BIGINT)
+         |    AS saved_ppm
+         |FROM k GROUP BY 1 ORDER BY source""".stripMargin)
   )
 }

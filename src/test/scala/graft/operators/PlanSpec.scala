@@ -1348,6 +1348,23 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("bit_count"), p)
   }
 
+  test("d32: one text-hash shuffle then a bounded band rollup; no join; text never shuffles") {
+    val p = plan("d32_quality_dup_profile")
+    assert(!p.contains("Join"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
+    // the cluster rollup is map-side partial before the h exchange
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("p23: keeper marking is ONE window on the 16-byte hash; no join; text never shuffles") {
+    val p = plan("p23_dedup_aware_packing")
+    assert(!p.contains("Join"), p)
+    assert(p.split("\n").count(_.contains("Window [")) === 1, p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
+  }
+
   test("m22: both modality band masks key their joins; text never shuffles; image pair set broadcasts into the anti-join") {
     val p = plan("m22_caption_image_swap")
     // text bands 4×15-bit (32767 mask), image bands 4×14-bit (16383)
