@@ -206,15 +206,46 @@ object Bench {
       server.register("dloop", graft.datagen.Generators.flightBench(spark, dRows))
       server.start()
       try {
-        def dissocLoop(): Double = timed {
+        def dissocLoop(fanout: Boolean): Double = timed {
           val n = spark.read.format("arrows")
-            .option("dissoc", s"${server.baseUrl}/dissoc/info/dloop").load().count()
+            .option("dissoc", s"${server.baseUrl}/dissoc/info/dloop")
+            .option("dissocfanout", fanout.toString).load().count()
           require(n == dRows, s"dissoc loop read $n rows, expected $dRows")
         }
-        val trials = (1 to loopReps).map(_ => dissocLoop())
-        runs("arrows_dissoc_loop_10m") = trials
+        // the reference client's loop: ONE dual-location channel pair
+        // (cudf-flight-client.cc has exactly one meta + one data stream
+        // per dataset) — the r11-comparable cell
+        val single = (1 to loopReps).map(_ => dissocLoop(fanout = false))
+        runs("arrows_dissoc_loop_10m") = single
         System.err.println(
-          f"dissoc dual-channel loop 10M: ${trials.min}%.2f seconds elapsed (min of $loopReps)")
+          f"dissoc dual-channel loop 10M: ${single.min}%.2f seconds elapsed (min of $loopReps)")
+      } finally server.stop()
+    }
+
+    // Dissociated FAN-OUT loop at 30M (r12): one task per published
+    // channel pair, measured at part sizes (~30 MB × 32) where the
+    // per-part fixed costs (2 channel requests + reassembly setup per
+    // task) amortize — the shape the parallel scan exists for. At 10M
+    // (~10 MB parts) those fixed costs dominate and the single-pair
+    // loop above is the right client; the discovery doc serves both.
+    // (Sized to ~1 GB: a 100M variant turns disk/GC-bound on the bench
+    // box and contaminates neighboring cells.)
+    if (benchFull) {
+      val fRows = 30000000L
+      val server = new graft.server.ArrowHttpServer(spark)
+      server.register("dfan", graft.datagen.Generators.flightBench(spark, fRows))
+      server.start()
+      try {
+        def fanLoop(): Double = timed {
+          val n = spark.read.format("arrows")
+            .option("dissoc", s"${server.baseUrl}/dissoc/info/dfan").load().count()
+          require(n == fRows, s"dissoc fanout loop read $n rows, expected $fRows")
+        }
+        // rep 1 additionally pays the server-side one-time ~1 GB spill
+        val fan = (1 to loopReps).map(_ => fanLoop())
+        runs("arrows_dissoc_fanout_30m") = fan
+        System.err.println(
+          f"dissoc fan-out loop 30M: ${fan.min}%.2f seconds elapsed (min of $loopReps)")
       } finally server.stop()
     }
 

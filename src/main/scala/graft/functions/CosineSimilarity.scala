@@ -144,6 +144,8 @@ object GraftFunctions {
       "word_profile", exprs => WordProfile(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_dist_table", exprs => PqDistTable(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_pairs", exprs => HammingPairs(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API over the registered function. */
@@ -184,4 +186,9 @@ object GraftFunctions {
   /** [n, sum_len, stop_hits, n_sym, n_complex] — see [[WordProfile]]. */
   def wordProfile(ws: Column): Column =
     org.apache.spark.sql.functions.call_function("word_profile", ws)
+
+  /** Generator over one LSH band bucket — see [[HammingPairs]]. */
+  def hammingPairs(members: Column, maxHamming: Int): Column =
+    org.apache.spark.sql.functions.call_function("hamming_pairs", members,
+      org.apache.spark.sql.functions.lit(maxHamming))
 }

@@ -535,8 +535,8 @@ object DedupOps {
     // gave 64 buckets total and O(n²/16) candidates (160M output rows
     // at sf1). Hamming <= 3 on 60 bits is also a real filter: random
     // sketch pairs sit near hamming 30, so output is proportional to
-    // true near-dups. PlanSpec pins the 32767 band mask on the join
-    // key and the absence of any loop join.
+    // true near-dups. PlanSpec pins the 32767 band mask on the bucket
+    // key and the join-free bucket-generate shape.
     //
     // Output-proportionality, MEASURED (r12, graft.D09Audit →
     // bench/r12_d09_proportionality.json): sf0.1→sf1 true pairs grow
@@ -569,18 +569,21 @@ object DedupOps {
         val bands = sh.select(col("doc_id"), col("simhash"),
             explode(sequence(lit(0), lit(3))).as("band"))
           .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
-        // hamming BEFORE distinct (r10 verdict #1): the verify predicate
-        // is a cheap projection on columns already in hand at the join
-        // output, so applying it map-side shrinks the distinct's shuffle
-        // from ALL band collisions to true near-dups only — at 100× the
-        // difference between "grows with collisions" and "grows with
-        // near-dups" (this was the worst 10×-data cell, 14.4×).
-        bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-          .filter(col("hamming") <= 3)
+        // Bucket-and-generate instead of self-join (r12): group each
+        // (band, key) bucket's members once, then the native
+        // hamming_pairs generator walks the bucket triangle with raw
+        // xor+popcount — the same O(|bucket|²) candidate evaluations
+        // the self-join did on the same worker, minus the per-candidate
+        // join machinery (28.2M joined-row constructions at sf1 for
+        // ~30k survivors; see bench/r12_d09_proportionality.json), and
+        // ONE exchange of the band rows instead of two sorted join
+        // sides. Survivor rows (hamming <= 3, verified in-loop — still
+        // BEFORE the distinct shuffle, the r10 verdict #1 invariant)
+        // are the only thing materialized.
+        bands.groupBy(col("band"), col("key"))
+          .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+          .select(graft.functions.GraftFunctions
+            .hammingPairs(col("members"), 3).as(Seq("a_id", "b_id", "hamming")))
           .distinct()
           .orderBy(col("a_id"), col("b_id"))
       },

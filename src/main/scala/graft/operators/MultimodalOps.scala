@@ -1956,12 +1956,14 @@ object MultimodalOps {
     // content group is gid = ref % 40 with m18's ppmBytes recipe.
     // Same-gid pairs are CONSISTENT re-captions (not swaps) and drop;
     // image-near-dup gid pairs drop via an anti-join against the banded
-    // image pair set. 100 TB shape: one banded join per modality — the
-    // text side shuffles 16-byte sketches (never text), the image side
-    // bands over the DISTINCT asset-content registry (decode in
-    // mapPartitions, bytes never shuffle; bounded by content variety,
-    // 40 here) whose verified pair set is aggregate-bounded and
-    // broadcasts into the anti-join keys-only.
+    // image pair set. 100 TB shape: one banded bucket-generate per
+    // modality (the r12 d09 move — native hamming_pairs over each band
+    // bucket, no join machinery per candidate) — the text side shuffles
+    // 16-byte sketches (never text), the image side bands over the
+    // DISTINCT asset-content registry (decode in mapPartitions, bytes
+    // never shuffle; bounded by content variety, 40 here) whose
+    // verified pair set is aggregate-bounded and broadcasts into the
+    // anti-join keys-only.
     QueryDef.sql("m22_caption_image_swap",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
@@ -1973,17 +1975,23 @@ object MultimodalOps {
             .withColumn("simhash", graft.functions.GraftFunctions.simHash60(col("hs")))
             .select(col("doc_id"), col("simhash"),
               ((col("doc_id") % 640) % 40).as("gid")))
-        val bands = sh.select(col("doc_id"), col("simhash"), col("gid"),
+        val bands = sh.select(col("doc_id"), col("simhash"),
             explode(sequence(lit(0), lit(3))).as("band"))
           .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
-        val textPairs = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            expr("bit_count(a.simhash ^ b.simhash)").as("text_hamming"),
-            col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
-          .filter(col("text_hamming") <= 3)
+        // bucket-and-generate (the r12 d09 move): the native
+        // hamming_pairs generator walks each (band, key) bucket's
+        // triangle with raw xor+popcount — no join machinery per
+        // candidate, one exchange instead of two join sides. gid is
+        // pure arithmetic on doc_id, so it reattaches to the surviving
+        // pairs without a join.
+        val textPairs = bands.groupBy(col("band"), col("key"))
+          .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+          .select(graft.functions.GraftFunctions
+            .hammingPairs(col("members"), 3)
+            .as(Seq("a_id", "b_id", "text_hamming")))
           .distinct()
+          .withColumn("gid_a", (col("a_id") % 640) % 40)
+          .withColumn("gid_b", (col("b_id") % 640) % 40)
         // image sketches over the DISTINCT asset-content registry
         val gids = Tables.documents(s, d)
           .select(((col("doc_id") % 640) % 40).as("gid")).distinct()
@@ -1996,11 +2004,11 @@ object MultimodalOps {
         val ib = ihDf.select(col("gid"), col("dhash"),
             explode(sequence(lit(0), lit(3))).as("band"))
           .withColumn("key", expr("shiftright(dhash, band * 14) & 16383"))
-        val imgPairs = ib.as("x").join(ib.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.gid") < col("y.gid") &&
-              expr("bit_count(x.dhash ^ y.dhash)") <= 6)
-          .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
+        val imgPairs = ib.groupBy(col("band"), col("key"))
+          .agg(collect_list(struct(col("gid"), col("dhash"))).as("members"))
+          .select(graft.functions.GraftFunctions
+            .hammingPairs(col("members"), 6).as(Seq("ga", "gb", "img_ham")))
+          .select(col("ga"), col("gb"))
           .distinct()
         textPairs
           .filter(col("gid_a") =!= col("gid_b")) // same image = consistent re-caption

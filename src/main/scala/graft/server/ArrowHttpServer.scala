@@ -86,8 +86,21 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     register(name, df)
   }
 
+  // TCP_NODELAY on response sockets (read once at HttpServer class-init):
+  // without it, Nagle + delayed-ACK stalls each small framed write behind
+  // the peer's 40 ms ACK timer — measured at ~65 ms per dissociated
+  // channel request (≈76 small frames each), which multiplied across the
+  // per-part parallel scan's 2×parts requests dominated the loop.
+  ArrowHttpServer.ensureNoDelay()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  private val pool = Executors.newFixedThreadPool(8, r => {
+  // Sized for the parallel dissociated scan: each of up to
+  // `defaultParallelism` reader tasks holds one long-lived body stream
+  // (plus short meta/info requests) concurrently, so a small fixed pool
+  // serializes the whole scan behind 8 sockets. Threads are cheap here —
+  // every handler streams in O(64 KiB) chunks, so per-thread memory is
+  // bounded regardless of pool width.
+  private val pool = Executors.newFixedThreadPool(
+    8, r => {
     val t = new Thread(r, "arrow-http")
     t.setDaemon(true) // never pin the JVM open
     t
@@ -470,12 +483,18 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
                  |]}""".stripMargin)
           case None =>
             // whole-dataset channels stay first (single-pair clients);
-            // a multi-part spill additionally publishes one info URI per
-            // part so a parallel scan plans one task per pair
+            // a multi-part spill additionally publishes one entry per
+            // part so a parallel scan plans one task per pair. Each
+            // entry carries its channel pair INLINE (metadata/body) so
+            // a planned task opens its two streams without a per-part
+            // discovery round-trip; the per-part info URI stays for
+            // indirection-style clients.
             val parts =
               if (n <= 1) ""
               else (0 until n)
-                .map(i => s"""{"uri": "$baseUrl/dissoc/info/$name/$i"}""")
+                .map(i => s"""{"uri": "$baseUrl/dissoc/info/$name/$i", """ +
+                  s""""metadata": "$baseUrl/dissoc/meta/$name/$i", """ +
+                  s""""body": "$baseUrl/dissoc/data/$name/$i"}""")
                 .mkString(""", "parts": [""", ", ", "]")
             sendText(exchange, 200,
               s"""{"ticket": "$name", "locations": [
@@ -592,6 +611,15 @@ object ArrowHttpServer {
     * [[ArrowHttpServer.registerDict]]; beyond this the value set is no
     * longer "small" and must stream via registerDictDelta. */
   val MaxDictValues: Int = 4096
+
+  /** Set TCP_NODELAY for all [[com.sun.net.httpserver.HttpServer]]
+    * response sockets. The JDK server reads `sun.net.httpserver.nodelay`
+    * once in ServerConfig's static init, so this must run before the
+    * FIRST HttpServer.create in the JVM — hence the call from the
+    * constructor, idempotently, ahead of create(). */
+  private[server] def ensureNoDelay(): Unit =
+    if (System.getProperty("sun.net.httpserver.nodelay") == null)
+      System.setProperty("sun.net.httpserver.nodelay", "true")
 }
 
 /** Coalesces writes to >= minSize before forwarding (the reference's

@@ -173,13 +173,21 @@ object ArrowsTableProvider {
     * `parts` (the reference's FlightInfo endpoint list is plural by
     * design, cudf-flight-server.cc:349-365 — a spilled dataset publishes
     * one (metadata, body) pair per part for a parallel scan). */
-  def dissocInfo(infoUrl: String): (Map[String, String], Seq[String]) = {
+  /** One publishable unit of dissociated parallelism: a per-part info
+    * URI plus (when the server inlines them) the part's resolved
+    * channel pair — a task with the pair opens its two streams with no
+    * discovery round-trip. */
+  final case class DissocPart(infoUri: String, metaUri: String, bodyUri: String)
+
+  def dissocInfo(infoUrl: String): (Map[String, String], Seq[DissocPart]) = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(URI.create(infoUrl).toURL.openStream().readAllBytes())
     val chans = root.path("locations").elements().asScala
       .map(l => l.path("channel").asText() -> l.path("uri").asText()).toMap
     val parts = root.path("parts").elements().asScala
-      .map(_.path("uri").asText()).filter(_.nonEmpty).toSeq
+      .map(p => DissocPart(p.path("uri").asText(),
+        p.path("metadata").asText(), p.path("body").asText()))
+      .filter(_.infoUri.nonEmpty).toSeq
     (chans, parts)
   }
 
@@ -216,6 +224,81 @@ object ArrowsTableProvider {
       chk(super.read(b, off, len))
   }
 
+  /** Bounded chunk pipe between the fetch thread and the reader.
+    *
+    * Replaces `java.io.Piped{Input,Output}Stream`, whose circular
+    * buffer parks both sides in `wait(1000)` polling loops — measured
+    * at ~0.5 s of stall per dissociated PART read (1 s-granular
+    * first-byte/drain spikes), which multiplied by the r12 per-part
+    * parallel scan turned a 0.6 s loop into a 2 s one. A
+    * `ArrayBlockingQueue[Array[Byte]]` handoff has none of that: every
+    * put/take wakes its peer immediately, and the bound (32 × ≤64 KiB
+    * chunks ≈ 2 MiB) keeps the same backpressure the 1 MiB pipe gave. */
+  private final class ChunkPipe {
+    private val queue =
+      new java.util.concurrent.ArrayBlockingQueue[Array[Byte]](32)
+    private val Eof = new Array[Byte](0)
+    @volatile private var readerClosed = false
+
+    val out: java.io.OutputStream = new java.io.OutputStream {
+      private def put(chunk: Array[Byte]): Unit = {
+        // offer-with-timeout instead of put: a reader that abandoned the
+        // stream (schema probes read only the prefix) must break the
+        // producer out instead of parking it forever on a full queue —
+        // the "pipe broken" contract java.io pipes get from readSide
+        // liveness checks
+        while (!queue.offer(chunk, 100,
+            java.util.concurrent.TimeUnit.MILLISECONDS)) {
+          if (readerClosed)
+            throw new java.io.IOException("dissociated pipe closed by reader")
+        }
+      }
+      override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        if (readerClosed)
+          throw new java.io.IOException("dissociated pipe closed by reader")
+        var o = off
+        var rem = len
+        while (rem > 0) {
+          val n = math.min(rem, 1 << 16)
+          put(java.util.Arrays.copyOfRange(b, o, o + n))
+          o += n; rem -= n
+        }
+      }
+      override def close(): Unit =
+        try put(Eof) catch { case _: java.io.IOException => () }
+    }
+
+    val in: InputStream = new InputStream {
+      private var cur: Array[Byte] = null
+      private var pos = 0
+      private var eof = false
+      private def ensure(): Boolean = {
+        if (eof) return false
+        while (cur == null || pos >= cur.length) {
+          val c = queue.take()
+          if (c.length == 0) { eof = true; return false }
+          cur = c; pos = 0
+        }
+        true
+      }
+      override def read(): Int =
+        if (!ensure()) -1 else { val v = cur(pos) & 0xFF; pos += 1; v }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (len == 0) return 0
+        if (!ensure()) return -1
+        val n = math.min(len, cur.length - pos)
+        System.arraycopy(cur, pos, b, off, n)
+        pos += n
+        n
+      }
+      // unblock a producer parked on a full queue so its finally-close
+      // (and connection teardown) can run when the reader abandons the
+      // stream early (schema probes read only the prefix)
+      override def close(): Unit = { eof = true; readerClosed = true; queue.clear() }
+    }
+  }
+
   /** The reassembled Arrow IPC stream behind a dissoc info URL: both
     * channels are fetched CONCURRENTLY on a daemon thread, bodies may
     * complete out of order, and [[graft.dissociated.Dissociated.reassemble]]'s
@@ -223,21 +306,26 @@ object ArrowsTableProvider {
     * length) delivers batches in sequence order through a pipe. */
   def openDissoc(infoUrl: String): InputStream = {
     val (metaUrl, bodyUrl) = resolveDissoc(infoUrl)
+    openDissocPair(metaUrl, bodyUrl)
+  }
+
+  /** As [[openDissoc]] with the channel pair already resolved (planned
+    * tasks get theirs inline from the top-level discovery document). */
+  def openDissocPair(metaUrl: String, bodyUrl: String): InputStream = {
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    val pipeIn = new java.io.PipedInputStream(1 << 20)
-    val pipeOut = new java.io.PipedOutputStream(pipeIn)
+    val pipe = new ChunkPipe
     val t = new Thread(() => {
       try {
         val meta = openRaw(metaUrl)
         val body = openRaw(bodyUrl)
-        try graft.dissociated.Dissociated.reassemble(meta, body, pipeOut)
+        try graft.dissociated.Dissociated.reassemble(meta, body, pipe.out)
         finally { meta.close(); body.close() }
       } catch { case e: Throwable => err.set(e) }
-      finally scala.util.Try(pipeOut.close())
+      finally scala.util.Try(pipe.out.close())
     }, "dissoc-dsv2-fetch")
     t.setDaemon(true)
     t.start()
-    new ErrSurfacingStream(pipeIn, err)
+    new ErrSurfacingStream(pipe.in, err)
   }
 
   /** Schema of a dissociated dataset: read the reassembled stream's
@@ -311,7 +399,12 @@ final class ArrowsScanBuilder(full: StructType, options: CaseInsensitiveStringMa
   }
   override def build(): Scan = Option(options.get("dissoc")) match {
     case Some(infoUrl) =>
-      new ArrowsScan(full, required, Nil, 1, Nil, dissoc = Some(infoUrl))
+      new ArrowsScan(full, required, Nil, 1, Nil, dissoc = Some(infoUrl),
+        // dissocfanout=false forces the whole dataset through ONE
+        // channel pair (the reference client's single dual-location
+        // loop) — the right shape when per-part fixed costs would
+        // dominate tiny parts; the default plans one task per pair
+        dissocFanout = Option(options.get("dissocfanout")).forall(_.toBoolean))
     case None => buildPaths()
   }
 
@@ -337,7 +430,7 @@ final class ArrowsScanBuilder(full: StructType, options: CaseInsensitiveStringMa
 
 final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String],
     rangePartitions: Int, rawDirs: Seq[String], split: Boolean = true,
-    dissoc: Option[String] = None)
+    dissoc: Option[String] = None, dissocFanout: Boolean = true)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -365,10 +458,15 @@ final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String
     // A single-pair dataset (unspilled/empty) stays one partition.
     if (dissoc.isDefined) {
       val parts =
-        try ArrowsTableProvider.dissocInfo(dissoc.get)._2
+        if (!dissocFanout) Nil
+        else try ArrowsTableProvider.dissocInfo(dissoc.get)._2
         catch { case _: Exception => Nil }
       if (parts.size > 1)
-        parts.map(u => ArrowsInputPartition(u, -1, -1, -1, dissoc = true)).toArray
+        // pair-direct partitions: the inline channel URIs skip the
+        // per-part discovery GET; entries without them (a foreign
+        // server publishing info URIs only) resolve at open time
+        parts.map(p => ArrowsInputPartition(p.infoUri, -1, -1, -1,
+          dissoc = true, dissocMeta = p.metaUri, dissocBody = p.bodyUri)).toArray
       else Array(ArrowsInputPartition(dissoc.get, -1, -1, -1, dissoc = true))
     } else paths.flatMap { p =>
       val expanded =
@@ -391,7 +489,8 @@ final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String
 
 final case class ArrowsInputPartition(path: String,
     schemaEnd: Long, start: Long, end: Long,
-    dissoc: Boolean = false) extends InputPartition {
+    dissoc: Boolean = false,
+    dissocMeta: String = "", dissocBody: String = "") extends InputPartition {
   def isRanged: Boolean = start >= 0
 }
 
@@ -427,9 +526,14 @@ final class ArrowsReaderFactory(required: StructType)
 abstract class ArrowsReaderBase(part: ArrowsInputPartition) {
   protected val alloc = ArrowBridge.newAllocator("dsv2-read")
   protected val reader =
-    if (part.dissoc)
-      new ArrowStreamReader(ArrowsTableProvider.openDissoc(part.path), alloc,
+    if (part.dissoc) {
+      val in =
+        if (part.dissocMeta.nonEmpty && part.dissocBody.nonEmpty)
+          ArrowsTableProvider.openDissocPair(part.dissocMeta, part.dissocBody)
+        else ArrowsTableProvider.openDissoc(part.path)
+      new ArrowStreamReader(in, alloc,
         org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+    }
     else if (part.isRanged) {
       val pieces = java.util.Arrays.asList(
         ArrowsTableProvider.openRange(part.path, 0, part.schemaEnd),

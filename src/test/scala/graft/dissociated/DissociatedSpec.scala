@@ -188,13 +188,23 @@ class DissociatedSpec extends AnyFunSuite {
       val (chans, parts) = graft.sources.ArrowsTableProvider.dissocInfo(infoUrl)
       assert(chans.keySet === Set("metadata", "body")) // whole-dataset pair kept
       assert(parts.size === 4)
+      // each published part carries its channel pair inline (r12: a
+      // planned task opens its streams without a discovery round-trip)
+      assert(parts.forall(p =>
+        p.metaUri.contains("/dissoc/meta/") && p.bodyUri.contains("/dissoc/data/")))
       val df = spark.read.format("arrows").option("dissoc", infoUrl).load()
       assert(df.rdd.getNumPartitions === 4)
       assert(df.count() === 12000)
       // each per-part pair is a self-contained stream (own schema frame)
-      val one = spark.read.format("arrows").option("dissoc", parts.head).load()
+      val one = spark.read.format("arrows").option("dissoc", parts.head.infoUri).load()
       assert(one.rdd.getNumPartitions === 1)
       assert(one.count() > 0)
+      // dissocfanout=false: the reference client's single dual-location
+      // loop — whole dataset through ONE channel pair / one task
+      val single = spark.read.format("arrows").option("dissoc", infoUrl)
+        .option("dissocfanout", "false").load()
+      assert(single.rdd.getNumPartitions === 1)
+      assert(single.count() === 12000)
     } finally server.stop()
   }
 

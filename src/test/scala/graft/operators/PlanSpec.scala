@@ -1110,25 +1110,26 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffled.length === 1 && shuffled.head.contains("shard#"), p)
   }
 
-  test("d09: join key carries the 15-bit band mask; sketch is native; no loop join") {
+  test("d09: bucket key carries the 15-bit band mask; sketch and pair loop are native") {
     val p = plan("d09_simhash_band_pairs")
     // the r8 scale fix: band keys are 15-bit (32767 mask), keyspace
     // 32,768/band — NOT the degenerate 4-bit nibble (& 15) whose 64
     // total buckets made candidates O(n²/16)
     assert(p.contains("32767"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // r12: bucket-and-generate replaced the banded self-join — the
+    // candidate triangle is the native hamming_pairs generator over
+    // each (band, key) bucket (verify in-loop, still before the
+    // distinct's exchange), so the plan has NO join at all and ONE
+    // band-row exchange instead of two sorted join sides
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate hamming_pairs"), p)
     // the sketch is the one-pass native expression, not the 60-pass HOF
     assert(p.contains("simhash60"), p)
     assert(!p.contains("aggregate(transform(sequence"), p)
-    // exchanges move (band, key, id, sketch) — never text
+    // exchanges move (band, key, id, sketch) / pair rows — never text
     val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
     assert(!shuffled.exists(_.contains("text#")), p)
-    // r10 verdict #1: the hamming verify runs BEFORE the distinct's
-    // exchange — Catalyst pushes it into the join condition itself, so
-    // the dedup shuffle carries true near-dups, not all band collisions
-    val joinLine = p.split("\n").find(l =>
-      l.contains("Join [band") || l.contains("Join [key")).getOrElse("")
-    assert(joinLine.contains("bit_count"), p)
+    assert(shuffled.exists(l => l.contains("band#") && l.contains("key#")), p)
   }
 
   // ---- r9 sweep: new operators land WITH their guards ----
@@ -1365,7 +1366,7 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
   }
 
-  test("m22: both modality band masks key their joins; text never shuffles; image pair set broadcasts into the anti-join") {
+  test("m22: both modality band masks key their buckets; text never shuffles; image pair set broadcasts into the anti-join") {
     val p = plan("m22_caption_image_swap")
     // text bands 4×15-bit (32767 mask), image bands 4×14-bit (16383)
     assert(p.contains("32767"), p)
@@ -1374,13 +1375,14 @@ class PlanSpec extends AnyFunSuite {
     // sketches cross the exchanges, never caption text
     val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
     assert(!shuffled.exists(_.contains("text#")), p)
-    // both hamming verifies ride their band join's condition (d09 rule)
-    val joinLines = p.split("\n").filter(l =>
-      l.contains("Join [band") || l.contains("Join [key"))
-    assert(joinLines.nonEmpty && joinLines.forall(_.contains("bit_count")), p)
+    // r12: both modality candidate triangles are native hamming_pairs
+    // bucket-generates (verify in-loop, d09 rule) — the ONLY join left
+    // in the plan is the composition itself
+    assert(p.split("\n").count(_.contains("Generate hamming_pairs")) === 2, p)
     // the composition is a broadcast LEFT ANTI on gid keys only
     assert(p.contains("LeftAnti"), p)
     assert(p.split("\n").exists(l => l.contains("Broadcast") && l.contains("LeftAnti")), p)
+    assert(p.split("\n").count(_.contains("Join")) === 1, p)
   }
 
   test("p19: one corpus pass into 16 shard counts; resume arithmetic is per-row on the bounded frame") {
