@@ -79,7 +79,7 @@ object SparkEntry {
       "d23_prefix_dedup", "d24_soft_dedup_weights", "d25_threshold_sweep",
       "d26_dup_trend", "d27_cross_source_lines", "d28_cluster_keeper",
       "d29_normalized_dedup", "d30_sample_dedup_rate", "d31_embedding_coverage",
-      "d32_quality_dup_profile",
+      "d32_quality_dup_profile", "d33_lsh_calibration",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "s08_recall_eval",
       "s09_pq_search", "s11_ivfpq_search", "s13_cascade_rerank",
       "s14_embedding_health", "s16_binary_hamming", "s17_mips_lsh",
@@ -87,7 +87,7 @@ object SparkEntry {
       "s21_similarity_histogram", "s22_ivf_balance", "s23_knn_graph",
       "s24_ann_hubness", "s25_kmeans_churn", "s26_matryoshka_recall",
       "s27_centroid_drift", "s28_nprobe_recall", "s29_quant_distortion",
-      "s30_cluster_quality", "s31_quantization_sheet",
+      "s30_cluster_quality", "s31_quantization_sheet", "s32_ivf_split_advisor",
       "t02_quality_score", "t03_language_id", "t07_repetition_ratio",
       "t09_word_rarity", "t11_dsir_weights", "t12_gopher_rules",
       "t14_doc_freq", "t16_bigram_lm", "t17_lexical_diversity",
@@ -95,17 +95,19 @@ object SparkEntry {
       "t22_readability", "t23_zipf_curve", "t24_heavy_hitters",
       "t25_quality_bands", "t26_char_classes", "t27_dup_gram_profile",
       "t28_footer_boilerplate", "t29_unique_gram_mass", "t30_footer_strip_effect",
+      "t31_tokenizer_fertility",
       "p01_curated_corpus", "p02_token_packing",
       "p04_domain_mixture", "p06_curation_funnel", "p07_doc_chunks",
       "p09_shuffle_shards", "p11_quality_curriculum", "p12_temporal_split",
       "p13_priority_sample", "p14_token_budget", "p15_pack_efficiency",
       "p16_shard_manifest", "p17_shard_skew", "p18_shard_mixture",
       "p19_resume_manifest", "p20_epoch_decorrelation", "p21_crossmodal_coverage",
-      "p22_subshard_packing", "p23_dedup_aware_packing",
+      "p22_subshard_packing", "p23_dedup_aware_packing", "p24_post_dedup_mixture",
       "m11_pair_gate", "m12_audio_gate", "m13_video_length_gate",
       "m14_aspect_buckets", "m15_scene_cuts", "m16_channel_norm",
       "m17_corrupt_audit", "m18_image_band_neardup", "m19_audio_band_neardup",
-      "m20_caption_asset_audit", "m21_orphan_assets", "m22_caption_image_swap")
+      "m20_caption_asset_audit", "m21_orphan_assets", "m22_caption_image_swap",
+      "m23_caption_transfer")
     val have = queries.keySet
     val picked = preferred.filter(have)
     if (picked.nonEmpty) picked else queries.keys.toSeq.sorted.take(6)

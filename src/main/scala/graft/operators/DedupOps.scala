@@ -1647,6 +1647,85 @@ object DedupOps {
          |    AS n_dup_clusters,
          |  CAST(CAST(SUM(CASE WHEN n_copies >= 2 THEN n_copies ELSE 0 END) AS HUGEINT)
          |    * 1000000 // CAST(SUM(n_copies) AS HUGEINT) AS BIGINT) AS dup_ppm
-         |FROM c GROUP BY band ORDER BY band""".stripMargin)
+         |FROM c GROUP BY band ORDER BY band""".stripMargin),
+
+    // -- LSH configuration calibration sheet ---------------------------
+    // How d03's band layout gets PICKED: over the SAME 16-hash MinHash
+    // signatures, every (bands × rows) factorization — (2,8), (4,4),
+    // (8,2) — is scored two ways on one sheet: MEASURED probe cost
+    // (Σ s·(s−1)/2 over this corpus's bucket occupancies s — the join
+    // work the config would cause, from bucket SIZES only: no pair is
+    // ever materialized, so the sheet itself is O(n) at any config) and
+    // the ANALYTIC detection curve 1−(1−t^r)^b at Jaccard 0.5/0.7/0.9,
+    // computed in exact integer ppm with one fixed left-fold order so
+    // both engines produce identical bits (the r8 DECIMAL rule: no
+    // float pow). 100 TB shape: one signature scan, one exploded
+    // (config, band, key) shuffle of string keys over 16-long sigs,
+    // ≤ |buckets| rows after the first agg, 3 rows out.
+    {
+      val confs = Seq((2, 8), (4, 4), (8, 2))
+      // detect_ppm = 1e6 − (1e6 − t^r)^b on ppm integers, multiplied out
+      // with DIV 1e6 after each factor (one canonical left-fold order
+      // both engines repeat verbatim — the rounding IS the contract; no
+      // float pow, per the r8 DECIMAL rule)
+      def detect(b: Int, r: Int, tPpm: Long, div: String): String = {
+        val pr = (2 to r).foldLeft(s"CAST($tPpm AS BIGINT)")(
+          (e, _) => s"(($e) * $tPpm $div 1000000)")
+        val q = s"(1000000 - ($pr))"
+        val qb = (2 to b).foldLeft(q)((e, _) => s"(($e) * $q $div 1000000)")
+        s"(1000000 - ($qb))"
+      }
+      def detectCase(tPpm: Long, div: String): String =
+        confs.map { case (b, r) =>
+          s"WHEN b = $b THEN ${detect(b, r, tPpm, div)}"
+        }.mkString("CASE ", " ", " ELSE NULL END")
+      QueryDef.sql("d33_lsh_calibration",
+        (s, d) => {
+          val bandRows = signatures(s, d).select(col("doc_id"), col("sig"),
+              explode(array(confs.map { case (b, r) =>
+                struct(lit(b).as("b"), lit(r).as("r")) }: _*)).as("cfg"))
+            .select(col("doc_id"), col("sig"),
+              col("cfg.b").as("b"), col("cfg.r").as("r"))
+            .withColumn("band", explode(sequence(lit(0), col("b") - 1)))
+            .withColumn("key", concat_ws("|",
+              transform(slice(col("sig"), col("band") * col("r") + 1, col("r")),
+                _.cast("string"))))
+          bandRows.groupBy(col("b"), col("r"), col("band"), col("key"))
+            .agg(count(lit(1)).as("s"))
+            .groupBy(col("b"), col("r"))
+            .agg(count(lit(1)).as("n_buckets"),
+              sum(when(col("s") >= 2, 1L).otherwise(0L)).as("collision_buckets"),
+              sum(expr("s * (s - 1) DIV 2")).as("probe_pairs"))
+            .withColumn("detect50_ppm", expr(detectCase(500000L, "DIV")))
+            .withColumn("detect70_ppm", expr(detectCase(700000L, "DIV")))
+            .withColumn("detect90_ppm", expr(detectCase(900000L, "DIV")))
+            .orderBy(col("b"))
+        },
+        s"""WITH $oSignatures,
+           |cfg AS (SELECT * FROM (VALUES ${confs.map { case (b, r) =>
+                s"($b, $r)" }.mkString(", ")}) AS t(b, r)),
+           |k AS (
+           |  SELECT sigs.doc_id, cfg.b, cfg.r,
+           |    unnest(range(0, cfg.b)) AS band, sig
+           |  FROM sigs CROSS JOIN cfg),
+           |kb AS (
+           |  SELECT b, r, band,
+           |    array_to_string(list_transform(sig[band*r+1:band*r+r],
+           |      x -> CAST(x AS VARCHAR)), '|') AS key
+           |  FROM k),
+           |occ AS (SELECT b, r, band, key, COUNT(*) AS s
+           |        FROM kb GROUP BY b, r, band, key),
+           |sheet AS (
+           |  SELECT b, r, COUNT(*) AS n_buckets,
+           |    CAST(SUM(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS collision_buckets,
+           |    CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS probe_pairs
+           |  FROM occ GROUP BY b, r)
+           |SELECT b, r, n_buckets, collision_buckets, probe_pairs,
+           |  ${detectCase(500000L, "//")} AS detect50_ppm,
+           |  ${detectCase(700000L, "//")} AS detect70_ppm,
+           |  ${detectCase(900000L, "//")} AS detect90_ppm
+           |FROM sheet ORDER BY b""".stripMargin)
+    }
   )
 }

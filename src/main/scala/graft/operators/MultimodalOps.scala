@@ -2071,6 +2071,110 @@ object MultimodalOps {
            |    WHERE ipair.ga = least(gid_a, gid_b)
            |      AND ipair.gb = greatest(gid_a, gid_b))
            |ORDER BY a_id, b_id""".stripMargin
+      }),
+
+    // -- caption transfer across near-dup assets ---------------------------
+    // m22's complement: when the IMAGES are near-dups (m18's banded
+    // dHash over the bounded content registry), their caption pools are
+    // candidates for consolidation onto the kept asset — per near-dup
+    // asset pair, how many distinct captions each side carries and how
+    // many are ALREADY shared verbatim (16-byte text hash), i.e. how
+    // much of the merge is free. transfer_ppm = shared / min(side) in
+    // exact integer ppm. 100 TB shape: the image tier runs entirely on
+    // the content registry (decode in mapPartitions, bounded by
+    // variety, pairs via the native hamming_pairs bucket-generate); the
+    // caption side shuffles ONE distinct (gid, hash) frame — text never
+    // shuffles — and the pair/caption-count frames are aggregate-
+    // bounded (≤ registry² pairs) broadcasts.
+    QueryDef.sql("m23_caption_transfer",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val gids = Tables.documents(s, d)
+          .select(((col("doc_id") % 640) % 40).as("gid")).distinct()
+        val ih = gids.rdd.mapPartitions { it =>
+          it.map { r => val g = r.getLong(0); Row(g, dhashPpm(ppmBytes(g))) }
+        }
+        val ihDf = s.createDataFrame(ih, StructType(Seq(
+          StructField("gid", LongType, nullable = false),
+          StructField("dhash", LongType, nullable = false))))
+        val ib = ihDf.select(col("gid"), col("dhash"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("key", expr("shiftright(dhash, band * 14) & 16383"))
+        val imgPairs = ib.groupBy(col("band"), col("key"))
+          .agg(collect_list(struct(col("gid"), col("dhash"))).as("members"))
+          .select(graft.functions.GraftFunctions
+            .hammingPairs(col("members"), 6).as(Seq("ga", "gb", "img_ham")))
+          .distinct()
+        // one distinct caption-content frame per gid; 16-byte hashes
+        // shuffle, captions don't
+        val dh = OpUtils.transientPersist(s, s"m23:$d",
+          Tables.documents(s, d)
+            .select(((col("doc_id") % 640) % 40).as("gid"),
+              unhex(md5(trim(col("text")))).as("h"))
+            .distinct())
+        val caps = dh.groupBy(col("gid")).agg(count(lit(1)).as("n_caps"))
+        val shared = dh.as("x").join(dh.as("y"),
+            col("x.h") === col("y.h") && col("x.gid") < col("y.gid"))
+          .groupBy(col("x.gid").as("sga"), col("y.gid").as("sgb"))
+          .agg(count(lit(1)).as("shared_captions"))
+        imgPairs
+          .join(broadcast(caps.as("ca")), col("ga") === col("ca.gid"))
+          .join(broadcast(caps.as("cb")), col("gb") === col("cb.gid"))
+          .join(broadcast(shared),
+            col("ga") === col("sga") && col("gb") === col("sgb"), "left")
+          .select(col("ga"), col("gb"), col("img_ham"),
+            col("ca.n_caps").as("captions_a"), col("cb.n_caps").as("captions_b"),
+            coalesce(col("shared_captions"), lit(0L)).as("shared_captions"))
+          .withColumn("transfer_ppm",
+            expr("CAST(CAST(shared_captions AS DECIMAL(38,0)) * 1000000 " +
+              "DIV least(captions_a, captions_b) AS BIGINT)"))
+          .orderBy(col("ga"), col("gb"))
+      }, {
+        val oGray = (sx: String, sy: String) =>
+          s"""((gid*31 + (3*(($sy)*w+($sx)))*7) % 256
+             | + (gid*31 + (3*(($sy)*w+($sx))+1)*7) % 256
+             | + (gid*31 + (3*(($sy)*w+($sx))+2)*7) % 256)""".stripMargin
+        val sy = "((j // 7) * h) // 8"
+        val sx0 = "((j % 7) * w) // 8"
+        val sx1 = "(((j % 7) + 1) * w) // 8"
+        s"""WITH gdim AS (
+           |  SELECT gid, 4 + gid % 13 AS w, 4 + (gid * 3) % 11 AS h
+           |  FROM (SELECT DISTINCT (doc_id % 640) % 40 AS gid FROM documents)),
+           |idh AS (
+           |  SELECT gid,
+           |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 56), j ->
+           |      CASE WHEN ${oGray(sx1, sy)} > ${oGray(sx0, sy)}
+           |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+           |      (acc, bit) -> acc + bit) AS dhash
+           |  FROM gdim),
+           |ik AS (SELECT gid, dhash, unnest(range(0, 4)) AS band FROM idh),
+           |ikb AS (SELECT gid, dhash, band,
+           |  (dhash >> (band * 14)) & 16383 AS key FROM ik),
+           |ipair AS (
+           |  SELECT DISTINCT x.gid AS ga, y.gid AS gb,
+           |    bit_count(xor(x.dhash, y.dhash)) AS img_ham
+           |  FROM ikb x JOIN ikb y
+           |    ON x.band = y.band AND x.key = y.key AND x.gid < y.gid
+           |       AND bit_count(xor(x.dhash, y.dhash)) <= 6),
+           |dh AS (
+           |  SELECT DISTINCT (doc_id % 640) % 40 AS gid,
+           |    unhex(md5(trim(text))) AS h
+           |  FROM documents),
+           |caps AS (SELECT gid, COUNT(*) AS n_caps FROM dh GROUP BY gid),
+           |sh AS (
+           |  SELECT x.gid AS ga, y.gid AS gb, COUNT(*) AS shared
+           |  FROM dh x JOIN dh y ON x.h = y.h AND x.gid < y.gid
+           |  GROUP BY 1, 2)
+           |SELECT p.ga, p.gb, CAST(p.img_ham AS INTEGER) AS img_ham,
+           |  ca.n_caps AS captions_a, cb.n_caps AS captions_b,
+           |  CAST(COALESCE(sh.shared, 0) AS BIGINT) AS shared_captions,
+           |  CAST(CAST(COALESCE(sh.shared, 0) AS HUGEINT) * 1000000
+           |    // least(ca.n_caps, cb.n_caps) AS BIGINT) AS transfer_ppm
+           |FROM ipair p
+           |JOIN caps ca ON ca.gid = p.ga
+           |JOIN caps cb ON cb.gid = p.gb
+           |LEFT JOIN sh ON sh.ga = p.ga AND sh.gb = p.gb
+           |ORDER BY p.ga, p.gb""".stripMargin
       })
   )
 }

@@ -1332,6 +1332,66 @@ object PipelineOps {
          |  CAST(CAST(SUM(n_tokens) - SUM(CASE WHEN keeper THEN n_tokens ELSE 0 END)
          |      AS HUGEINT) * 1000000 // CAST(SUM(n_tokens) AS HUGEINT) AS BIGINT)
          |    AS saved_ppm
-         |FROM k GROUP BY 1 ORDER BY source""".stripMargin)
+         |FROM k GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // -- post-dedup mixture shift ----------------------------------------
+    // p04 tunes source weights on the RAW corpus; exact dedup (d01's
+    // keep-first) then removes a DIFFERENT share of each source, so the
+    // mixture the model actually trains on drifts from the one that was
+    // tuned. Per source: raw vs deduped doc share (exact integer ppm)
+    // and the signed drift — the number a curation pipeline re-balances
+    // against after every dedup pass (or, at 100 TB, the reason mixture
+    // weights must be fit on the DEDUPED corpus, not the crawl). One
+    // keeper window on the 16-byte text hash (the p23 move: text never
+    // shuffles), one partial-agg exchange on source, bounded output; the
+    // two ppm denominators ride a 1-row aggregate-bounded broadcast.
+    QueryDef.sql("p24_post_dedup_mixture",
+      (s, d) => {
+        val marked = OpUtils.transientPersist(s, s"p24:$d",
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              unhex(md5(trim(col("text")))).as("h"))
+            .withColumn("keeper",
+              row_number().over(Window.partitionBy(col("h"))
+                .orderBy(col("doc_id"))) === 1)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("raw_docs"),
+              sum(when(col("keeper"), 1L).otherwise(0L)).as("dedup_docs")))
+        val tot = marked.agg(sum(col("raw_docs")).as("raw_total"),
+          sum(col("dedup_docs")).as("dedup_total"))
+        marked.crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
+          .withColumn("raw_ppm",
+            expr("CAST(CAST(raw_docs AS DECIMAL(38,0)) * 1000000 DIV raw_total AS BIGINT)"))
+          .withColumn("dedup_ppm",
+            expr("CAST(CAST(dedup_docs AS DECIMAL(38,0)) * 1000000 DIV dedup_total AS BIGINT)"))
+          .withColumn("drift_ppm", col("dedup_ppm") - col("raw_ppm"))
+          .select(col("source"), col("raw_docs"), col("dedup_docs"),
+            col("raw_ppm"), col("dedup_ppm"), col("drift_ppm"))
+          .orderBy(col("source"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id, source, unhex(md5(trim(text))) AS h FROM documents),
+         |k AS (
+         |  SELECT source, row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+         |    AS keeper
+         |  FROM t),
+         |g AS (
+         |  SELECT source, COUNT(*) AS raw_docs,
+         |    CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS dedup_docs
+         |  FROM k GROUP BY 1),
+         |tt AS (
+         |  SELECT CAST(SUM(raw_docs) AS BIGINT) AS raw_total,
+         |    CAST(SUM(dedup_docs) AS BIGINT) AS dedup_total
+         |  FROM g)
+         |SELECT source, raw_docs, dedup_docs,
+         |  CAST(CAST(raw_docs AS HUGEINT) * 1000000 // raw_total AS BIGINT)
+         |    AS raw_ppm,
+         |  CAST(CAST(dedup_docs AS HUGEINT) * 1000000 // dedup_total AS BIGINT)
+         |    AS dedup_ppm,
+         |  CAST(CAST(dedup_docs AS HUGEINT) * 1000000 // dedup_total AS BIGINT)
+         |    - CAST(CAST(raw_docs AS HUGEINT) * 1000000 // raw_total AS BIGINT)
+         |    AS drift_ppm
+         |FROM g, tt
+         |ORDER BY source""".stripMargin)
   )
 }

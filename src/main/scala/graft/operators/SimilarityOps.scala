@@ -2156,6 +2156,77 @@ object SimilarityOps {
          |  ON arm.format = tx.format AND arm.q_id = tx.q_id AND arm.n_id = tx.n_id
          |GROUP BY 1, 2
          |ORDER BY tx.format""".stripMargin
-      })
+      }),
+
+    // -- IVF split advisor ----------------------------------------------
+    // The index-maintenance decision s22's balance audit feeds: WHICH
+    // inverted lists to split when the index degrades. A list is a
+    // split candidate when it is both POPULATED and SPREAD — score =
+    // n_vecs × mean residual, where the residual of a vector is
+    // (1 − cosine-to-its-centroid) in exact nano fixed point (per-row
+    // floor to integer, then exact integer sums — the s27/s29 rule: a
+    // double SUM over a shuffle is order-dependent and would flap the
+    // oracle hash). 100 TB shape: assignment is the s22 map-side fold
+    // over the broadcast codebook (no corpus shuffle for the join),
+    // one partial-agg exchange on cell, and the ranking window runs on
+    // the ≤|cells| aggregate-bounded frame.
+    QueryDef.sql("s32_ivf_split_advisor",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = centroids(s, d, e)
+          .select(col("label").cast("long").as("cell"), col("cv"))
+        val centArr = cents.agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+        val assigned = e.crossJoin(broadcast(centArr))
+          .withColumn("best", aggregate(col("cents"),
+            struct(lit(-2.0).as("s"), lit(-1L).as("c")),
+            (acc, x) => {
+              val sc = cosine(col("v"), x.getField("cv"))
+              when(sc > acc.getField("s") ||
+                  (sc === acc.getField("s") && x.getField("cell") < acc.getField("c")),
+                struct(sc.as("s"), x.getField("cell").as("c")))
+                .otherwise(acc)
+            }))
+          .select(col("best").getField("c").as("cell"),
+            floor((lit(1.0) - col("best").getField("s")) * lit(1e9))
+              .cast("long").as("resid_nano"))
+        val g = OpUtils.transientPersist(s, s"s32:$d",
+          assigned.groupBy(col("cell"))
+            .agg(count(lit(1)).as("n_vecs"),
+              sum(col("resid_nano")).as("sum_resid_nano")))
+        g.withColumn("mean_resid_nano", expr("sum_resid_nano DIV n_vecs"))
+          .withColumn("split_score",
+            expr("n_vecs * (sum_resid_nano DIV n_vecs)"))
+          .withColumn("split_rank", row_number().over(
+            Window.orderBy(col("split_score").desc, col("cell"))))
+          .select(col("cell"), col("n_vecs"), col("mean_resid_nano"),
+            col("split_score"), col("split_rank"),
+            (col("split_rank") <= 3).as("split_now"))
+          .orderBy(col("cell"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents0 AS ($oCents),
+         |cents AS (SELECT CAST(label AS BIGINT) AS cell, cv FROM cents0),
+         |ass0 AS (
+         |  SELECT e.vec_id, c.cell, ${oCosine("e.v", "c.cv")} AS sc,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${oCosine("e.v", "c.cv")} DESC, c.cell) AS r
+         |  FROM e CROSS JOIN cents c),
+         |res AS (
+         |  SELECT cell, CAST(floor((1 - sc) * 1e9) AS BIGINT) AS resid_nano
+         |  FROM ass0 WHERE r = 1),
+         |g AS (
+         |  SELECT cell, COUNT(*) AS n_vecs,
+         |    CAST(SUM(resid_nano) AS BIGINT) AS sum_resid_nano
+         |  FROM res GROUP BY cell),
+         |sheet AS (
+         |  SELECT cell, n_vecs, sum_resid_nano // n_vecs AS mean_resid_nano,
+         |    n_vecs * (sum_resid_nano // n_vecs) AS split_score
+         |  FROM g)
+         |SELECT cell, n_vecs, mean_resid_nano, split_score,
+         |  CAST(row_number() OVER (ORDER BY split_score DESC, cell) AS INTEGER)
+         |    AS split_rank,
+         |  row_number() OVER (ORDER BY split_score DESC, cell) <= 3 AS split_now
+         |FROM sheet
+         |ORDER BY cell""".stripMargin)
   )
 }

@@ -1567,6 +1567,73 @@ object TextOps {
          |FROM base
          |JOIN win ON base.source = win.source
          |JOIN ptop ON base.source = ptop.source
-         |ORDER BY base.source""".stripMargin)
+         |ORDER BY base.source""".stripMargin),
+
+    // -- tokenizer fertility sheet per (lang, source) -------------------
+    // The vocabulary-design read a training pipeline takes BEFORE
+    // committing to a tokenizer: under a BPE-ish pre-tokenization
+    // (letter runs | single digits | single symbols — the byte-fallback
+    // classes), how many tokens does a word cost (fertility), how long
+    // is a token, and what share of tokens are symbol/digit fallbacks?
+    // A high-fertility (lang, source) cell is where a byte-level
+    // tokenizer bloats sequence length and where vocab budget should
+    // go. Exact integer ppm/milli throughout — no float drift. The
+    // regex is a plain character-class alternation evaluated
+    // identically by Java regex and DuckDB's RE2; text lowercases
+    // first so the classes close. 100 TB shape: tokenization is
+    // map-side (one regexp_extract_all per doc, no token strings ever
+    // shuffle — only six per-(lang, source) counters), one partial-agg
+    // exchange on the ≤|langs×sources| frame, bounded output.
+    QueryDef.sql("t31_tokenizer_fertility",
+      (s, d) => {
+        val toks = regexp_extract_all(lower(trim(col("text"))),
+          lit("([a-z]+|[0-9]|[^a-z0-9 ])"), lit(0))
+        Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            size(words(col("text"))).as("nw"),
+            size(toks).as("nt"),
+            length(concat_ws("", toks)).as("tok_chars"),
+            size(filter(toks, t => t.rlike("^[a-z]+$"))).as("nt_word"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_words"),
+            sum(col("nt")).as("n_tokens"),
+            sum(col("tok_chars")).as("n_tok_chars"),
+            sum(col("nt") - col("nt_word")).as("n_fallback"))
+          .withColumn("fertility_milli",
+            expr("n_tokens * 1000 DIV n_words"))
+          .withColumn("chars_per_token_milli",
+            expr("n_tok_chars * 1000 DIV n_tokens"))
+          .withColumn("fallback_ppm",
+            expr("CAST(CAST(n_fallback AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"))
+          .orderBy(col("lang"), col("source"))
+      },
+      s"""WITH t AS (
+         |  SELECT lang, source,
+         |    len(${oWords("text")}) AS nw,
+         |    regexp_extract_all(lower(trim(text)), '([a-z]+|[0-9]|[^a-z0-9 ])')
+         |      AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, source, nw, len(toks) AS nt,
+         |    length(array_to_string(toks, '')) AS tok_chars,
+         |    len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$$')))
+         |      AS nt_word
+         |  FROM t),
+         |g AS (
+         |  SELECT lang, source, COUNT(*) AS n_docs,
+         |    CAST(SUM(nw) AS BIGINT) AS n_words,
+         |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(tok_chars) AS BIGINT) AS n_tok_chars,
+         |    CAST(SUM(nt - nt_word) AS BIGINT) AS n_fallback
+         |  FROM m GROUP BY 1, 2)
+         |SELECT lang, source, n_docs, n_words, n_tokens, n_tok_chars,
+         |  n_fallback,
+         |  n_tokens * 1000 // n_words AS fertility_milli,
+         |  n_tok_chars * 1000 // n_tokens AS chars_per_token_milli,
+         |  CAST(CAST(n_fallback AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+         |    AS fallback_ppm
+         |FROM g
+         |ORDER BY lang, source""".stripMargin)
   )
 }

@@ -610,6 +610,38 @@ object EventStreams {
           .as("ref_status"),
         (col("img_ref").isNull && col("verdict") === "ok").as("reclaimable_ok"))
 
+  /** Streaming tokenizer-fertility sheet — t31 live at ingest: each
+    * arriving document tokenizes map-side under the same BPE-ish
+    * pre-tokenization (letter runs | digits | symbol fallbacks) and
+    * folds six counters into per-(lang, source) running sums; the
+    * fertility/chars-per-token/fallback ratios re-derive from the
+    * RUNNING sums every micro-batch, so the complete-mode table is
+    * batch-exact whatever the arrival order. State is bounded at one
+    * row per (lang, source) — the sheet a vocab-design run watches
+    * while a crawl is still landing. */
+  def tokenizerFertilityStream(docs: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(lower(trim(col("text"))),
+      lit("([a-z]+|[0-9]|[^a-z0-9 ])"), lit(0))
+    docs
+      .select(col("lang"), col("source"),
+        size(split(trim(col("text")), " +")).as("nw"),
+        size(toks).as("nt"),
+        length(concat_ws("", toks)).as("tok_chars"),
+        size(filter(toks, t => t.rlike("^[a-z]+$"))).as("nt_word"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("tok_chars")).as("n_tok_chars"),
+        sum(col("nt") - col("nt_word")).as("n_fallback"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_tok_chars"), col("n_fallback"),
+        expr("n_tokens * 1000 DIV n_words").as("fertility_milli"),
+        expr("n_tok_chars * 1000 DIV n_tokens").as("chars_per_token_milli"),
+        expr("CAST(CAST(n_fallback AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)")
+          .as("fallback_ppm"))
+  }
+
   /** Events table as a bounded "stream" via a rate-limited file source
     * shape: for tests we use MemoryStream; this loader reads the parquet
     * with the micro-second normalization applied. */

@@ -1480,6 +1480,64 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d33: calibration sheet never materializes a pair — buckets aggregate, no join at all") {
+    val p = plan("d33_lsh_calibration")
+    // probe cost comes from bucket SIZES (Σ s·(s−1)/2), so the plan has
+    // no join of any kind and no candidate explosion
+    assert(!p.contains("Join"), p)
+    // signatures come from the persisted store: no parquet scan above
+    // the first cache boundary
+    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+    // exchanges carry (config, band, key) over the 16-long sigs — never text
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
+  }
+
+  test("t31: tokenization is map-side — no join, one (lang, source) shuffle, no token strings cross") {
+    val p = plan("t31_tokenizer_fertility")
+    assert(!p.contains("Join"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.length === 1 &&
+      shuffled.head.contains("lang#") && shuffled.head.contains("source#"), p)
+    // only the six per-group counters shuffle, never token arrays or text
+    assert(!shuffled.head.contains("text#") && !shuffled.head.contains("toks"), p)
+  }
+
+  test("p24: keeper marking is ONE window on the 16-byte hash; denominators ride a 1-row broadcast") {
+    val p = plan("p24_post_dedup_mixture")
+    // the keeper window lives INSIDE the persisted source rollup (both
+    // consumers read the cache, whose subtree prints once per scan) —
+    // no window runs above the cache boundary
+    assert(!p.split("InMemoryRelation")(0).contains("Window ["), p)
+    assert(p.contains("Window ["), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
+    // the totals join is the 1-row aggregate-bounded broadcast, nothing bigger
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("s32: assignment is the broadcast-codebook fold; ranking window runs on the bounded cell frame") {
+    val p = plan("s32_ivf_split_advisor")
+    // no corpus-side shuffle for the assignment: the codebook is a 1-row
+    // collected broadcast, so the only exchanges are the cell agg (and
+    // the bounded frame's ranking window)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.exists(_.contains("cell#")), p)
+  }
+
+  test("m23: image pairs are the native bucket-generate; caption side shuffles hashes only") {
+    val p = plan("m23_caption_transfer")
+    assert(p.contains("Generate hamming_pairs"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the caption-content frame shuffles 16-byte hashes, never text
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!shuffled.exists(_.contains("text#")), p)
+    // pair/count frames reach the output through broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("p22 totals: the two-level layout packs every source to p02's exact token total") {
     val a = SparkEntry.queries("p22_subshard_packing")(spark, sf)
       .groupBy(col("source"))

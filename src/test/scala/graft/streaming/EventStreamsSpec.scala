@@ -667,6 +667,39 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming tokenizer fertility converges to the batch t31 sheet") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("text"))
+      .as[(String, String, String)].collect().toSeq
+    val input = MemoryStream[(String, String, String)]
+    val query = EventStreams.tokenizerFertilityStream(
+        input.toDF().toDF("lang", "source", "text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("fertility_out").start()
+    // three chunks: the counter sums fold incrementally; the ratio
+    // columns must re-derive from RUNNING sums each batch, so the final
+    // table is batch-exact whatever the split
+    val chunks = docs.grouped(math.max(1, docs.size / 3 + 1)).toSeq
+    chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+    query.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))
+    val cols = Seq("lang", "source", "n_docs", "n_words", "n_tokens",
+      "n_tok_chars", "n_fallback", "fertility_milli",
+      "chars_per_token_milli", "fallback_ppm").map(col)
+    val got = spark.table("fertility_out").select(cols: _*).collect().map(key).toSet
+    val want = graft.SparkEntry.queries("t31_tokenizer_fertility")(spark, sf)
+      .select(cols: _*).collect().map(key).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("streaming orphan-asset audit replays m21's classification at ingest") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
