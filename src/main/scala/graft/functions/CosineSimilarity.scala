@@ -146,6 +146,8 @@ object GraftFunctions {
       "pq_dist_table", exprs => PqDistTable(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hamming_pairs", exprs => HammingPairs(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "value_pairs", exprs => ValuePairs(exprs(0)), "built-in")
   }
 
   /** Column API over the registered function. */
@@ -191,4 +193,8 @@ object GraftFunctions {
   def hammingPairs(members: Column, maxHamming: Int): Column =
     org.apache.spark.sql.functions.call_function("hamming_pairs", members,
       org.apache.spark.sql.functions.lit(maxHamming))
+
+  /** Ordered index-pair generator over a long array — see [[ValuePairs]]. */
+  def valuePairs(values: Column): Column =
+    org.apache.spark.sql.functions.call_function("value_pairs", values)
 }

@@ -106,3 +106,61 @@ case class HammingPairs(members: Expression, maxHamming: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(members = newChildren(0), maxHamming = newChildren(1))
 }
+
+/** Native pair generator over one value array: given `ARRAY<BIGINT>`,
+  * emits `(a, b)` for every index pair i < j, ordered a = min, b = max.
+  *
+  * The co-occurrence workhorse (q50 baskets): replaces the interpreted
+  * nested-`transform` pair explode, which materialized an
+  * array-of-struct of the whole triangle per group through a
+  * CodegenFallback HOF before the explode could even start. Here the
+  * triangle is walked lazily — a pair exists only for the instant the
+  * consumer reads it. Null elements reject loudly. */
+case class ValuePairs(values: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(values)
+
+  override def prettyName: String = "value_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = values.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"value_pairs expects ARRAY<BIGINT>, got $other")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = values.eval(input)
+    if (arr == null) return Iterator.empty
+    val data = arr.asInstanceOf[ArrayData]
+    val n = data.numElements()
+    if (n < 2) return Iterator.empty
+    val vs = new Array[Long](n)
+    var k = 0
+    while (k < n) {
+      require(!data.isNullAt(k), "value_pairs: null element")
+      vs(k) = data.getLong(k)
+      k += 1
+    }
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      override def hasNext: Boolean = i < n - 1
+      override def next(): InternalRow = {
+        val lo = math.min(vs(i), vs(j))
+        val hi = math.max(vs(i), vs(j))
+        j += 1
+        if (j >= n) { i += 1; j = i + 1 }
+        InternalRow(lo, hi)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(values = newChildren(0))
+}

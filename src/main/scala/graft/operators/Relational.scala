@@ -917,18 +917,19 @@ object Relational {
     // corpus-bounded.
     QueryDef.sql("q50_basket_pairs",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val ps = sort_array(collect_set(col("l_partkey")))
+        // r12: the pair triangle is the native value_pairs generator —
+        // the old nested-transform explode materialized the whole
+        // triangle as an array-of-struct per order through an
+        // interpreted HOF before exploding it
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"))
           .groupBy(col("l_orderkey"))
           .agg(ps.as("ps"))
-          .filter(size(col("ps")) >= 2)
-          .select(explode(flatten(transform(
-            sequence(lit(1), size(col("ps")) - 1),
-            i => transform(sequence(i + 1, size(col("ps"))),
-              j => struct(element_at(col("ps"), i).as("pk1"),
-                element_at(col("ps"), j).as("pk2")))))).as("p"))
-          .groupBy(col("p.pk1").as("pk1"), col("p.pk2").as("pk2"))
+          .select(graft.functions.GraftFunctions.valuePairs(col("ps"))
+            .as(Seq("pk1", "pk2")))
+          .groupBy(col("pk1"), col("pk2"))
           .agg(count(lit(1)).as("n_orders"))
           .filter(col("n_orders") >= 2)
           .orderBy(col("pk1"), col("pk2"))

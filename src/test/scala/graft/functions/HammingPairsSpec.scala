@@ -78,6 +78,27 @@ class HammingPairsSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L, 2)))
   }
 
+  test("value_pairs equals the nested-transform pair explode on real baskets") {
+    val ps = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val viaGen = ps
+      .select(GraftFunctions.valuePairs(col("ps")).as(Seq("pk1", "pk2")))
+      .groupBy(col("pk1"), col("pk2")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaHof = ps.filter(size(col("ps")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("ps")) - 1),
+        i => transform(sequence(i + 1, size(col("ps"))),
+          j => struct(element_at(col("ps"), i).as("pk1"),
+            element_at(col("ps"), j).as("pk2")))))).as("p"))
+      .groupBy(col("p.pk1").as("pk1"), col("p.pk2").as("pk2"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGen.nonEmpty)
+    assert(viaGen === viaHof)
+  }
+
   test("singleton and empty buckets emit nothing; null member rejects loudly") {
     val one = spark.sql(
       "SELECT hamming_pairs(array(struct(CAST(1 AS BIGINT), CAST(2 AS BIGINT))), 60)")

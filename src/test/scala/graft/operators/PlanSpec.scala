@@ -731,6 +731,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
     assert(shuffles === 2, p) // orderkey group + pair rollup
+    // r12: the pair triangle is the native lazy generator, not the
+    // interpreted nested-transform array build
+    assert(p.contains("Generate value_pairs"), p)
   }
 
   test("q51: the growth lag window runs over the bounded (tier, month) agg") {
