@@ -79,7 +79,7 @@ object SparkEntry {
       "d23_prefix_dedup", "d24_soft_dedup_weights", "d25_threshold_sweep",
       "d26_dup_trend", "d27_cross_source_lines", "d28_cluster_keeper",
       "d29_normalized_dedup", "d30_sample_dedup_rate", "d31_embedding_coverage",
-      "d32_quality_dup_profile", "d33_lsh_calibration",
+      "d32_quality_dup_profile", "d33_lsh_calibration", "d34_minhash_estimator_error",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "s08_recall_eval",
       "s09_pq_search", "s11_ivfpq_search", "s13_cascade_rerank",
       "s14_embedding_health", "s16_binary_hamming", "s17_mips_lsh",
@@ -103,6 +103,7 @@ object SparkEntry {
       "p16_shard_manifest", "p17_shard_skew", "p18_shard_mixture",
       "p19_resume_manifest", "p20_epoch_decorrelation", "p21_crossmodal_coverage",
       "p22_subshard_packing", "p23_dedup_aware_packing", "p24_post_dedup_mixture",
+      "p25_shard_dedup_leakage",
       "m11_pair_gate", "m12_audio_gate", "m13_video_length_gate",
       "m14_aspect_buckets", "m15_scene_cuts", "m16_channel_norm",
       "m17_corrupt_audit", "m18_image_band_neardup", "m19_audio_band_neardup",

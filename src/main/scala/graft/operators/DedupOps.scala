@@ -123,6 +123,70 @@ object DedupOps {
   private def candidateGramSets(s: SparkSession, d: String): DataFrame =
     withGramSets(s, d, bandCandidates(s, d))
 
+  /** d09's verified near-dup pair set (a_id, b_id, hamming) — 60-bit
+    * simhash, 4×15-bit bands, hamming ≤ 3. Shared by d09 and p25.
+    *
+    * Persist barrier (the m18/m19 house move): without it every
+    * consumer branch re-runs the full text scan + sketch pipeline, and
+    * the key isnotnull inference re-evaluates simhash60 a second time
+    * per row below the project — the sketch computes once, 16 bytes/doc
+    * cross into the band buckets.
+    *
+    * Bucket-and-generate instead of self-join (r12): group each
+    * (band, key) bucket's members once, then the native hamming_pairs
+    * generator walks the bucket triangle with raw xor+popcount — the
+    * same O(|bucket|²) candidate evaluations the self-join did on the
+    * same worker, minus the per-candidate join machinery (28.2M
+    * joined-row constructions at sf1 for ~30k survivors; see
+    * bench/r12_d09_proportionality.json), and ONE exchange of the band
+    * rows instead of two sorted join sides. Survivor rows (hamming ≤ 3,
+    * verified in-loop — still BEFORE the distinct shuffle, the r10
+    * verdict #1 invariant) are the only thing materialized. */
+  private[operators] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = OpUtils.transientPersist(s, s"d09:$d",
+      Tables.documents(s, d)
+        // native gram_hashes60 width 1: per-word hashes in one pass
+        .withColumn("hs", graft.functions.GraftFunctions
+          .gramHashes60(words(col("text")), 1))
+        .withColumn("simhash", graft.functions.GraftFunctions.simHash60(col("hs")))
+        .select(col("doc_id"), col("simhash")))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
+    bands.groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .select(graft.functions.GraftFunctions
+        .hammingPairs(col("members"), 3).as(Seq("a_id", "b_id", "hamming")))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[simhashPairs]] — CTE chain ending in
+    * `spairs(a_id, b_id, hamming)`. */
+  private[operators] def oSimhashPairCtes(oWordsText: String, oMd5: (String, Int) => String): String =
+    s"""h AS (
+       |  SELECT doc_id,
+       |    list_transform($oWordsText, w -> ${oMd5("w", 15)}) AS hs
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 60), j ->
+       |      CASE WHEN list_reduce([0] || list_transform(hs, x ->
+       |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+       |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
+       |      (a, b) -> a + b) AS simhash
+       |  FROM h),
+       |k AS (
+       |  SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sh),
+       |kb AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key FROM k),
+       |spairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM kb a JOIN kb b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin
+
   /** Both-direction containment projection over (a_id, b_id, ga, gb) —
     * the scoring stage shared by d12 and d13. */
   private def containment(cands: DataFrame): DataFrame =
@@ -552,41 +616,7 @@ object DedupOps {
     // collision volume (~12× bucket population, quadratic in pair
     // count), so 4×15 stands.
     QueryDef.sql("d09_simhash_band_pairs",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        // persist barrier (the m18/m19 house move): without it BOTH
-        // self-join sides re-run the full text scan + sketch pipeline,
-        // and the join-key isnotnull inference re-evaluates simhash60 a
-        // second time per row below the project — the sketch computes
-        // once, 16 bytes/doc cross into the band join
-        val sh = OpUtils.transientPersist(s, s"d09:$d",
-          Tables.documents(s, d)
-            // native gram_hashes60 width 1: per-word hashes in one pass
-            .withColumn("hs", graft.functions.GraftFunctions
-              .gramHashes60(words(col("text")), 1))
-            .withColumn("simhash", graft.functions.GraftFunctions.simHash60(col("hs")))
-            .select(col("doc_id"), col("simhash")))
-        val bands = sh.select(col("doc_id"), col("simhash"),
-            explode(sequence(lit(0), lit(3))).as("band"))
-          .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
-        // Bucket-and-generate instead of self-join (r12): group each
-        // (band, key) bucket's members once, then the native
-        // hamming_pairs generator walks the bucket triangle with raw
-        // xor+popcount — the same O(|bucket|²) candidate evaluations
-        // the self-join did on the same worker, minus the per-candidate
-        // join machinery (28.2M joined-row constructions at sf1 for
-        // ~30k survivors; see bench/r12_d09_proportionality.json), and
-        // ONE exchange of the band rows instead of two sorted join
-        // sides. Survivor rows (hamming <= 3, verified in-loop — still
-        // BEFORE the distinct shuffle, the r10 verdict #1 invariant)
-        // are the only thing materialized.
-        bands.groupBy(col("band"), col("key"))
-          .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
-          .select(graft.functions.GraftFunctions
-            .hammingPairs(col("members"), 3).as(Seq("a_id", "b_id", "hamming")))
-          .distinct()
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, d) => simhashPairs(s, d).orderBy(col("a_id"), col("b_id")),
       s"""WITH h AS (
          |  SELECT doc_id,
          |    list_transform(${oWords("text")}, w -> ${oMd5Val("w", 15)}) AS hs
@@ -1726,6 +1756,66 @@ object DedupOps {
            |  ${detectCase(700000L, "//")} AS detect70_ppm,
            |  ${detectCase(900000L, "//")} AS detect90_ppm
            |FROM sheet ORDER BY b""".stripMargin)
+    },
+
+    // -- MinHash estimator calibration ----------------------------------
+    // d03 THRESHOLDS on the exact hashed-gram Jaccard, but a pipeline
+    // that skips verification (or tunes the d33 configs) trusts the
+    // 16-hash ESTIMATE (matching signature positions / 16). This is the
+    // estimator-quality audit: over the LSH candidate pairs, a decile
+    // confusion matrix of estimated vs exact Jaccard with the mean
+    // absolute error per cell — all exact integer ppm (matches·1e6/16
+    // and |∩|·1e6/|∪|; no float estimate drift between engines). The
+    // calibration read: how far off-diagonal does mass sit, i.e. can
+    // the verify stage be skipped at a given threshold. 100 TB shape:
+    // candidates come from the banded store (output-proportional), sigs
+    // and gram sets join back keyed from the persisted frames, the
+    // matrix is a ≤100-row rollup.
+    {
+      val sigMatches = (sa: String, sb: String) =>
+        s"""aggregate(sequence(1, 16), 0,
+           |  (acc, i) -> acc + IF(element_at($sa, i) = element_at($sb, i), 1, 0))"""
+          .stripMargin.replace("\n", " ")
+      QueryDef.sql("d34_minhash_estimator_error",
+        (s, d) => {
+          val sigs = signatures(s, d).select(col("doc_id"), col("sig"))
+          val scored = candidateGramSets(s, d)
+            .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+            .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+            .select(
+              expr(s"${sigMatches("sa", "sb")} * CAST(1000000 AS BIGINT) DIV 16")
+                .as("est_ppm"),
+              expr("size(array_intersect(ga, gb)) * CAST(1000000 AS BIGINT) " +
+                "DIV size(array_union(ga, gb))").as("exact_ppm"))
+          scored
+            .select(least(expr("est_ppm DIV 100000"), lit(9L)).as("est_decile"),
+              least(expr("exact_ppm DIV 100000"), lit(9L)).as("exact_decile"),
+              abs(col("est_ppm") - col("exact_ppm")).as("err"))
+            .groupBy(col("est_decile"), col("exact_decile"))
+            .agg(count(lit(1)).as("n_pairs"),
+              expr("SUM(err) DIV COUNT(*)").as("mean_abs_err_ppm"))
+            .orderBy(col("est_decile"), col("exact_decile"))
+        },
+        s"""WITH $oCandCtes,
+           |scored AS (
+           |  SELECT
+           |    CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+           |      AS BIGINT) * 1000000 // 16 AS est_ppm,
+           |    CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) * 1000000
+           |      // len(list_distinct(ga.gs || gb.gs)) AS exact_ppm
+           |  FROM cand
+           |  JOIN gsets ga ON ga.doc_id = cand.a_id
+           |  JOIN gsets gb ON gb.doc_id = cand.b_id
+           |  JOIN sigs sa ON sa.doc_id = cand.a_id
+           |  JOIN sigs sb ON sb.doc_id = cand.b_id)
+           |SELECT least(est_ppm // 100000, 9) AS est_decile,
+           |  least(exact_ppm // 100000, 9) AS exact_decile,
+           |  COUNT(*) AS n_pairs,
+           |  CAST(SUM(abs(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
+           |    AS mean_abs_err_ppm
+           |FROM scored
+           |GROUP BY 1, 2
+           |ORDER BY est_decile, exact_decile""".stripMargin)
     }
   )
 }

@@ -1392,6 +1392,59 @@ object PipelineOps {
          |    - CAST(CAST(raw_docs AS HUGEINT) * 1000000 // raw_total AS BIGINT)
          |    AS drift_ppm
          |FROM g, tt
-         |ORDER BY source""".stripMargin)
+         |ORDER BY source""".stripMargin),
+
+    // -- near-dup leakage across shuffle shards ---------------------------
+    // Cross-tier composition (dedup × packing): p09's shuffle-shard
+    // assignment is content-BLIND, so a near-dup pair (d09's verified
+    // simhash pairs) lands in one shard only by chance — 1/16 = 62,500
+    // ppm. A same-shard share ABOVE chance means duplicate content
+    // systematically co-locates (a shard-local dedup pass would be
+    // enough); AT chance it doesn't (dedup must run corpus-wide BEFORE
+    // sharding — the ordering this audit justifies). Per shard: the
+    // same-shard near-dup pair count and its share of all near-dup
+    // pairs, exact integer ppm against the chance line. 100 TB shape:
+    // pairs come from the banded bucket-generate (output-proportional),
+    // shard ids are pure arithmetic on the pair ids (no join back to
+    // the corpus), and the rollup is a ≤16-row frame with a 1-row
+    // aggregate-bounded total broadcast.
+    QueryDef.sql("p25_shard_dedup_leakage",
+      (s, d) => {
+        val shardOf = (c: org.apache.spark.sql.Column) =>
+          pmod(md5Val(concat(c.cast("string"), lit("#shuffle")), 15),
+            lit(16L)).cast("int")
+        val pairs = OpUtils.transientPersist(s, s"p25:$d",
+          graft.operators.DedupOps.simhashPairs(s, d)
+            .select(shardOf(col("a_id")).as("shard_a"),
+              shardOf(col("b_id")).as("shard_b")))
+        val tot = pairs.agg(count(lit(1)).as("total_pairs"))
+        pairs.filter(col("shard_a") === col("shard_b"))
+          .groupBy(col("shard_a").as("shard"))
+          .agg(count(lit(1)).as("n_same_pairs"))
+          .crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
+          .withColumn("same_share_ppm",
+            expr("CAST(CAST(n_same_pairs AS DECIMAL(38,0)) * 1000000 " +
+              "DIV total_pairs AS BIGINT)"))
+          .withColumn("chance_ppm", lit(62500L))
+          .orderBy(col("shard"))
+      },
+      s"""WITH ${graft.operators.DedupOps.oSimhashPairCtes(
+            OpUtils.oWords("text"), OpUtils.oMd5Val)},
+         |sp AS (
+         |  SELECT
+         |    CAST(${OpUtils.oMd5Val("CAST(a_id AS VARCHAR) || '#shuffle'", 15)}
+         |      % 16 AS INTEGER) AS shard_a,
+         |    CAST(${OpUtils.oMd5Val("CAST(b_id AS VARCHAR) || '#shuffle'", 15)}
+         |      % 16 AS INTEGER) AS shard_b
+         |  FROM spairs),
+         |tt AS (SELECT COUNT(*) AS total_pairs FROM sp)
+         |SELECT shard_a AS shard, COUNT(*) AS n_same_pairs, tt.total_pairs,
+         |  CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // tt.total_pairs AS BIGINT)
+         |    AS same_share_ppm,
+         |  CAST(62500 AS BIGINT) AS chance_ppm
+         |FROM sp, tt
+         |WHERE shard_a = shard_b
+         |GROUP BY 1, tt.total_pairs
+         |ORDER BY shard""".stripMargin)
   )
 }

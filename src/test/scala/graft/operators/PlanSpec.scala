@@ -1541,6 +1541,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d34: calibration joins are keyed against the persisted sig/gram stores; text never shuffles") {
+    val p = plan("d34_minhash_estimator_error")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // sigs and gram sets come from the persisted stores: no parquet
+    // scan above the first cache boundary
+    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
+  }
+
+  test("p25: shard ids are pure arithmetic on the generated pair ids — no join back to the corpus") {
+    val p = plan("p25_shard_dedup_leakage")
+    assert(p.contains("Generate hamming_pairs"), p)
+    // the only join is the 1-row total broadcast; the shard tags never
+    // touch the documents table again
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) === 1, p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!shuffled.exists(_.contains("text#")), p)
+  }
+
   test("p22 totals: the two-level layout packs every source to p02's exact token total") {
     val a = SparkEntry.queries("p22_subshard_packing")(spark, sf)
       .groupBy(col("source"))
