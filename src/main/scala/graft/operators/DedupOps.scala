@@ -1772,16 +1772,27 @@ object DedupOps {
     // and gram sets join back keyed from the persisted frames, the
     // matrix is a ≤100-row rollup.
     {
-      val sigMatches = (sa: String, sb: String) =>
-        s"""aggregate(sequence(1, 16), 0,
-           |  (acc, i) -> acc + IF(element_at($sa, i) = element_at($sb, i), 1, 0))"""
-          .stripMargin.replace("\n", " ")
+      // 16 unrolled codegen'd comparisons, NOT an aggregate-over-sequence
+      // HOF (interpreted CodegenFallback per candidate pair — measured
+      // 3× the cell at sf1)
+      val sigMatches = (sa: String, sb: String) => (1 to 16)
+        .map(i => s"IF(element_at($sa, $i) = element_at($sb, $i), 1, 0)")
+        .mkString("(", " + ", ")")
       QueryDef.sql("d34_minhash_estimator_error",
         (s, d) => {
-          val sigs = signatures(s, d).select(col("doc_id"), col("sig"))
-          val scored = candidateGramSets(s, d)
-            .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
-            .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+          // one combined (sig, gram-set) frame per doc: candidates join
+          // back TWICE total instead of four times (sigs and gsets
+          // separately per side)
+          val combined = OpUtils.transientPersist(s, s"d34:$d",
+            signatures(s, d).select(col("doc_id"), col("sig"))
+              .join(gramFrame(s, d)
+                .select(col("doc_id"), array_distinct(col("gvs")).as("gs"))
+                .filter(size(col("gs")) > 0), "doc_id"))
+          val scored = bandCandidates(s, d)
+            .join(combined.select(col("doc_id").as("a_id"),
+              col("sig").as("sa"), col("gs").as("ga")), "a_id")
+            .join(combined.select(col("doc_id").as("b_id"),
+              col("sig").as("sb"), col("gs").as("gb")), "b_id")
             .select(
               expr(s"${sigMatches("sa", "sb")} * CAST(1000000 AS BIGINT) DIV 16")
                 .as("est_ppm"),
