@@ -128,6 +128,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_hashes60", exprs => GramHashes60(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_hashes120", exprs => GramHashes120(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash120", exprs => SimHash120(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_agg",
       exprs => CountMinAgg(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -181,6 +185,15 @@ object GraftFunctions {
   def gramHashes60(ws: Column, width: Int): Column =
     org.apache.spark.sql.functions.call_function("gram_hashes60", ws,
       org.apache.spark.sql.functions.lit(width))
+
+  /** Interleaved [hi, lo] 120-bit window hashes — see [[GramHashes120]]. */
+  def gramHashes120(ws: Column, width: Int): Column =
+    org.apache.spark.sql.functions.call_function("gram_hashes120", ws,
+      org.apache.spark.sql.functions.lit(width))
+
+  /** [sketch_hi, sketch_lo] 120-bit majority sketch — see [[SimHash120]]. */
+  def simHash120(hs: Column): Column =
+    org.apache.spark.sql.functions.call_function("simhash120", hs)
 
   def bloomMightContain(bf: Column, k: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", bf, k)

@@ -13,6 +13,11 @@ import org.apache.spark.sql.types._
   * pair with `bit_count(sketch_a ^ sketch_b) <= max_hamming`, ids
   * ordered so `a_id < b_id`.
   *
+  * Two-word sketches (the r13 120-bit simhash, [[SimHash120]]) pass a
+  * three-field struct `STRUCT<id, sketch_hi, sketch_lo>`; hamming is
+  * then `bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)` — the same
+  * in-loop verify over the wider sketch.
+  *
   * Replaces the banded self-join at the near-dup verify sites
   * (d09 / m18 / m19 / m22). The self-join and this generator do the
   * same O(|bucket|²) hamming evaluations on the same worker (equal
@@ -45,14 +50,18 @@ case class HammingPairs(members: Expression, maxHamming: Expression)
   }
 
   override def checkInputDataTypes(): TypeCheckResult = members.dataType match {
-    case ArrayType(StructType(Array(a, b)), _)
-        if a.dataType == LongType && b.dataType == LongType =>
+    case ArrayType(StructType(fs), _)
+        if (fs.length == 2 || fs.length == 3) && fs.forall(_.dataType == LongType) =>
       if (maxHamming.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         s"hamming_pairs: max_hamming must be INT, got ${maxHamming.dataType}")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"hamming_pairs expects ARRAY<STRUCT<BIGINT, BIGINT>>, got $other")
+      s"hamming_pairs expects ARRAY<STRUCT<BIGINT, BIGINT[, BIGINT]>>, got $other")
   }
+
+  private lazy val twoWord: Boolean =
+    members.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].length == 3
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("a_id", LongType, nullable = false),
@@ -66,15 +75,19 @@ case class HammingPairs(members: Expression, maxHamming: Expression)
     val n = data.numElements()
     if (n < 2) return Iterator.empty
     // unpack once: the triangle loop reads each member n-1 times
+    val nf = if (twoWord) 3 else 2
     val ids = new Array[Long](n)
     val sks = new Array[Long](n)
+    val sk2 = if (twoWord) new Array[Long](n) else null
     var k = 0
     while (k < n) {
-      val row = data.getStruct(k, 2)
-      require(row != null && !row.isNullAt(0) && !row.isNullAt(1),
+      val row = data.getStruct(k, nf)
+      require(row != null && !row.isNullAt(0) && !row.isNullAt(1) &&
+        (nf == 2 || !row.isNullAt(2)),
         "hamming_pairs: null member or null id/sketch in bucket")
       ids(k) = row.getLong(0)
       sks(k) = row.getLong(1)
+      if (nf == 3) sk2(k) = row.getLong(2)
       k += 1
     }
     val maxH = maxHam
@@ -84,7 +97,8 @@ case class HammingPairs(members: Expression, maxHamming: Expression)
       private var nextRow: InternalRow = null
       private def advance(): Unit = {
         while (nextRow == null && i < n - 1) {
-          val ham = java.lang.Long.bitCount(sks(i) ^ sks(j))
+          val ham = java.lang.Long.bitCount(sks(i) ^ sks(j)) +
+            (if (sk2 == null) 0 else java.lang.Long.bitCount(sk2(i) ^ sk2(j)))
           if (ham <= maxH) {
             val lo = math.min(ids(i), ids(j))
             val hi = math.max(ids(i), ids(j))

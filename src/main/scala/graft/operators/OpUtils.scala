@@ -125,6 +125,14 @@ object OpUtils {
     s"list_reduce([0] || list_transform(range(1, ${digits + 1}), " +
       s"i -> instr('0123456789abcdef', (md5($e))[i:i]) - 1), (a, b) -> a * 16 + b)"
 
+  /** DuckDB: numeric value of hex chars `start .. start+digits-1`
+    * (1-based) of md5(expr) — the offset twin of [[oMd5Val]], mirroring
+    * [[graft.functions.GramHashes120]]'s lo half (start = 16). `digits`
+    * ≤ 15 keeps the fold inside signed BIGINT. */
+  def oMd5ValAt(e: String, start: Int, digits: Int): String =
+    s"list_reduce([0] || list_transform(range($start, ${start + digits}), " +
+      s"i -> instr('0123456789abcdef', (md5($e))[i:i]) - 1), (a, b) -> a * 16 + b)"
+
   /** DuckDB: left fold sum of a double-list expression from 0.0. */
   def oSumFold(arr: String): String =
     s"list_reduce([CAST(0.0 AS DOUBLE)] || ($arr), (a, b) -> a + b)"
