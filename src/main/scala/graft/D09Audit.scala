@@ -23,43 +23,60 @@ object D09Audit {
     try {
       graft.functions.GraftFunctions.register(spark)
       val t0 = System.nanoTime()
-      // the exact d09 sketch pipeline (DedupOps d09_simhash_band_pairs)
+      // the exact d09 sketch pipeline (DedupOps d09_simhash_band_pairs;
+      // r13: 120-bit sketch, 4×30-bit bands — r12 verdict #1)
+      val bandKey = "(CASE WHEN band < 2 THEN shiftright(sh_hi, band * 30) " +
+        "ELSE shiftright(sh_lo, (band - 2) * 30) END) & 1073741823"
       val sh = Tables.documents(spark, sfDir)
-        .withColumn("hs", graft.functions.GraftFunctions
-          .gramHashes60(operators.OpUtils.words(col("text")), 1))
-        .withColumn("simhash", graft.functions.GraftFunctions.simHash60(col("hs")))
-        .select(col("doc_id"), col("simhash"))
+        .withColumn("sk", graft.functions.GraftFunctions.simHash120(
+          graft.functions.GraftFunctions
+            .gramHashes120(operators.OpUtils.words(col("text")), 1)))
+        .select(col("doc_id"),
+          element_at(col("sk"), 1).as("sh_hi"),
+          element_at(col("sk"), 2).as("sh_lo"))
         .persist()
       val nDocs = sh.count()
-      val bands = sh.select(col("doc_id"), col("simhash"),
+      val bands = sh.select(col("doc_id"), col("sh_hi"), col("sh_lo"),
           explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
+        .withColumn("key", expr(bandKey))
       val joined = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+          (expr("bit_count(a.sh_hi ^ b.sh_hi)") +
+            expr("bit_count(a.sh_lo ^ b.sh_lo)")).as("hamming"))
         .persist()
       val collisionRows = joined.count() // band-join output (incl. multi-band hits)
+      // bucket-population profile: the collect_list skew guard's working
+      // set (max members per (band, key)) and how the collision mass
+      // spreads — the number that bounds the generator's per-bucket
+      // triangle at any SF
+      val bstats = bands.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), count(lit(1)).as("nb")).head()
+      val (maxBucket, nBuckets) = (bstats.getLong(0), bstats.getLong(1))
       val candidatePairs = joined.select("a_id", "b_id").distinct().count()
       val truePairs =
         joined.filter(col("hamming") <= 3).select("a_id", "b_id").distinct().count()
       // the same candidate join over the DISTINCT sketch frame (the m18
       // exact-dedup-first move): how much of the collision volume is
       // identical sketches colliding with themselves copy × copy?
-      val reps = sh.select(col("simhash")).distinct().persist()
+      val reps = sh.select(col("sh_hi"), col("sh_lo")).distinct().persist()
       val nSketches = reps.count()
-      val bandsD = reps.select(col("simhash"),
+      val bandsD = reps.select(col("sh_hi"), col("sh_lo"),
           explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
+        .withColumn("key", expr(bandKey))
       val distinctCollisions = bandsD.as("a").join(bandsD.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.simhash") < col("b.simhash")).count()
+            (col("a.sh_hi") < col("b.sh_hi") ||
+              (col("a.sh_hi") === col("b.sh_hi") &&
+                col("a.sh_lo") < col("b.sh_lo")))).count()
       reps.unpersist()
       val secs = (System.nanoTime() - t0) / 1e9
       joined.unpersist(); sh.unpersist()
       val json =
         f"""{"sf_dir":"$sfDir","n_docs":$nDocs,"n_sketches":$nSketches,""" +
+          f""""max_bucket":$maxBucket,"n_buckets":$nBuckets,""" +
           f""""collision_rows":$collisionRows,""" +
           f""""distinct_sketch_collisions":$distinctCollisions,""" +
           f""""candidate_pairs":$candidatePairs,"true_pairs":$truePairs,""" +

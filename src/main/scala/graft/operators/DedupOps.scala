@@ -123,69 +123,118 @@ object DedupOps {
   private def candidateGramSets(s: SparkSession, d: String): DataFrame =
     withGramSets(s, d, bandCandidates(s, d))
 
-  /** d09's verified near-dup pair set (a_id, b_id, hamming) — 60-bit
-    * simhash, 4×15-bit bands, hamming ≤ 3. Shared by d09 and p25.
+  /** Over-cap LSH band buckets are excluded from pair generation (r12
+    * verdict #6): `collect_list` has no spill, so one viral band key at
+    * 100× would materialize an unbounded member array in a single
+    * aggregation buffer. A (band, key) shared by >2^16 documents is
+    * degenerate content, not near-dup structure — the d13
+    * >16-docs-per-gram stop-gram move, one tier up. Both engines apply
+    * the same rule, so oracle equality holds even when it fires; at the
+    * test SFs no bucket comes near the cap (sf1 max ≈ tens). */
+  private[operators] val MaxBandBucket: Long = 1L << 16
+
+  /** d09's verified near-dup pair set (a_id, b_id, hamming) — 120-bit
+    * simhash ([[graft.functions.SimHash120]]), 4×30-bit bands,
+    * hamming ≤ 3. Shared by d09 and p25.
+    *
+    * 120-bit sketch (r12 verdict #1): the 60-bit sketch's 4×15-bit
+    * bands (32,768 values/band) had MEASURED ~quadratic collision-mass
+    * growth — collision rows 103× on 10× docs, collisions-per-true-pair
+    * 531→939 (bench/r12_d09_proportionality.json) — because simhash
+    * band values are common-word-correlated and a 15-bit keyspace is
+    * too small to separate them. 30-bit bands (2^30 values/band)
+    * collapse that collision class; pigeonhole still covers
+    * hamming ≤ 3 exactly (3 flips touch ≤ 3 of 4 disjoint bands).
+    * Hashing cost is unchanged: both 60-bit halves come from the ONE
+    * md5 the old sketch already computed.
     *
     * Persist barrier (the m18/m19 house move): without it every
-    * consumer branch re-runs the full text scan + sketch pipeline, and
-    * the key isnotnull inference re-evaluates simhash60 a second time
-    * per row below the project — the sketch computes once, 16 bytes/doc
-    * cross into the band buckets.
+    * consumer branch re-runs the full text scan + sketch pipeline —
+    * the sketch computes once, 24 bytes/doc cross into the band
+    * buckets.
     *
     * Bucket-and-generate instead of self-join (r12): group each
     * (band, key) bucket's members once, then the native hamming_pairs
-    * generator walks the bucket triangle with raw xor+popcount — the
-    * same O(|bucket|²) candidate evaluations the self-join did on the
-    * same worker, minus the per-candidate join machinery (28.2M
-    * joined-row constructions at sf1 for ~30k survivors; see
-    * bench/r12_d09_proportionality.json), and ONE exchange of the band
-    * rows instead of two sorted join sides. Survivor rows (hamming ≤ 3,
-    * verified in-loop — still BEFORE the distinct shuffle, the r10
-    * verdict #1 invariant) are the only thing materialized. */
+    * generator walks the bucket triangle with raw xor+popcount.
+    * Survivor rows (hamming ≤ 3, verified in-loop — BEFORE the
+    * distinct shuffle, the r10 verdict #1 invariant) are the only
+    * thing materialized. Buckets over [[MaxBandBucket]] are excluded
+    * first (skew guard): the hot-key frame is aggregate-bounded
+    * (≤ 4n/cap keys) and broadcasts into a left_anti. */
   private[operators] def simhashPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sh = OpUtils.transientPersist(s, s"d09:$d",
       Tables.documents(s, d)
-        // native gram_hashes60 width 1: per-word hashes in one pass
-        .withColumn("hs", graft.functions.GraftFunctions
-          .gramHashes60(words(col("text")), 1))
-        .withColumn("simhash", graft.functions.GraftFunctions.simHash60(col("hs")))
-        .select(col("doc_id"), col("simhash")))
-    val bands = sh.select(col("doc_id"), col("simhash"),
+        // native: ONE md5 pass per word feeds both 60-bit halves
+        .withColumn("sk", graft.functions.GraftFunctions.simHash120(
+          graft.functions.GraftFunctions.gramHashes120(words(col("text")), 1)))
+        .select(col("doc_id"),
+          element_at(col("sk"), 1).as("sh_hi"),
+          element_at(col("sk"), 2).as("sh_lo")))
+    bandedPairs120(sh, 3)
+  }
+
+  /** Banded bucket-generate over a `(doc_id, sh_hi, sh_lo)` 120-bit
+    * sketch frame → `(a_id, b_id, hamming)` with summed-half hamming ≤
+    * `maxHamming` (≤ 3 keeps the 4-band pigeonhole exact). Shared by
+    * d09/p25 and m22's text side; [[SkewGuardSpec]] drives it with a
+    * constructed >MaxBandBucket bucket. */
+  private[graft] def bandedPairs120(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = sh.select(col("doc_id"), col("sh_hi"), col("sh_lo"),
         explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
-    bands.groupBy(col("band"), col("key"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .withColumn("key", expr(
+        "(CASE WHEN band < 2 THEN shiftright(sh_hi, band * 30) " +
+          "ELSE shiftright(sh_lo, (band - 2) * 30) END) & 1073741823"))
+    val hot = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > MaxBandBucket)
+      .select(col("band"), col("key"))
+    bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("sh_hi"), col("sh_lo")))
+        .as("members"))
       .select(graft.functions.GraftFunctions
-        .hammingPairs(col("members"), 3).as(Seq("a_id", "b_id", "hamming")))
+        .hammingPairs(col("members"), maxHamming).as(Seq("a_id", "b_id", "hamming")))
       .distinct()
   }
 
   /** DuckDB mirror of [[simhashPairs]] — CTE chain ending in
-    * `spairs(a_id, b_id, hamming)`. */
-  private[operators] def oSimhashPairCtes(oWordsText: String, oMd5: (String, Int) => String): String =
+    * `spairs(a_id, b_id, hamming)`. Same 120-bit sketch, 4×30-bit
+    * bands, over-cap bucket exclusion. */
+  private[operators] def oSimhashPairCtes(oWordsText: String): String = {
+    def fold(hs: String) =
+      s"""list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 60), j ->
+         |      CASE WHEN list_reduce([0] || list_transform($hs, x ->
+         |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+         |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
+         |      (a, b) -> a + b)""".stripMargin
     s"""h AS (
        |  SELECT doc_id,
-       |    list_transform($oWordsText, w -> ${oMd5("w", 15)}) AS hs
+       |    list_transform($oWordsText, w -> ${OpUtils.oMd5Val("w", 15)}) AS hhi,
+       |    list_transform($oWordsText, w -> ${OpUtils.oMd5ValAt("w", 16, 15)}) AS hlo
        |  FROM documents),
        |sh AS (
-       |  SELECT doc_id,
-       |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 60), j ->
-       |      CASE WHEN list_reduce([0] || list_transform(hs, x ->
-       |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
-       |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
-       |      (a, b) -> a + b) AS simhash
+       |  SELECT doc_id, ${fold("hhi")} AS sh_hi, ${fold("hlo")} AS sh_lo
        |  FROM h),
        |k AS (
-       |  SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sh),
+       |  SELECT doc_id, sh_hi, sh_lo, unnest(range(0, 4)) AS band FROM sh),
        |kb AS (
-       |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key FROM k),
+       |  SELECT doc_id, sh_hi, sh_lo, band,
+       |    (CASE WHEN band < 2 THEN sh_hi >> (band * 30)
+       |          ELSE sh_lo >> ((band - 2) * 30) END) & 1073741823 AS key
+       |  FROM k),
+       |kf AS (
+       |  SELECT doc_id, sh_hi, sh_lo, band, key FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bucket_n FROM kb)
+       |  WHERE bucket_n <= $MaxBandBucket),
        |spairs AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |  FROM kb a JOIN kb b
+       |    CAST(bit_count(xor(a.sh_hi, b.sh_hi))
+       |       + bit_count(xor(a.sh_lo, b.sh_lo)) AS INTEGER) AS hamming
+       |  FROM kf a JOIN kf b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin
+       |  WHERE bit_count(xor(a.sh_hi, b.sh_hi))
+       |      + bit_count(xor(a.sh_lo, b.sh_lo)) <= 3)""".stripMargin
+  }
 
   /** Both-direction containment projection over (a_id, b_id, ga, gb) —
     * the scoring stage shared by d12 and d13. */
@@ -586,61 +635,38 @@ object DedupOps {
          |ORDER BY doc_id""".stripMargin),
 
     // -- SimHash near-dup pairs via hamming-LSH band blocking ----------
-    // The hamming-space analogue of d03's MinHash bands: a 60-bit
-    // simhash (native codegen'd [[graft.functions.SimHash60]] — one
-    // generated pass over the word hashes vs the 60-pass interpreted
-    // HOF) splits into 4 × 15-bit bands; candidates share a band value
-    // at the same position (any pair within hamming distance 3 flips
-    // bits in <= 3 bands, so >= 1 band is intact — pigeonhole), then
-    // exact verification by bit_count(xor). 100 TB shape (r8 verdict
-    // "What's wrong #1" fix): the join key is (band, 15-bit value) —
-    // keyspace 32,768 PER BAND, so bucket population stays ~n/32k and
-    // candidates grow O(n), where the old 16-bit sketch's 4-bit bands
-    // gave 64 buckets total and O(n²/16) candidates (160M output rows
-    // at sf1). Hamming <= 3 on 60 bits is also a real filter: random
-    // sketch pairs sit near hamming 30, so output is proportional to
-    // true near-dups. PlanSpec pins the 32767 band mask on the bucket
-    // key and the join-free bucket-generate shape.
-    //
-    // Output-proportionality, MEASURED (r12, graft.D09Audit →
-    // bench/r12_d09_proportionality.json): sf0.1→sf1 true pairs grow
-    // 512 → 30,081 (58.8× on 10× docs — dup clusters densify
-    // quadratically, the ANSWER is superlinear) while the cell's
-    // runtime grows 15.6× — runtime grows 3.8× SLOWER than the output,
-    // so the superlinearity is the answer, not the join. Band
-    // collisions (28.2M at sf1, evaluated in-join by the codegen'd
-    // bit_count predicate, never shuffled) cluster because simhash band
-    // values are common-word-correlated, NOT because sketches repeat
-    // (49,878 distinct of 50,000 — the m18 distinct-frame move buys
-    // nothing here, measured). Narrower 5×12-bit bands would RAISE
-    // collision volume (~12× bucket population, quadratic in pair
-    // count), so 4×15 stands.
+    // The hamming-space analogue of d03's MinHash bands: a 120-bit
+    // simhash (native codegen'd [[graft.functions.SimHash120]] — one
+    // generated pass over the interleaved word-hash halves, one md5
+    // per word) splits into 4 × 30-bit bands; candidates share a band
+    // value at the same position (any pair within hamming distance 3
+    // flips bits in <= 3 bands, so >= 1 band is intact — pigeonhole),
+    // then exact verification by summed bit_count(xor) in the
+    // generator loop. 100 TB shape (r12 verdict #1 fix): the bucket
+    // key is (band, 30-bit value) — keyspace 2^30 ≈ 1.07B PER BAND.
+    // The 60-bit sketch's 15-bit keyspace had MEASURED ~quadratic
+    // collision mass (28.2M collision rows at sf1, collision
+    // probability per doc pair ≈ 2.3e-2 — bench/r12_d09_
+    // proportionality.json); the 30-bit keyspace drops that
+    // probability 52× to 4.3e-4 (sf1 collision rows 537k, re-measured
+    // by graft.D09Audit → bench/r13_d09_proportionality.json).
+    // HONEST LIMIT: the residual class — template-similar docs whose
+    // sketches agree on one whole 30-bit half-word — still scales with
+    // pair count (collision p per pair is SF-flat), so candidate
+    // volume stays O(n²·4.3e-4); what bounds the cost is that each
+    // candidate is two xors + two popcounts inside the generator loop,
+    // the mass spreads over ~2.6 buckets/doc (sf1 max bucket 144,
+    // 129k buckets), and MaxBandBucket (2^16) hard-caps any one
+    // aggregation buffer at ~1.5 MB — the collect_list skew guard
+    // (r12 verdict #6), applied on BOTH engines. Hamming <= 3 on
+    // 120 bits is also a sharper filter: random sketch pairs sit near
+    // hamming 60. PlanSpec pins the 1073741823 band mask on the
+    // bucket key and the join-free bucket-generate shape.
     QueryDef.sql("d09_simhash_band_pairs",
       (s, d) => simhashPairs(s, d).orderBy(col("a_id"), col("b_id")),
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |    list_transform(${oWords("text")}, w -> ${oMd5Val("w", 15)}) AS hs
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 60), j ->
-         |      CASE WHEN list_reduce([0] || list_transform(hs, x ->
-         |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
-         |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
-         |      (a, b) -> a + b) AS simhash
-         |  FROM h),
-         |k AS (
-         |  SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sh),
-         |kb AS (
-         |  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS key FROM k),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    a.simhash AS sa, b.simhash AS sb
-         |  FROM kb a JOIN kb b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-         |FROM pairs
-         |WHERE bit_count(xor(sa, sb)) <= 3
+      s"""WITH ${oSimhashPairCtes(oWords("text"))}
+         |SELECT a_id, b_id, hamming
+         |FROM spairs
          |ORDER BY a_id, b_id""".stripMargin),
 
     // -- benchmark decontamination (broadcast semi vs eval 8-grams) ----

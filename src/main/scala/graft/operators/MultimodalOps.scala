@@ -1947,7 +1947,8 @@ object MultimodalOps {
 
     // -- cross-modal near-dup composition: re-caption / asset-swap --------
     // (r11 verdict #4) Caption pairs that are TEXT near-dups (d09's
-    // 60-bit simhash, 4×15-bit bands, hamming ≤ 3) whose referenced
+    // 120-bit simhash, 4×30-bit bands, hamming ≤ 3 — r12 verdict #1's
+    // wide-sketch fix, same as DedupOps.simhashPairs) whose referenced
     // images are NOT near-dups (m18's 56-bit dHash, 4×14-bit bands,
     // hamming ≤ 6, over REALLY-decoded asset bytes) — near-identical
     // captions describing genuinely different pictures: the asset-swap /
@@ -1970,26 +1971,20 @@ object MultimodalOps {
         // text sketch frame + referenced asset content group, one scan
         val sh = OpUtils.transientPersist(s, s"m22:$d",
           Tables.documents(s, d)
-            .withColumn("hs", graft.functions.GraftFunctions
-              .gramHashes60(OpUtils.words(col("text")), 1))
-            .withColumn("simhash", graft.functions.GraftFunctions.simHash60(col("hs")))
-            .select(col("doc_id"), col("simhash"),
+            .withColumn("sk", graft.functions.GraftFunctions.simHash120(
+              graft.functions.GraftFunctions
+                .gramHashes120(OpUtils.words(col("text")), 1)))
+            .select(col("doc_id"),
+              element_at(col("sk"), 1).as("sh_hi"),
+              element_at(col("sk"), 2).as("sh_lo"),
               ((col("doc_id") % 640) % 40).as("gid")))
-        val bands = sh.select(col("doc_id"), col("simhash"),
-            explode(sequence(lit(0), lit(3))).as("band"))
-          .withColumn("key", expr("shiftright(simhash, band * 15) & 32767"))
-        // bucket-and-generate (the r12 d09 move): the native
-        // hamming_pairs generator walks each (band, key) bucket's
-        // triangle with raw xor+popcount — no join machinery per
-        // candidate, one exchange instead of two join sides. gid is
+        // d09's shared banded bucket-generate (120-bit sketch, 4×30-bit
+        // bands, over-cap skew guard, hamming verify in-loop). gid is
         // pure arithmetic on doc_id, so it reattaches to the surviving
         // pairs without a join.
-        val textPairs = bands.groupBy(col("band"), col("key"))
-          .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
-          .select(graft.functions.GraftFunctions
-            .hammingPairs(col("members"), 3)
-            .as(Seq("a_id", "b_id", "text_hamming")))
-          .distinct()
+        val textPairs = graft.operators.DedupOps
+          .bandedPairs120(sh.select(col("doc_id"), col("sh_hi"), col("sh_lo")), 3)
+          .withColumnRenamed("hamming", "text_hamming")
           .withColumn("gid_a", (col("a_id") % 640) % 40)
           .withColumn("gid_b", (col("b_id") % 640) % 40)
         // image sketches over the DISTINCT asset-content registry
@@ -2024,28 +2019,39 @@ object MultimodalOps {
         val sy = "((j // 7) * h) // 8"
         val sx0 = "((j % 7) * w) // 8"
         val sx1 = "(((j % 7) + 1) * w) // 8"
+        val fold = (hs: String) =>
+          s"""list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 60), j ->
+             |      CASE WHEN list_reduce([0] || list_transform($hs, x ->
+             |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+             |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
+             |      (a, b) -> a + b)""".stripMargin
         s"""WITH h AS (
            |  SELECT doc_id, (doc_id % 640) % 40 AS gid,
-           |    list_transform(${OpUtils.oWords("text")}, w -> ${OpUtils.oMd5Val("w", 15)}) AS hs
+           |    list_transform(${OpUtils.oWords("text")}, w -> ${OpUtils.oMd5Val("w", 15)}) AS hhi,
+           |    list_transform(${OpUtils.oWords("text")}, w -> ${OpUtils.oMd5ValAt("w", 16, 15)}) AS hlo
            |  FROM documents),
            |sh AS (
            |  SELECT doc_id, gid,
-           |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 60), j ->
-           |      CASE WHEN list_reduce([0] || list_transform(hs, x ->
-           |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
-           |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
-           |      (a, b) -> a + b) AS simhash
+           |    ${fold("hhi")} AS sh_hi,
+           |    ${fold("hlo")} AS sh_lo
            |  FROM h),
-           |k AS (SELECT doc_id, gid, simhash, unnest(range(0, 4)) AS band FROM sh),
-           |kb AS (SELECT doc_id, gid, simhash, band,
-           |  (simhash >> (band * 15)) & 32767 AS key FROM k),
+           |k AS (SELECT doc_id, gid, sh_hi, sh_lo, unnest(range(0, 4)) AS band FROM sh),
+           |kb AS (SELECT doc_id, gid, sh_hi, sh_lo, band,
+           |  (CASE WHEN band < 2 THEN sh_hi >> (band * 30)
+           |        ELSE sh_lo >> ((band - 2) * 30) END) & 1073741823 AS key FROM k),
+           |kf AS (
+           |  SELECT doc_id, gid, sh_hi, sh_lo, band, key FROM (
+           |    SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bucket_n FROM kb)
+           |  WHERE bucket_n <= ${graft.operators.DedupOps.MaxBandBucket}),
            |tp AS (
            |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-           |    bit_count(xor(a.simhash, b.simhash)) AS text_hamming,
+           |    bit_count(xor(a.sh_hi, b.sh_hi)) + bit_count(xor(a.sh_lo, b.sh_lo))
+           |      AS text_hamming,
            |    a.gid AS gid_a, b.gid AS gid_b
-           |  FROM kb a JOIN kb b
+           |  FROM kf a JOIN kf b
            |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |  WHERE bit_count(xor(a.sh_hi, b.sh_hi))
+           |      + bit_count(xor(a.sh_lo, b.sh_lo)) <= 3),
            |gdim AS (
            |  SELECT gid, 4 + gid % 13 AS w, 4 + (gid * 3) % 11 AS h
            |  FROM (SELECT DISTINCT (doc_id % 640) % 40 AS gid FROM documents)),

@@ -1429,7 +1429,7 @@ object PipelineOps {
           .orderBy(col("shard"))
       },
       s"""WITH ${graft.operators.DedupOps.oSimhashPairCtes(
-            OpUtils.oWords("text"), OpUtils.oMd5Val)},
+            OpUtils.oWords("text"))},
          |sp AS (
          |  SELECT
          |    CAST(${OpUtils.oMd5Val("CAST(a_id AS VARCHAR) || '#shuffle'", 15)}

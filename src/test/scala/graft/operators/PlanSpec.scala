@@ -1113,21 +1113,24 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffled.length === 1 && shuffled.head.contains("shard#"), p)
   }
 
-  test("d09: bucket key carries the 15-bit band mask; sketch and pair loop are native") {
+  test("d09: bucket key carries the 30-bit band mask; sketch and pair loop are native") {
     val p = plan("d09_simhash_band_pairs")
-    // the r8 scale fix: band keys are 15-bit (32767 mask), keyspace
-    // 32,768/band — NOT the degenerate 4-bit nibble (& 15) whose 64
-    // total buckets made candidates O(n²/16)
-    assert(p.contains("32767"), p)
+    // the r12 verdict #1 fix: band keys are 30-bit (1073741823 mask),
+    // keyspace 2^30/band — the 15-bit keyspace (32767) had MEASURED
+    // ~quadratic collision mass, and the original 4-bit nibble (& 15)
+    // made candidates O(n²/16)
+    assert(p.contains("1073741823"), p)
+    assert(!p.contains("& 32767"), p)
     // r12: bucket-and-generate replaced the banded self-join — the
     // candidate triangle is the native hamming_pairs generator over
     // each (band, key) bucket (verify in-loop, still before the
-    // distinct's exchange), so the plan has NO join at all and ONE
-    // band-row exchange instead of two sorted join sides
-    assert(!p.contains("Join"), p)
+    // distinct's exchange). The ONLY join is the r13 collect_list skew
+    // guard: over-cap band buckets broadcast into a left_anti.
+    assert(p.split("\n").count(_.contains("Join")) === 1, p)
+    assert(p.split("\n").exists(l => l.contains("Broadcast") && l.contains("LeftAnti")), p)
     assert(p.contains("Generate hamming_pairs"), p)
     // the sketch is the one-pass native expression, not the 60-pass HOF
-    assert(p.contains("simhash60"), p)
+    assert(p.contains("simhash120"), p)
     assert(!p.contains("aggregate(transform(sequence"), p)
     // exchanges move (band, key, id, sketch) / pair rows — never text
     val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
@@ -1371,21 +1374,21 @@ class PlanSpec extends AnyFunSuite {
 
   test("m22: both modality band masks key their buckets; text never shuffles; image pair set broadcasts into the anti-join") {
     val p = plan("m22_caption_image_swap")
-    // text bands 4×15-bit (32767 mask), image bands 4×14-bit (16383)
-    assert(p.contains("32767"), p)
+    // text bands 4×30-bit (1073741823 mask, r13), image bands 4×14-bit (16383)
+    assert(p.contains("1073741823"), p)
     assert(p.contains("16383"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // sketches cross the exchanges, never caption text
     val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
     assert(!shuffled.exists(_.contains("text#")), p)
     // r12: both modality candidate triangles are native hamming_pairs
-    // bucket-generates (verify in-loop, d09 rule) — the ONLY join left
-    // in the plan is the composition itself
+    // bucket-generates (verify in-loop, d09 rule) — the only joins left
+    // are the composition itself and the r13 text-side hot-bucket guard
     assert(p.split("\n").count(_.contains("Generate hamming_pairs")) === 2, p)
     // the composition is a broadcast LEFT ANTI on gid keys only
     assert(p.contains("LeftAnti"), p)
     assert(p.split("\n").exists(l => l.contains("Broadcast") && l.contains("LeftAnti")), p)
-    assert(p.split("\n").count(_.contains("Join")) === 1, p)
+    assert(p.split("\n").count(_.contains("Join")) === 2, p)
   }
 
   test("p19: one corpus pass into 16 shard counts; resume arithmetic is per-row on the bounded frame") {
@@ -1554,10 +1557,14 @@ class PlanSpec extends AnyFunSuite {
   test("p25: shard ids are pure arithmetic on the generated pair ids — no join back to the corpus") {
     val p = plan("p25_shard_dedup_leakage")
     assert(p.contains("Generate hamming_pairs"), p)
-    // the only join is the 1-row total broadcast; the shard tags never
+    // the only joins are the 1-row total broadcast and the r13
+    // hot-bucket guard's broadcast left_anti; the shard tags never
     // touch the documents table again
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
-      !p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // (the persisted pair frame's plan prints under BOTH of its
+    // InMemoryTableScan consumers, so the guard line can repeat)
+    val bhj = p.split("\n").filter(_.contains("BroadcastHashJoin"))
+    assert(bhj.nonEmpty && bhj.forall(_.contains("LeftAnti")), p)
     assert(p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) === 1, p)
     val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
     assert(!shuffled.exists(_.contains("text#")), p)
