@@ -1344,10 +1344,13 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
   }
 
-  test("m19: decode runs once behind the persist barrier; candidates block on (n_frames, 8-bit band)") {
+  test("m19: decode runs once behind the persist barrier; candidates block on (n_frames, 10-bit band)") {
     val p = plan("m19_audio_band_neardup")
     assert(!p.split("InMemoryRelation")(0).contains("Scan ExistingRDD"), p)
-    assert(p.contains("& 255"), p)
+    // r13 re-band: 3×10-bit keys cover ALL fp bits (the 3×8-bit keys
+    // ignored bits 24+ and had a 256-value keyspace)
+    assert(p.contains("& 1023"), p)
+    assert(!p.contains("& 255"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // d09 rule: hamming verify rides the join condition, pre-distinct
     val joinLine = p.split("\n").find(l =>
