@@ -132,6 +132,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash120", exprs => SimHash120(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bucket_mass2", exprs => BucketMass2(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_agg",
       exprs => CountMinAgg(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -194,6 +196,10 @@ object GraftFunctions {
   /** [sketch_hi, sketch_lo] 120-bit majority sketch — see [[SimHash120]]. */
   def simHash120(hs: Column): Column =
     org.apache.spark.sql.functions.call_function("simhash120", hs)
+
+  /** [t_mass, c_mass] DSIR bucket sums — see [[BucketMass2]]. */
+  def bucketMass2(bks: Column, tm: Column, cm: Column): Column =
+    org.apache.spark.sql.functions.call_function("bucket_mass2", bks, tm, cm)
 
   def bloomMightContain(bf: Column, k: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_might_contain", bf, k)
