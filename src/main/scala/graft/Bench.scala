@@ -214,11 +214,14 @@ object Bench {
         }
         // the reference client's loop: ONE dual-location channel pair
         // (cudf-flight-client.cc has exactly one meta + one data stream
-        // per dataset) — the r11-comparable cell
+        // per dataset). Key RENAMED r13 (r12 ADVICE): the r11 series
+        // under arrows_dissoc_loop_10m was recorded with fan-out
+        // planning, so its numbers are not like-for-like with this
+        // forced single-pair read — the fresh key marks the semantics.
         val single = (1 to loopReps).map(_ => dissocLoop(fanout = false))
-        runs("arrows_dissoc_loop_10m") = single
+        runs("arrows_dissoc_single_10m") = single
         System.err.println(
-          f"dissoc dual-channel loop 10M: ${single.min}%.2f seconds elapsed (min of $loopReps)")
+          f"dissoc dual-channel single-pair loop 10M: ${single.min}%.2f seconds elapsed (min of $loopReps)")
       } finally server.stop()
     }
 

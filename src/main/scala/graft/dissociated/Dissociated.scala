@@ -34,6 +34,14 @@ object Dissociated {
   val TypeSchema: Byte = 1
   val TypeBatch: Byte = 2
 
+  /** A reassembly sink that can take OWNERSHIP of a chunk: every array
+    * [[reassemble]] emits is freshly read off a channel and never
+    * touched again, so a sink implementing this skips the defensive
+    * copy a generic OutputStream write needs (~the whole body volume
+    * in allocation + memcpy per read). `len` ≤ `chunk.length` (channel
+    * padding beyond the true IPC body length is dropped). */
+  trait OwnedChunkSink { def writeOwned(chunk: Array[Byte], len: Int): Unit }
+
   final case class Split(seq: Int, metadata: Array[Byte], body: Array[Byte])
 
   /** Serialize a DataFrame into (schema message, per-batch splits). */
@@ -161,8 +169,14 @@ object Dissociated {
   }
 
   /** Serve the metadata channel from spilled `.arrows` part files (one
-    * per partition, name-sorted): a sequential O(one batch) pass over
-    * artifacts already on disk — the query that produced them is NOT
+    * per partition, name-sorted): reads ONLY the encapsulation headers —
+    * body regions are `skip`ped (an lseek on a file stream, no read, no
+    * allocation). The r12 version ran the full [[foreachSplitIn]] here,
+    * which `readFully`d every body just to discard it: the metadata
+    * channel paid a whole-dataset read + alloc per request, and since
+    * reassembly can't emit a batch until its META frame arrives, the
+    * single-pair loop was gated on that wasted pass (the r12 verdict #2
+    * 0.62→0.80 s regression). The query that produced the spill is NOT
     * re-run, so meta and body channels built from the same files are
     * consistent by construction. Returns the batch count. */
   def streamMetadataFromFiles(paths: Seq[java.nio.file.Path], out: OutputStream): Int = {
@@ -172,9 +186,9 @@ object Dissociated {
     paths.foreach { p =>
       val in = new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(p), 1 << 16)
       try {
-        seq = foreachSplitIn(in, seq + 1) { schema =>
+        seq = foreachSplitMeta(in, seq + 1) { schema =>
           if (!schemaSent) { writeMetaFrame(d, TypeSchema, 0, schema); schemaSent = true }
-        } { s => writeMetaFrame(d, TypeBatch, s.seq, s.metadata) }
+        } { (s, metadata) => writeMetaFrame(d, TypeBatch, s, metadata) }
       } finally in.close()
     }
     writeMetaFrame(d, TypeEos, seq, Array.empty)
@@ -182,24 +196,101 @@ object Dissociated {
     seq
   }
 
+  /** Header-only variant of [[foreachSplitIn]]: `f(seq, framedHeader)`
+    * per batch, body bytes SKIPPED (never read, never allocated). */
+  def foreachSplitMeta(in: InputStream, startSeq: Int)
+      (onSchema: Array[Byte] => Unit)(f: (Int, Array[Byte]) => Unit): Int = {
+    val d = new DataInputStream(in)
+    var seq = startSeq - 1
+    var done = false
+    while (!done) {
+      val marker = try d.readInt() catch { case _: EOFException => done = true; 0 }
+      if (!done) {
+        require(marker == -1, s"expected continuation marker, got $marker")
+        val metaLen = Integer.reverseBytes(d.readInt())
+        if (metaLen == 0) done = true // EOS
+        else {
+          val framed = new Array[Byte](8 + metaLen)
+          framed(0) = -1; framed(1) = -1; framed(2) = -1; framed(3) = -1
+          framed(4) = (metaLen & 0xff).toByte
+          framed(5) = ((metaLen >> 8) & 0xff).toByte
+          framed(6) = ((metaLen >> 16) & 0xff).toByte
+          framed(7) = ((metaLen >> 24) & 0xff).toByte
+          d.readFully(framed, 8, metaLen)
+          val header = java.nio.ByteBuffer.wrap(framed, 8, metaLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(header)
+          d.skipNBytes(msg.bodyLength())
+          if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema)
+            onSchema(framed)
+          else {
+            seq += 1
+            f(seq, framed)
+          }
+        }
+      }
+    }
+    seq
+  }
+
   /** Serve the body channel from the same spilled part files; delivery
     * is permuted within `shuffleWindow`-frame windows to exercise
-    * out-of-order reassembly (reference transport tags are unordered). */
+    * out-of-order reassembly (reference transport tags are unordered).
+    *
+    * Bodies are read into a ring of `shuffleWindow` grow-only reused
+    * buffers — at most window-many bodies are ever live and NOTHING is
+    * allocated per batch after warm-up (the r12 version materialized a
+    * fresh header + body array per batch: the whole dataset volume in
+    * per-request allocation churn, a driver-box GC tax at bench scale). */
   def streamBodyFromFiles(paths: Seq[java.nio.file.Path], out: OutputStream,
       shuffleWindow: Int = 8): Unit = {
     val d = new DataOutputStream(out)
     var seq = 0
-    val window = scala.collection.mutable.ArrayBuffer[Split]()
+    // ring slot: (seq, buffer, true body length)
+    val bufs = Array.fill(shuffleWindow)(new Array[Byte](0))
+    val seqs = new Array[Int](shuffleWindow)
+    val lens = new Array[Int](shuffleWindow)
+    var filled = 0
     def flushWindow(): Unit = {
-      window.reverseIterator.foreach(s => writeBodyFrame(d, s.seq, s.body))
-      window.clear()
+      var i = filled - 1
+      while (i >= 0) {
+        writeBodyFrameRef(d, seqs(i), bufs(i), lens(i))
+        i -= 1
+      }
+      filled = 0
     }
+    val header = new Array[Byte](1 << 16)
     paths.foreach { p =>
       val in = new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(p), 1 << 16)
+      val di = new DataInputStream(in)
       try {
-        seq = foreachSplitIn(in, seq + 1)(_ => ()) { s =>
-          window += s
-          if (window.size >= shuffleWindow) flushWindow()
+        var done = false
+        while (!done) {
+          val marker = try di.readInt() catch { case _: EOFException => done = true; 0 }
+          if (!done) {
+            require(marker == -1, s"expected continuation marker, got $marker")
+            val metaLen = Integer.reverseBytes(di.readInt())
+            if (metaLen == 0) done = true // EOS
+            else {
+              require(metaLen <= header.length, s"metadata message $metaLen too large")
+              di.readFully(header, 0, metaLen)
+              val hb = java.nio.ByteBuffer.wrap(header, 0, metaLen)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(hb)
+              val bodyLen = msg.bodyLength().toInt
+              if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema) {
+                di.skipNBytes(bodyLen)
+              } else {
+                if (bufs(filled).length < bodyLen) bufs(filled) = new Array[Byte](bodyLen)
+                di.readFully(bufs(filled), 0, bodyLen)
+                seq += 1
+                seqs(filled) = seq
+                lens(filled) = bodyLen
+                filled += 1
+                if (filled >= shuffleWindow) flushWindow()
+              }
+            }
+          }
         }
       } finally in.close()
     }
@@ -256,12 +347,17 @@ object Dissociated {
     out.write(bytes)
   }
 
-  def writeBodyFrame(out: DataOutputStream, seq: Int, bytes: Array[Byte]): Unit = {
-    val pad = (8 - (bytes.length % 8)) % 8 // 8-byte alignment rule
+  def writeBodyFrame(out: DataOutputStream, seq: Int, bytes: Array[Byte]): Unit =
+    writeBodyFrameRef(out, seq, bytes, bytes.length)
+
+  /** [[writeBodyFrame]] over a reused buffer prefix. */
+  def writeBodyFrameRef(out: DataOutputStream, seq: Int,
+      bytes: Array[Byte], len: Int): Unit = {
+    val pad = (8 - (len % 8)) % 8 // 8-byte alignment rule
     out.writeInt(Integer.reverseBytes(seq))
-    out.writeInt(Integer.reverseBytes(bytes.length + pad))
-    out.write(bytes)
-    if (pad > 0) out.write(new Array[Byte](pad))
+    out.writeInt(Integer.reverseBytes(len + pad))
+    out.write(bytes, 0, len)
+    if (pad > 0) out.write(new Array[Byte](pad), 0, pad)
   }
 
   /** Serve the metadata stream of a pre-split dataset. */
@@ -369,7 +465,14 @@ object Dissociated {
     metaThread.start(); bodyThread.start()
     schemaLatch.await()
     if (error != null) throw error
-    sink.write(schema)
+    // owned-chunk fast path: every array this loop emits is fresh off a
+    // channel and never reused, so a sink that can take ownership skips
+    // the defensive copy (and its allocation) per frame
+    val owned: OwnedChunkSink = sink match {
+      case o: OwnedChunkSink => o
+      case _ => (chunk, len) => sink.write(chunk, 0, len)
+    }
+    owned.writeOwned(schema, schema.length)
 
     var emitted = 0L
     var bytes = schema.length.toLong
@@ -389,14 +492,14 @@ object Dissociated {
       while (ready.contains(next)) {
         val m = metaBySeq.remove(next)
         val b = bodyBySeq.remove(next)
-        sink.write(m.bytes)
+        owned.writeOwned(m.bytes, m.bytes.length)
         // strip alignment padding: the IPC header records the true body
         // length; padded tail bytes beyond it are channel-only
         val header = java.nio.ByteBuffer.wrap(m.bytes, 8, m.bytes.length - 8)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val trueLen = org.apache.arrow.flatbuf.Message.getRootAsMessage(header)
           .bodyLength().toInt
-        sink.write(b, 0, trueLen)
+        owned.writeOwned(b, trueLen)
         bytes += m.bytes.length + trueLen
         ready -= next
         pendingGate.release()

@@ -204,6 +204,12 @@ object ArrowsTableProvider {
 
   private def openRaw(url: String): InputStream = {
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    // one-shot bulk channel streams: opt OUT of the JDK keep-alive pool.
+    // A pooled channel connection buys nothing (each is drained to EOF
+    // once) and exposes the stale-connection race — a checkout the
+    // server concurrently half-closed stalls the first read until TCP
+    // gives up (observed as rare ~25 s outlier reps in DissocBench).
+    conn.setRequestProperty("Connection", "close")
     val code = conn.getResponseCode
     require(code == 200, s"GET $url -> HTTP $code")
     new BufferedInputStream(conn.getInputStream, 1 << 16)
@@ -234,14 +240,21 @@ object ArrowsTableProvider {
     * `ArrayBlockingQueue[Array[Byte]]` handoff has none of that: every
     * put/take wakes its peer immediately, and the bound (32 × ≤64 KiB
     * chunks ≈ 2 MiB) keeps the same backpressure the 1 MiB pipe gave. */
+  private final case class PipeChunk(bytes: Array[Byte], len: Int)
+
+  /** The pipe's write end: an OutputStream that can also take chunk
+    * ownership (the reassemble fast path). */
+  private abstract class ChunkPipeOut extends java.io.OutputStream
+    with graft.dissociated.Dissociated.OwnedChunkSink
+
   private final class ChunkPipe {
     private val queue =
-      new java.util.concurrent.ArrayBlockingQueue[Array[Byte]](32)
-    private val Eof = new Array[Byte](0)
+      new java.util.concurrent.ArrayBlockingQueue[PipeChunk](32)
+    private val Eof = PipeChunk(null, -1)
     @volatile private var readerClosed = false
 
-    val out: java.io.OutputStream = new java.io.OutputStream {
-      private def put(chunk: Array[Byte]): Unit = {
+    val out: ChunkPipeOut = new ChunkPipeOut {
+      private def put(chunk: PipeChunk): Unit = {
         // offer-with-timeout instead of put: a reader that abandoned the
         // stream (schema probes read only the prefix) must break the
         // producer out instead of parking it forever on a full queue —
@@ -253,6 +266,15 @@ object ArrowsTableProvider {
             throw new java.io.IOException("dissociated pipe closed by reader")
         }
       }
+      // ownership handoff (r13): reassemble's arrays are fresh off the
+      // channel and never reused — enqueue them directly, no copy, no
+      // allocation (the generic write path below copied the whole body
+      // volume once more per read)
+      override def writeOwned(chunk: Array[Byte], len: Int): Unit = {
+        if (readerClosed)
+          throw new java.io.IOException("dissociated pipe closed by reader")
+        if (len > 0) put(PipeChunk(chunk, len))
+      }
       override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
       override def write(b: Array[Byte], off: Int, len: Int): Unit = {
         if (readerClosed)
@@ -261,7 +283,7 @@ object ArrowsTableProvider {
         var rem = len
         while (rem > 0) {
           val n = math.min(rem, 1 << 16)
-          put(java.util.Arrays.copyOfRange(b, o, o + n))
+          put(PipeChunk(java.util.Arrays.copyOfRange(b, o, o + n), n))
           o += n; rem -= n
         }
       }
@@ -271,14 +293,15 @@ object ArrowsTableProvider {
 
     val in: InputStream = new InputStream {
       private var cur: Array[Byte] = null
+      private var curLen = 0
       private var pos = 0
       private var eof = false
       private def ensure(): Boolean = {
         if (eof) return false
-        while (cur == null || pos >= cur.length) {
+        while (cur == null || pos >= curLen) {
           val c = queue.take()
-          if (c.length == 0) { eof = true; return false }
-          cur = c; pos = 0
+          if (c eq Eof) { eof = true; return false }
+          cur = c.bytes; curLen = c.len; pos = 0
         }
         true
       }
@@ -287,7 +310,7 @@ object ArrowsTableProvider {
       override def read(b: Array[Byte], off: Int, len: Int): Int = {
         if (len == 0) return 0
         if (!ensure()) return -1
-        val n = math.min(len, cur.length - pos)
+        val n = math.min(len, curLen - pos)
         System.arraycopy(cur, pos, b, off, n)
         pos += n
         n
@@ -310,14 +333,34 @@ object ArrowsTableProvider {
   }
 
   /** As [[openDissoc]] with the channel pair already resolved (planned
-    * tasks get theirs inline from the top-level discovery document). */
+    * tasks get theirs inline from the top-level discovery document).
+    *
+    * Both channel requests open CONCURRENTLY (r12 ADVICE): a sequential
+    * meta-then-body open serializes two server handshakes per pair, and
+    * with a fan-out of parts against a fixed-size server pool it
+    * courts a queue-order deadlock — meta handlers streaming to
+    * consumers whose body requests are still queued behind other
+    * parts' meta handlers. Opening both up front enqueues each pair's
+    * two requests back-to-back. */
   def openDissocPair(metaUrl: String, bodyUrl: String): InputStream = {
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val pipe = new ChunkPipe
     val t = new Thread(() => {
       try {
+        val bodyF = new java.util.concurrent.CompletableFuture[InputStream]()
+        val bt = new Thread(() => {
+          try bodyF.complete(openRaw(bodyUrl))
+          catch { case e: Throwable => bodyF.completeExceptionally(e) }
+        }, "dissoc-dsv2-open-body")
+        bt.setDaemon(true)
+        bt.start()
         val meta = openRaw(metaUrl)
-        val body = openRaw(bodyUrl)
+        val body =
+          try bodyF.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              meta.close(); throw e.getCause
+          }
         try graft.dissociated.Dissociated.reassemble(meta, body, pipe.out)
         finally { meta.close(); body.close() }
       } catch { case e: Throwable => err.set(e) }
