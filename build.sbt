@@ -38,5 +38,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
+  // TCP_NODELAY for the JDK HttpServer, set before ANY class init so
+  // ArrowHttpServer's lazy fallback can never lose the ServerConfig
+  // static-init race (r12 ADVICE; Nagle stalls measured ~65 ms/request)
+  "-Dsun.net.httpserver.nodelay=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

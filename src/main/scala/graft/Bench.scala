@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Runs the headline queries on SPARK_GRAFT_SF_DIR plus
@@ -67,12 +69,35 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val runs = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val rss = scala.collection.mutable.LinkedHashMap[String, Long]()
+
+    /** Between-cell checkpoint (r12 verdict #5: the driver box's bench
+      * degraded late in the run — m23's reps grew [1.65→13.5 s] and the
+      * 100M loop's cold reps tripled, both flat on a fresh JVM). Drops
+      * the previous cell's leftover transient persists and forces a GC
+      * so a cell is never taxed for its predecessors' garbage, then
+      * records RSS — the canary column that makes any residual
+      * accumulation visible in the artifact instead of inferable from
+      * rep drift. Runs OUTSIDE the timed region. */
+    def checkpoint(name: String): Unit = {
+      graft.operators.OpUtils.releaseTransients(spark)
+      System.gc()
+      val mb = try {
+        java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get("/proc/self/status")).asScala
+          .find(_.startsWith("VmRSS"))
+          .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
+      } catch { case _: Exception => -1L }
+      rss(name) = mb
+    }
+
     names.foreach { name =>
       // name the query BEFORE running it: if it dies, the driver's BENCH
       // tail identifies the victim without a reproduction session (the
       // r6 crash surfaced as a bare stack with no query name)
       System.err.println(s"bench: $name")
       runs(name) = (1 to reps).map(_ => timed(mat(fns(name)(spark, sfDir))))
+      checkpoint(name)
     }
 
     // Cold d08 (r6 verdict item 5): the warm cell above is the recurring
@@ -86,6 +111,7 @@ object Bench {
         graft.operators.DedupOps.invalidateGram8Store(spark, sfDir)
         timed(mat(fns("d08_substring_dedup")(spark, sfDir)))
       }
+      checkpoint("d08_substring_dedup_cold")
     }
 
     /** get_simple loop: rows × 4 int64 (reference payload schema and
@@ -131,6 +157,7 @@ object Bench {
       val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
       val trials = (1 to loopReps).map(_ => arrowsLoop(rows))
       runs("arrows_http_loop_10m") = trials.map(_._1)
+      checkpoint("arrows_http_loop_10m")
       val best = trials.minBy(_._1) // batches + seconds from the SAME (min) trial
       System.err.println(
         f"arrows loop: ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
@@ -143,6 +170,7 @@ object Bench {
     if (benchFull) {
       val trials = (1 to loopReps).map(_ => arrowsLoop(100000000L))
       runs("arrows_http_loop_100m") = trials.map(_._1)
+      checkpoint("arrows_http_loop_100m")
       val best = trials.minBy(_._1)
       System.err.println(
         f"arrows loop 100M: ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
@@ -185,6 +213,7 @@ object Bench {
       }
       val trials = (1 to loopReps).map(_ => tickerLoop())
       runs("ticker_compressed_loop_42m") = trials.map(_._1)
+      checkpoint("ticker_compressed_loop_42m")
       val best = trials.minBy(_._1)
       System.err.println(
         f"ticker compressed loop 42M (zstd + dict): ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
@@ -220,6 +249,7 @@ object Bench {
         // forced single-pair read — the fresh key marks the semantics.
         val single = (1 to loopReps).map(_ => dissocLoop(fanout = false))
         runs("arrows_dissoc_single_10m") = single
+      checkpoint("arrows_dissoc_single_10m")
         System.err.println(
           f"dissoc dual-channel single-pair loop 10M: ${single.min}%.2f seconds elapsed (min of $loopReps)")
       } finally server.stop()
@@ -247,6 +277,7 @@ object Bench {
         // rep 1 additionally pays the server-side one-time ~1 GB spill
         val fan = (1 to loopReps).map(_ => fanLoop())
         runs("arrows_dissoc_fanout_30m") = fan
+      checkpoint("arrows_dissoc_fanout_30m")
         System.err.println(
           f"dissoc fan-out loop 30M: ${fan.min}%.2f seconds elapsed (min of $loopReps)")
       } finally server.stop()
@@ -361,6 +392,7 @@ object Bench {
       val tStream = (1 to 2).map(_ => timed { streamParse() }).min
       runs("multipart_naive_parse_1g") = Seq(tNaive)
       runs("multipart_stream_parse_1g") = Seq(tStream)
+      checkpoint("multipart_stream_parse_1g")
       System.err.println(
         f"multipart 1 GiB parse: naive $tNaive%.2f s, streaming $tStream%.2f s")
     }
@@ -381,6 +413,11 @@ object Bench {
     // stdout — this line must not be mistakable for the metric line by
     // a first-"{"-line parser. Strip the prefix to recover the JSON.
     System.err.println(s"""runs {"runs":$rs}""")
+    // RSS canary (r12 verdict #5): driver RSS in MB after each cell's
+    // between-cell checkpoint — monotone growth here names accumulation
+    // the per-rep timings can only hint at. Same strip-the-prefix rule.
+    val rj = rss.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    System.err.println(s"""rss {"rss_mb":$rj}""")
     // The full per-cell map goes to stderr + disk. The STDOUT line must
     // stay under the driver's ~2000-byte tail capture: at 79 cells the
     // full map is ~2.5 KB and the capture decapitates the line

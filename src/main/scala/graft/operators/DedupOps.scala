@@ -1737,7 +1737,15 @@ object DedupOps {
         }.mkString("CASE ", " ", " ELSE NULL END")
       QueryDef.sql("d33_lsh_calibration",
         (s, d) => {
-          val bandRows = signatures(s, d).select(col("doc_id"), col("sig"),
+          // degenerate-signature exclusion (r12 ADVICE): docs with empty
+          // gram sets have all-null 16-hash signatures, which serialize
+          // to the SAME empty key in every band (concat_ws skips nulls)
+          // — contributing b × C(n_empty, 2) phantom probe pairs that
+          // systematically penalize high-b configs on short-doc corpora.
+          // The same exclusion bandCandidates' gram-set join applies.
+          val bandRows = signatures(s, d)
+            .filter(element_at(col("sig"), 1).isNotNull)
+            .select(col("doc_id"), col("sig"),
               explode(array(confs.map { case (b, r) =>
                 struct(lit(b).as("b"), lit(r).as("r")) }: _*)).as("cfg"))
             .select(col("doc_id"), col("sig"),
@@ -1763,7 +1771,8 @@ object DedupOps {
            |k AS (
            |  SELECT sigs.doc_id, cfg.b, cfg.r,
            |    unnest(range(0, cfg.b)) AS band, sig
-           |  FROM sigs CROSS JOIN cfg),
+           |  FROM sigs CROSS JOIN cfg
+           |  WHERE sig[1] IS NOT NULL),
            |kb AS (
            |  SELECT b, r, band,
            |    array_to_string(list_transform(sig[band*r+1:band*r+r],

@@ -618,10 +618,26 @@ object ArrowHttpServer {
     * response sockets. The JDK server reads `sun.net.httpserver.nodelay`
     * once in ServerConfig's static init, so this must run before the
     * FIRST HttpServer.create in the JVM — hence the call from the
-    * constructor, idempotently, ahead of create(). */
-  private[server] def ensureNoDelay(): Unit =
-    if (System.getProperty("sun.net.httpserver.nodelay") == null)
-      System.setProperty("sun.net.httpserver.nodelay", "true")
+    * constructor, idempotently, ahead of create().
+    *
+    * Hardening (r12 ADVICE): the lazy set is a silent no-op when some
+    * other component created a com.sun HttpServer first (ServerConfig's
+    * static init already read the property). The primary defense is now
+    * `-Dsun.net.httpserver.nodelay=true` in build.sbt's javaOptions —
+    * set before ANY class init in every forked run/test JVM — with this
+    * constructor-path set kept for non-sbt embedders, and a loud WARN
+    * when the property was explicitly overridden to something else. */
+  @volatile private var noDelayChecked = false
+  private[server] def ensureNoDelay(): Unit = {
+    val v = System.getProperty("sun.net.httpserver.nodelay")
+    if (v == null) System.setProperty("sun.net.httpserver.nodelay", "true")
+    else if (v != "true" && !noDelayChecked) {
+      // explicit external override — say so instead of silently stalling
+      System.err.println(s"[arrow-http] WARN: sun.net.httpserver.nodelay=$v " +
+        "— TCP_NODELAY disabled externally; expect ~65 ms/request Nagle stalls")
+    }
+    noDelayChecked = true
+  }
 }
 
 /** Coalesces writes to >= minSize before forwarding (the reference's
