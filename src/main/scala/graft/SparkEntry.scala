@@ -80,6 +80,7 @@ object SparkEntry {
       "d26_dup_trend", "d27_cross_source_lines", "d28_cluster_keeper",
       "d29_normalized_dedup", "d30_sample_dedup_rate", "d31_embedding_coverage",
       "d32_quality_dup_profile", "d33_lsh_calibration", "d34_minhash_estimator_error",
+      "d35_simhash_band_calibration",
       "s01_knn_bruteforce", "s02_ann_lsh", "s04_ivf_search", "s08_recall_eval",
       "s09_pq_search", "s11_ivfpq_search", "s13_cascade_rerank",
       "s14_embedding_health", "s16_binary_hamming", "s17_mips_lsh",

@@ -1862,6 +1862,85 @@ object DedupOps {
            |FROM scored
            |GROUP BY 1, 2
            |ORDER BY est_decile, exact_decile""".stripMargin)
-    }
+    },
+
+    // -- SimHash band-layout calibration sheet --------------------------
+    // d33's sheet for the HAMMING-LSH tier: the r13 sketch widening
+    // (60-bit 4×15 → 120-bit 4×30, r12 verdict #1) as a MEASURED
+    // operator instead of a commit message. Both layouts are priced
+    // from bucket occupancies alone — probe_pairs = Σ s·(s−1)/2 over
+    // the (band, key) buckets each layout would hash this corpus into —
+    // so no candidate pair is ever materialized and the sheet is O(n)
+    // at any SF. Both sketches come from ONE pass: the 60-bit sketch is
+    // by construction the hi half of the 120-bit one (same md5 front 15
+    // hex digits, same majority rule), so sh_hi IS d05's simhash60
+    // (spec-pinned). The calibration read: probe mass per true keyspace
+    // — the number that made 4×15 a scale-killer (collision p per doc
+    // pair is SF-flat, so the RATIO between layouts is the per-corpus
+    // answer to "was widening worth 8 bytes/doc"). 100 TB shape: one
+    // sketch scan, one exploded (cfg, band, key) exchange of 16-byte
+    // rows, ≤ |buckets| rows after the first agg, 2 rows out.
+    QueryDef.sql("d35_simhash_band_calibration",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val sh = OpUtils.transientPersist(s, s"d35:$d",
+          Tables.documents(s, d)
+            .withColumn("sk", graft.functions.GraftFunctions.simHash120(
+              graft.functions.GraftFunctions.gramHashes120(words(col("text")), 1)))
+            .select(col("doc_id"),
+              element_at(col("sk"), 1).as("sh_hi"),
+              element_at(col("sk"), 2).as("sh_lo")))
+        val banded = sh.select(col("sh_hi"), col("sh_lo"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        val k60 = banded.select(lit("60x4x15").as("cfg"), col("band"),
+          expr("shiftright(sh_hi, band * 15) & 32767").as("key"))
+        val k120 = banded.select(lit("120x4x30").as("cfg"), col("band"),
+          expr("(CASE WHEN band < 2 THEN shiftright(sh_hi, band * 30) " +
+            "ELSE shiftright(sh_lo, (band - 2) * 30) END) & 1073741823").as("key"))
+        k60.union(k120)
+          .groupBy(col("cfg"), col("band"), col("key"))
+          .agg(count(lit(1)).as("s"))
+          .groupBy(col("cfg"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when(col("s") >= 2, 1L).otherwise(0L)).as("collision_buckets"),
+            sum(expr("s * (s - 1) DIV 2")).as("probe_pairs"),
+            max(col("s")).as("max_bucket"))
+          .withColumn("keyspace_per_band",
+            when(col("cfg") === "60x4x15", lit(1L << 15)).otherwise(lit(1L << 30)))
+          .orderBy(col("cfg"))
+      }, {
+      def fold(hs: String) =
+        s"""list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 60), j ->
+           |      CASE WHEN list_reduce([0] || list_transform($hs, x ->
+           |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+           |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
+           |      (a, b) -> a + b)""".stripMargin
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(${oWords("text")}, w -> ${oMd5Val("w", 15)}) AS hhi,
+         |    list_transform(${oWords("text")}, w -> ${OpUtils.oMd5ValAt("w", 16, 15)}) AS hlo
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${fold("hhi")} AS sh_hi, ${fold("hlo")} AS sh_lo
+         |  FROM h),
+         |k AS (SELECT sh_hi, sh_lo, unnest(range(0, 4)) AS band FROM sh),
+         |kk AS (
+         |  SELECT '60x4x15' AS cfg, band, (sh_hi >> (band * 15)) & 32767 AS key
+         |  FROM k
+         |  UNION ALL
+         |  SELECT '120x4x30' AS cfg, band,
+         |    (CASE WHEN band < 2 THEN sh_hi >> (band * 30)
+         |          ELSE sh_lo >> ((band - 2) * 30) END) & 1073741823 AS key
+         |  FROM k),
+         |occ AS (SELECT cfg, band, key, COUNT(*) AS s FROM kk GROUP BY 1, 2, 3)
+         |SELECT cfg, COUNT(*) AS n_buckets,
+         |  CAST(SUM(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS collision_buckets,
+         |  CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS probe_pairs,
+         |  CAST(MAX(s) AS BIGINT) AS max_bucket,
+         |  CASE WHEN cfg = '60x4x15' THEN CAST(${1L << 15} AS BIGINT)
+         |       ELSE CAST(${1L << 30} AS BIGINT) END AS keyspace_per_band
+         |FROM occ GROUP BY cfg ORDER BY cfg""".stripMargin
+      })
   )
 }
