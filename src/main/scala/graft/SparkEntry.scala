@@ -109,6 +109,7 @@ object SparkEntry {
       "m14_aspect_buckets", "m15_scene_cuts", "m16_channel_norm",
       "m17_corrupt_audit", "m18_image_band_neardup", "m19_audio_band_neardup",
       "m20_caption_asset_audit", "m21_orphan_assets", "m22_caption_image_swap",
+      "m24_video_band_neardup",
       "m23_caption_transfer")
     val have = queries.keySet
     val picked = preferred.filter(have)

@@ -576,6 +576,40 @@ object MultimodalOps {
     (nf, sampled, sum / sampled)
   }
 
+  /** Temporally-pooled perceptual video hash: walk the container, dHash
+    * every `k`-th sampled frame (others seek-skipped), and majority-vote
+    * each of the 56 dHash bits ACROSS the sampled frames — the pooled
+    * print moves only a few bits under light re-encode/per-frame edits
+    * (each frame's dHash drifts a little, the vote absorbs it), which is
+    * exactly the hamming-band near-dup property m09's order-sensitive
+    * polynomial chain deliberately lacks (one changed frame reprints the
+    * whole chain). Ties (even sampled counts) vote 0 — strict-majority,
+    * deterministic on both engines. Returns (n_frames, pooled 56-bit). */
+  def videoPooledHash(b: Array[Byte], k: Int): (Int, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nf = bb.getInt
+    val votes = new Array[Int](56)
+    var f = 0
+    while (f < nf) {
+      val len = bb.getInt
+      if (f % k == 0) {
+        val frame = new Array[Byte](len)
+        bb.get(frame)
+        val h = dhashPpm(frame)
+        var j = 0
+        while (j < 56) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      } else bb.position(bb.position() + len)
+      f += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < 56) { if (votes(j) > 0) v |= (1L << j); j += 1 }
+    (nf, v)
+  }
+
   /** Sequence-sensitive video fingerprint: walk the container, dHash
     * every `k`-th frame (others seek-skipped, never parsed), and chain
     * the sampled hashes in frame order through a modular polynomial —
@@ -2190,6 +2224,115 @@ object MultimodalOps {
            |JOIN caps cb ON cb.gid = p.gb
            |LEFT JOIN sh ON sh.ga = p.ga AND sh.gb = p.gb
            |ORDER BY p.ga, p.gb""".stripMargin
+      }),
+
+    // -- near-dup video pairs: temporally-pooled dHash hamming bands ------
+    // Completes the near-dup banding trio (m18 image, m19 audio): m09
+    // groups byte-level re-encodes by the order-sensitive polynomial
+    // chain, which reprints ENTIRELY when one frame drifts — a lightly
+    // re-encoded clip needs a sketch that moves a few BITS instead. The
+    // temporally-pooled dHash ([[videoPooledHash]]: majority vote of
+    // each dHash bit across the sampled frames) has exactly that
+    // property, so m18's layout applies: exact tier FIRST (candidates
+    // generate over the DISTINCT (n_frames, vhash) frame behind a
+    // persist barrier — pair work scales with content variety, not copy
+    // count), same-duration blocking, 4×14-bit bands (pigeonhole covers
+    // hamming ≤ 3 fully; wider edits caught when any band survives),
+    // exact summed bit_count verify at ≤ 6 riding the join condition
+    // (pre-distinct, the d09 rule). 100 TB shape: decode + container
+    // walk in mapPartitions (video bytes never shuffle); the shuffle
+    // carries (id, n_frames, 8-byte vhash) only; the frame is bounded
+    // by content variety.
+    QueryDef.sql("m24_video_band_neardup",
+      (s, d) => {
+        val ids = Tables.documents(s, d)
+          .select(col("doc_id")).filter(col("doc_id") < 1000)
+        val prints = ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val (nf, vh) = videoPooledHash(framesBytes(id % 60), 2)
+            Row(id, nf, vh)
+          }
+        }
+        val df = s.createDataFrame(prints, StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("n_frames", IntegerType, nullable = false),
+          StructField("vhash", LongType, nullable = false))))
+        val reps = OpUtils.transientPersist(s, s"m24:$d",
+          df.groupBy(col("n_frames"), col("vhash"))
+            .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies")))
+        val bands = reps.select(col("n_frames"), col("vhash"), col("rep"),
+            col("n_copies"), explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("key", expr("shiftright(vhash, band * 14) & 16383"))
+        bands.as("a").join(bands.as("b"),
+            col("a.n_frames") === col("b.n_frames") &&
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.rep") < col("b.rep"))
+          .select(col("a.rep").as("vid_a"), col("b.rep").as("vid_b"),
+            col("a.n_frames").as("n_frames"),
+            expr("bit_count(a.vhash ^ b.vhash)").as("hamming"),
+            col("a.n_copies").as("copies_a"), col("b.n_copies").as("copies_b"))
+          .filter(col("hamming") <= 6)
+          .distinct()
+          .orderBy(col("vid_a"), col("vid_b"))
+      }, {
+      // frame fi of clip gid is ppmBytes(gid*7 + fi) (m09's contract);
+      // sampled frames are fi % 2 == 0; per-frame dHash mirrors m07
+      def oGray(sx: String, sy: String): String =
+        s"""((fid*31 + (3*(($sy)*w+($sx)))*7) % 256
+           | + (fid*31 + (3*(($sy)*w+($sx))+1)*7) % 256
+           | + (fid*31 + (3*(($sy)*w+($sx))+2)*7) % 256)""".stripMargin
+      val sy = "((j // 7) * h) // 8"
+      val sx0 = "((j % 7) * w) // 8"
+      val sx1 = "(((j % 7) + 1) * w) // 8"
+      s"""WITH b AS (
+         |  SELECT doc_id, doc_id % 60 AS gid, 2 + (doc_id % 60) % 5 AS nf
+         |  FROM documents WHERE doc_id < 1000),
+         |f AS (
+         |  SELECT doc_id, gid, nf, unnest(range(0, nf)) AS fi FROM b),
+         |d AS (
+         |  SELECT doc_id, nf, fi, gid*7+fi AS fid,
+         |    4 + (gid*7+fi) % 13 AS w, 4 + ((gid*7+fi)*3) % 11 AS h
+         |  FROM f WHERE fi % 2 = 0),
+         |hsh AS (
+         |  SELECT doc_id, nf, fi,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 56), j ->
+         |      CASE WHEN ${oGray(sx1, sy)} > ${oGray(sx0, sy)}
+         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+         |      (acc, bit) -> acc + bit) AS dhash
+         |  FROM d),
+         |hl AS (SELECT doc_id, nf, list(dhash ORDER BY fi) AS hs
+         |       FROM hsh GROUP BY doc_id, nf),
+         |pool AS (
+         |  SELECT doc_id, nf,
+         |    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 56), j ->
+         |      CASE WHEN list_reduce([0] || list_transform(hs, x ->
+         |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+         |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
+         |      (a, b) -> a + b) AS vhash
+         |  FROM hl),
+         |reps AS (
+         |  SELECT nf, vhash, MIN(doc_id) AS rep, COUNT(*) AS n_copies
+         |  FROM pool GROUP BY 1, 2),
+         |k AS (
+         |  SELECT nf, vhash, rep, n_copies, unnest(range(0, 4)) AS band
+         |  FROM reps),
+         |kb AS (
+         |  SELECT nf, vhash, rep, n_copies, band,
+         |    (vhash >> (band * 14)) & 16383 AS key FROM k),
+         |pairs AS (
+         |  SELECT DISTINCT a.rep AS vid_a, b.rep AS vid_b,
+         |    a.nf AS n_frames, a.vhash AS va, b.vhash AS vb,
+         |    a.n_copies AS copies_a, b.n_copies AS copies_b
+         |  FROM kb a JOIN kb b
+         |    ON a.nf = b.nf AND a.band = b.band AND a.key = b.key
+         |      AND a.rep < b.rep)
+         |SELECT vid_a, vid_b, CAST(n_frames AS INTEGER) AS n_frames,
+         |  CAST(bit_count(xor(va, vb)) AS INTEGER) AS hamming,
+         |  CAST(copies_a AS BIGINT) AS copies_a, CAST(copies_b AS BIGINT) AS copies_b
+         |FROM pairs
+         |WHERE bit_count(xor(va, vb)) <= 6
+         |ORDER BY vid_a, vid_b""".stripMargin
       })
   )
 }

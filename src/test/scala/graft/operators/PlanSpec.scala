@@ -1358,6 +1358,17 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("bit_count"), p)
   }
 
+  test("m24: decode runs once behind the persist barrier; candidates block on (n_frames, 14-bit band)") {
+    val p = plan("m24_video_band_neardup")
+    assert(!p.split("InMemoryRelation")(0).contains("Scan ExistingRDD"), p)
+    assert(p.contains("16383"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // d09 rule: hamming verify rides the join condition, pre-distinct
+    val joinLine = p.split("\n").find(l =>
+      l.contains("Join [n_frames") || l.contains("Join [band")).getOrElse("")
+    assert(joinLine.contains("bit_count"), p)
+  }
+
   test("d32: one text-hash shuffle then a bounded band rollup; no join; text never shuffles") {
     val p = plan("d32_quality_dup_profile")
     assert(!p.contains("Join"), p)
