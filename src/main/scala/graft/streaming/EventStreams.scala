@@ -131,6 +131,56 @@ object EventStreams {
       .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
       .select(col("doc_id"), col("us"), col("text"))
 
+  /** Streaming banded NEAR-dup probe against a STATIC corpus sketch
+    * store — the unbounded twin of d09's blocking applied at ingest
+    * (ingestDedupStream's move, one similarity tier up): every arriving
+    * document computes its 120-bit simhash map-side (native
+    * gram_hashes120 → simhash120), explodes d09's 4×30-bit band keys,
+    * and probes the persisted corpus band frame; summed bit_count ≤ 3
+    * verifies in the join projection. ZERO stream-side state: the
+    * stream-static inner join re-plans per micro-batch, and the
+    * multi-band double-emit (a pair agreeing on two bands matches
+    * twice) is eliminated by PURE ARITHMETIC instead of a stateful
+    * distinct — both sketches ride the joined row, so each row can
+    * compute the pair's FIRST agreeing band and survive only if it IS
+    * that band. Output: (doc_id, us, corpus_id, hamming), one row per
+    * (arriving doc, corpus near-dup). 100 TB shape: the corpus side is
+    * the d09 sketch store bucketed on (band, key) on disk; each
+    * micro-batch pays one probe; no broadcast hint (the store grows
+    * with the corpus — per-micro-batch re-plan decides, the
+    * ingestDedupStream rule). */
+  def ingestNearDupStream(docs: DataFrame, corpusSketch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.operators.OpUtils.words
+    def bandKey(hi: String, lo: String, b: String): String =
+      s"(CASE WHEN $b < 2 THEN shiftright($hi, $b * 30) " +
+        s"ELSE shiftright($lo, ($b - 2) * 30) END) & 1073741823"
+    val cBands = corpusSketch
+      .select(col("doc_id").as("corpus_id"),
+        col("sh_hi").as("c_hi"), col("sh_lo").as("c_lo"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr(bandKey("c_hi", "c_lo", "band")))
+    docs
+      .withColumn("sk", graft.functions.GraftFunctions.simHash120(
+        graft.functions.GraftFunctions.gramHashes120(words(col("text")), 1)))
+      .select(col("doc_id"), col("us"),
+        element_at(col("sk"), 1).as("s_hi"), element_at(col("sk"), 2).as("s_lo"))
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("key", expr(bandKey("s_hi", "s_lo", "band")))
+      .join(cBands, Seq("band", "key"))
+      .withColumn("hamming",
+        (expr("bit_count(s_hi ^ c_hi)") + expr("bit_count(s_lo ^ c_lo)")).cast("int"))
+      .filter(col("hamming") <= 3)
+      // first agreeing band, computed per row from the two sketches —
+      // the stateless exact-once rule (no distinct, no watermark state)
+      .withColumn("first_band", expr((0 to 3).map(b =>
+        s"WHEN (${bandKey("s_hi", "s_lo", b.toString)}) = " +
+          s"(${bandKey("c_hi", "c_lo", b.toString)}) THEN $b")
+        .mkString("CASE ", " ", " ELSE -1 END")))
+      .filter(col("band") === col("first_band"))
+      .select(col("doc_id"), col("us"), col("corpus_id"), col("hamming"))
+  }
+
   final case class ScoredDoc(doc_id: Long, us: Long, ts: java.sql.Timestamp,
       hh: String, gopher_fail: Boolean, corpus_dup: Boolean)
   final case class DocVerdict(doc_id: Long, us: Long, stage: String)

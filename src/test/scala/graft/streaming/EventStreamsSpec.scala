@@ -164,6 +164,61 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got === (1 until 100 by 2).map(_.toLong).toSet)
   }
 
+  test("streaming banded near-dup probe matches the batch band join, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.OpUtils.words
+
+    // corpus sketch store: the d09 sketch over ALL sf0.001 docs
+    val sketch = graft.Tables.documents(spark, sf)
+      .withColumn("sk", graft.functions.GraftFunctions.simHash120(
+        graft.functions.GraftFunctions.gramHashes120(words(col("text")), 1)))
+      .select(col("doc_id"),
+        element_at(col("sk"), 1).as("sh_hi"), element_at(col("sk"), 2).as("sh_lo"))
+      .persist()
+
+    val input = MemoryStream[(Long, Long, String)]
+    val query = EventStreams.ingestNearDupStream(
+        input.toDF().toDF("doc_id", "us", "text"), sketch)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), 1700000000000000L + r.getLong(0), r.getString(1))).toSeq
+    docs.grouped(200).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    query.stop()
+
+    val got = spark.table("neardup_out")
+      .select(col("doc_id"), col("corpus_id"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // batch truth: ordered (probe, corpus) pairs that band-collide at
+    // hamming <= 3 — EXACTLY once each despite multi-band agreement
+    val bands = sketch.select(col("doc_id"), col("sh_hi"), col("sh_lo"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr(
+        "(CASE WHEN band < 2 THEN shiftright(sh_hi, band * 30) " +
+          "ELSE shiftright(sh_lo, (band - 2) * 30) END) & 1073741823"))
+    val want = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("p"), col("b.doc_id").as("c"),
+        (expr("bit_count(a.sh_hi ^ b.sh_hi)") +
+          expr("bit_count(a.sh_lo ^ b.sh_lo)")).cast("int").as("h"))
+      .filter(col("h") <= 3)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    sketch.unpersist()
+
+    assert(got === want)
+    // every doc self-matches at hamming 0, and the corpus has real
+    // near-dups beyond self (the SimHash120Spec fixture fact)
+    assert(got.exists { case (p, c, _) => p == c })
+    assert(got.exists { case (p, c, _) => p != c }, got.size)
+  }
+
   test("streaming as-of join matches the batch q21 twin within the horizon") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
