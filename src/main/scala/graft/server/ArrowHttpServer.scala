@@ -40,7 +40,9 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     * USE_DICTIONARY_ENCODING behavior, get_compressed/server.py:50-52). */
   private val dictCols = scala.collection.concurrent.TrieMap[String, Map[String, Array[String]]]()
 
-  val httpCodings: Seq[String] = Seq("zstd", "gzip")
+  // reference preference order zstd > br > gzip (server.py:444-449);
+  // br is the RFC 7932 stored-mode coding (see Brotli.scala)
+  val httpCodings: Seq[String] = Seq("zstd", "br", "gzip")
   val ipcCodecs: Seq[String] = Seq("zstd", "lz4")
 
   def register(name: String, df: => DataFrame): Unit = {
@@ -152,6 +154,7 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
               val out: OutputStream = strategy.httpCoding match {
                 case Some("gzip") => new java.util.zip.GZIPOutputStream(sink, true)
                 case Some("zstd") => new com.github.luben.zstd.ZstdOutputStream(sink)
+                case Some("br")   => new Brotli.BrotliStoredOutputStream(sink)
                 case _            => sink
               }
               val df = dfFn()

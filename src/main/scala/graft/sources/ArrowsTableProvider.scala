@@ -92,10 +92,13 @@ object ArrowsTableProvider {
 
   def open(path: String): InputStream = open(path, schemaOnly = false)
 
-  def open(path: String, schemaOnly: Boolean): InputStream =
+  def open(path: String, schemaOnly: Boolean, accept: String = ""): InputStream =
     if (isUrl(path)) {
       val conn = URI.create(path).toURL.openConnection().asInstanceOf[HttpURLConnection]
       conn.setRequestProperty("Accept", "application/vnd.apache.arrow.stream")
+      // opt-in content-coding (option acceptEncoding): the server
+      // negotiates zstd/br/gzip and the decode match below unwraps it
+      if (accept.nonEmpty) conn.setRequestProperty("Accept-Encoding", accept)
       if (schemaOnly) conn.setRequestProperty("X-Arrow-Schema-Only", "1")
       val code = conn.getResponseCode
       require(code == 200, s"GET $path -> HTTP $code")
@@ -106,6 +109,7 @@ object ArrowsTableProvider {
       val decoded = Option(conn.getContentEncoding) match {
         case Some("gzip") => new java.util.zip.GZIPInputStream(raw)
         case Some("zstd") => new com.github.luben.zstd.ZstdInputStream(raw)
+        case Some("br")   => new graft.server.Brotli.BrotliStoredInputStream(raw)
         case _            => raw
       }
       new BufferedInputStream(decoded, 1 << 16)
@@ -398,12 +402,12 @@ object ArrowsTableProvider {
 
   /** Open either IPC format as an ArrowReader. */
   def openReader(path: String, alloc: org.apache.arrow.memory.BufferAllocator,
-      schemaOnly: Boolean = false): org.apache.arrow.vector.ipc.ArrowReader =
+      schemaOnly: Boolean = false, accept: String = ""): org.apache.arrow.vector.ipc.ArrowReader =
     if (isFileFormat(path)) {
       val ch = new java.io.RandomAccessFile(stripScheme(path), "r").getChannel
       new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc,
         org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
-    } else new ArrowStreamReader(open(path, schemaOnly), alloc,
+    } else new ArrowStreamReader(open(path, schemaOnly, accept), alloc,
       org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
 
   def readSchema(path: String): StructType = {
@@ -467,13 +471,15 @@ final class ArrowsScanBuilder(full: StructType, options: CaseInsensitiveStringMa
     new ArrowsScan(full, tagged, paths,
       Option(options.get("rangepartitions")).map(_.toInt).getOrElse(1),
       ArrowsTableProvider.rawPaths(options),
-      Option(options.get("split")).forall(_.toBoolean))
+      Option(options.get("split")).forall(_.toBoolean),
+      accept = Option(options.get("acceptencoding")).getOrElse(""))
   }
 }
 
 final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String],
     rangePartitions: Int, rawDirs: Seq[String], split: Boolean = true,
-    dissoc: Option[String] = None, dissocFanout: Boolean = true)
+    dissoc: Option[String] = None, dissocFanout: Boolean = true,
+    accept: String = "")
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -522,7 +528,8 @@ final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String
           if (rangePartitions > 1 && ArrowsTableProvider.isUrl(u) && u.contains("/files/"))
             ArrowsTableProvider.rangedPartitions(u, rangePartitions)
           else Nil
-        if (ranged.nonEmpty) ranged else Seq(ArrowsInputPartition(u, -1, -1, -1))
+        if (ranged.nonEmpty) ranged
+        else Seq(ArrowsInputPartition(u, -1, -1, -1, accept = accept))
       }
     }.toArray
 
@@ -533,7 +540,8 @@ final class ArrowsScan(full: StructType, required: StructType, paths: Seq[String
 final case class ArrowsInputPartition(path: String,
     schemaEnd: Long, start: Long, end: Long,
     dissoc: Boolean = false,
-    dissocMeta: String = "", dissocBody: String = "") extends InputPartition {
+    dissocMeta: String = "", dissocBody: String = "",
+    accept: String = "") extends InputPartition {
   def isRanged: Boolean = start >= 0
 }
 
@@ -585,7 +593,7 @@ abstract class ArrowsReaderBase(part: ArrowsInputPartition) {
       new ArrowStreamReader(
         new java.io.SequenceInputStream(java.util.Collections.enumeration(pieces)),
         alloc, org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
-    } else ArrowsTableProvider.openReader(part.path, alloc)
+    } else ArrowsTableProvider.openReader(part.path, alloc, accept = part.accept)
   protected val root = reader.getVectorSchemaRoot
   protected val arrowFieldIndex: Map[String, Int] =
     root.getSchema.getFields.asScala.map(_.getName).zipWithIndex.toMap

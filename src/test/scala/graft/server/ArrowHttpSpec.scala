@@ -96,13 +96,42 @@ class ArrowHttpSpec extends AnyFunSuite {
   }
 
   test("negotiation: gzip HTTP coding round-trips (matrix completeness)") {
-    val (code, headers, body) = get("/q/ticker", Map("Accept-Encoding" -> "gzip;q=0.9, br"))
+    val (code, headers, body) = get("/q/ticker", Map("Accept-Encoding" -> "gzip"))
     assert(code === 200)
     assert(headers.get("content-encoding").contains("gzip"))
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(body))
     val res = ArrowBridge.read(in)
     assert(res.rows.size === 5000)
     res.close()
+  }
+
+  test("negotiation: br coding round-trips; client q ranks it over gzip") {
+    // the reference client's explicit-br case (client.py:89-96): a
+    // higher client q on br must beat gzip even though the server ranks
+    // zstd first among EQUALS — zstd is absent from this Accept-Encoding
+    val (code, headers, body) = get("/q/ticker",
+      Map("Accept-Encoding" -> "gzip;q=0.9, br"))
+    assert(code === 200)
+    assert(headers.get("content-encoding").contains("br"))
+    val in = new Brotli.BrotliStoredInputStream(new java.io.ByteArrayInputStream(body))
+    val res = ArrowBridge.read(in)
+    assert(res.rows.size === 5000)
+    res.close()
+  }
+
+  test("negotiation: server preference order is zstd > br > gzip at equal q") {
+    val (code, headers, _) = get("/q/ticker",
+      Map("Accept-Encoding" -> "br, gzip, zstd"))
+    assert(code === 200)
+    assert(headers.get("content-encoding").contains("zstd"))
+  }
+
+  test("DSv2 read decodes a br-coded serve end-to-end") {
+    val df = spark.read.format("arrows")
+      .option("url", s"${server.baseUrl}/q/ticker")
+      .option("acceptEncoding", "br")
+      .option("split", "false").load()
+    assert(df.count() === 5000)
   }
 
   test("negotiation: IPC codecs param wins and is echoed") {
@@ -117,8 +146,10 @@ class ArrowHttpSpec extends AnyFunSuite {
   }
 
   test("negotiation: identity;q=0 without alternatives yields 406") {
+    // "compress" is genuinely unsupported (br no longer is — it moved
+    // into the coding matrix when the stored-mode codec landed)
     val (code, _, body) = get("/q/ticker",
-      Map("Accept-Encoding" -> "identity;q=0, br"))
+      Map("Accept-Encoding" -> "identity;q=0, compress"))
     assert(code === 406)
     assert(new String(body, UTF_8).contains("no acceptable"))
   }
