@@ -104,7 +104,8 @@ object SparkEntry {
       "p16_shard_manifest", "p17_shard_skew", "p18_shard_mixture",
       "p19_resume_manifest", "p20_epoch_decorrelation", "p21_crossmodal_coverage",
       "p22_subshard_packing", "p23_dedup_aware_packing", "p24_post_dedup_mixture",
-      "p25_shard_dedup_leakage",
+      "p25_shard_dedup_leakage", "p26_stratified_split",
+      "t32_word_entropy", "s33_centroid_margin",
       "m11_pair_gate", "m12_audio_gate", "m13_video_length_gate",
       "m14_aspect_buckets", "m15_scene_cuts", "m16_channel_norm",
       "m17_corrupt_audit", "m18_image_band_neardup", "m19_audio_band_neardup",

@@ -154,6 +154,8 @@ object GraftFunctions {
       "hamming_pairs", exprs => HammingPairs(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "value_pairs", exprs => ValuePairs(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bucket8", exprs => HyperplaneBucket8(exprs(0)), "built-in")
   }
 
   /** Column API over the registered function. */

@@ -1445,6 +1445,65 @@ object PipelineOps {
          |FROM sp, tt
          |WHERE shard_a = shard_b
          |GROUP BY 1, tt.total_pairs
-         |ORDER BY shard""".stripMargin)
+         |ORDER BY shard""".stripMargin),
+
+    // -- stratified train/val/test split manifest ------------------------
+    // The split every training run makes before anything else, done the
+    // only way that survives re-runs and late-arriving data: assignment
+    // is a PURE FUNCTION of the document id (md5(doc_id || '#split') mod
+    // 100 → 98/1/1), never a random() draw — re-ingesting a shard can't
+    // move a document across splits, and eval contamination can't enter
+    // through re-shuffling. The manifest audits the result per
+    // (source, lang) stratum: doc and token mass per split, and each
+    // split's exact ppm share of its stratum, so a stratum whose val
+    // slice landed empty (small strata DO miss 1% buckets) is visible
+    // before training, not after. 100 TB shape: split assignment and
+    // token counts compute map-side in the scan projection; ONE
+    // (source, lang, split) rollup shuffles only the aggregated cells;
+    // the stratum-share window runs over that bounded frame (sources ×
+    // langs × 3 rows), never over documents. Integer ppm via the
+    // DECIMAL(38,0) house pattern.
+    QueryDef.sql("p26_stratified_split",
+      (s, d) => {
+        val bucket = pmod(
+          md5Val(concat(col("doc_id").cast("string"), lit("#split")), 15),
+          lit(100L))
+        val split = when(bucket < 98, "train")
+          .when(bucket === 98, "val").otherwise("test")
+        val agg = Tables.documents(s, d)
+          .select(col("source"), col("lang"), split.as("split"),
+            size(words(col("text"))).as("n"))
+          .groupBy(col("source"), col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        agg.withColumn("stratum_docs",
+            sum(col("n_docs")).over(
+              Window.partitionBy(col("source"), col("lang"))))
+          .withColumn("split_share_ppm",
+            expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 " +
+              "DIV stratum_docs AS BIGINT)"))
+          .select(col("source"), col("lang"), col("split"), col("n_docs"),
+            col("n_tokens"), col("split_share_ppm"))
+          .orderBy(col("source"), col("lang"), col("split"))
+      },
+      s"""WITH a AS (
+         |  SELECT source, lang,
+         |    CASE
+         |      WHEN ${oMd5Val("CAST(doc_id AS VARCHAR) || '#split'", 15)}
+         |        % 100 < 98 THEN 'train'
+         |      WHEN ${oMd5Val("CAST(doc_id AS VARCHAR) || '#split'", 15)}
+         |        % 100 = 98 THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    len(${oWords("text")}) AS n
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, lang, split, COUNT(*) AS n_docs,
+         |    CAST(SUM(n) AS BIGINT) AS n_tokens
+         |  FROM a GROUP BY 1, 2, 3)
+         |SELECT source, lang, split, n_docs, n_tokens,
+         |  CAST(CAST(n_docs AS HUGEINT) * 1000000
+         |    // SUM(n_docs) OVER (PARTITION BY source, lang) AS BIGINT)
+         |    AS split_share_ppm
+         |FROM g
+         |ORDER BY source, lang, split""".stripMargin)
   )
 }

@@ -71,7 +71,19 @@ object SimilarityOps {
     * identical (negate/identity are exact, so ±v[j] matches the oracle's
     * CASE arm exactly). Fully inside whole-stage codegen: no higher-order
     * functions, no per-row hashing. */
+  /** 8-bit hyperplane LSH bucket — the native `hyperplane_bucket8`
+    * expression (r13): the unrolled ~512-node fold, instantiated on
+    * both sides of d10's self-join, pushed the join stage's generated
+    * method past janino's 64 KB limit and the whole stage silently ran
+    * INTERPRETED. One plan node keeps the stage inside whole-stage
+    * codegen; [[bucketColUnrolled]] stays as the spec's bit-equality
+    * reference. Callers register GraftFunctions via [[vecs]]. */
   private def bucketCol(v: Column): Column =
+    call_function("hyperplane_bucket8", v)
+
+  /** The original declarative fold — retained ONLY as the
+    * HyperplaneBucket8Spec bit-exactness reference. */
+  def bucketColUnrolled(v: Column): Column =
     (0 until 8).map { p =>
       val proj = hyperplaneSigns(p).zipWithIndex.foldLeft(lit(0.0)) {
         case (acc, (sgn, j0)) =>
@@ -2227,6 +2239,81 @@ object SimilarityOps {
          |    AS split_rank,
          |  row_number() OVER (ORDER BY split_score DESC, cell) <= 3 AS split_now
          |FROM sheet
-         |ORDER BY cell""".stripMargin)
+         |ORDER BY cell""".stripMargin),
+
+    // -- centroid-margin histogram (IVF boundary-mass audit) -------------
+    // How much of the corpus sits ON an IVF cell boundary? For EVERY
+    // vector (a full linear scan, not a probe — this is the audit you
+    // run once per index build), the margin between its nearest and
+    // second-nearest centroid, banded at 0.02-cosine resolution, plus
+    // the band's off-cell mass (vectors whose nearest centroid is not
+    // their own label's). Low-margin mass is exactly the recall that
+    // nprobe=1 forfeits (s28 measures the forfeit on a probe set; this
+    // prices WHERE it comes from corpus-wide), and off-cell mass is the
+    // re-assignment pressure a re-clustering step (s19) would relieve.
+    // 100 TB shape: n × k cosines against a BROADCAST centroid table
+    // compute map-side; the top-2-per-vector cut is a row_number ≤ 2 —
+    // Spark's WindowGroupLimit trims each map partition to 2 rows per
+    // vec_id BEFORE the exchange (the q57 argmin pattern), so the
+    // shuffle carries 2n skinny rows, never n × k; the band rollup is
+    // ~50 cells. No joins back to the corpus, no quadratic term.
+    QueryDef.sql("s33_centroid_margin",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = centroids(s, d, e)
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("c_label"))
+        val top2 = e.crossJoin(broadcast(
+            cents.select(col("label").as("c_label"), col("cv"))))
+          .select(col("vec_id"), col("label"), col("c_label"),
+            cosine(col("v"), col("cv")).as("cos_c"))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= 2)
+        val perVec = top2.groupBy(col("vec_id"), col("label"))
+          .agg(max(when(col("r") === 1, col("cos_c"))).as("cos1"),
+            max(when(col("r") === 2, col("cos_c"))).as("cos2"),
+            max(when(col("r") === 1, col("c_label"))).as("cell"))
+          .filter(col("cos2").isNotNull)
+          .select(col("label"), col("cell"),
+            least(floor((col("cos1") - col("cos2")) * lit(50.0)).cast("int"),
+              lit(19)).as("band"))
+        perVec.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("cell") =!= col("label"), 1L).otherwise(0L))
+              .as("n_off_cell"))
+          .withColumn("off_cell_ppm",
+            expr("CAST(CAST(n_off_cell AS DECIMAL(38,0)) * 1000000 " +
+              "DIV n_vecs AS BIGINT)"))
+          .orderBy(col("band"))
+      },
+      s"""WITH e AS ($oVecs),
+         |cents AS ($oCents),
+         |sc AS (
+         |  SELECT e.vec_id, e.label, c.label AS c_label,
+         |    ${oCosine("e.v", "c.cv")} AS cos_c
+         |  FROM e CROSS JOIN cents c),
+         |r AS (
+         |  SELECT vec_id, label, c_label, cos_c,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_c DESC, c_label) AS r
+         |  FROM sc),
+         |pv AS (
+         |  SELECT vec_id, label,
+         |    max(CASE WHEN r = 1 THEN cos_c END) AS cos1,
+         |    max(CASE WHEN r = 2 THEN cos_c END) AS cos2,
+         |    max(CASE WHEN r = 1 THEN c_label END) AS cell
+         |  FROM r WHERE r <= 2 GROUP BY 1, 2),
+         |b AS (
+         |  SELECT label, cell,
+         |    LEAST(CAST(floor((cos1 - cos2) * 50.0) AS INTEGER), 19) AS band
+         |  FROM pv WHERE cos2 IS NOT NULL)
+         |SELECT band, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN cell != label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_off_cell,
+         |  CAST(CAST(SUM(CASE WHEN cell != label THEN 1 ELSE 0 END)
+         |    AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS off_cell_ppm
+         |FROM b
+         |GROUP BY band
+         |ORDER BY band""".stripMargin)
   )
 }

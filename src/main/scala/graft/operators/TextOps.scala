@@ -1639,6 +1639,68 @@ object TextOps {
          |  CAST(CAST(n_fallback AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
          |    AS fallback_ppm
          |FROM g
-         |ORDER BY lang, source""".stripMargin)
+         |ORDER BY lang, source""".stripMargin),
+
+    // -- per-doc word-entropy proxy, banded per source -------------------
+    // The gibberish/boilerplate detector the repetition ratio (t07) and
+    // diversity measures (t17/t29) don't give: how CONCENTRATED is each
+    // document's own word distribution? A templated page repeating ten
+    // words scores near 0 bits/word; natural prose sits several bits
+    // up. Entropy is computed in the integer-log2 domain (the
+    // oracle-determinism house rule: no cross-engine log/exp):
+    // bitlen(x) = length(bin(x)) = floor(log2 x)+1, and
+    //   H_proxy·n = n·bitlen(n) − Σ_w c_w·bitlen(c_w)
+    // — exact integers end to end; per-doc millibits-per-word uses one
+    // integer division. The manifest bands docs per source at whole-bit
+    // resolution with each band's doc count and exact mean millibits.
+    // 100 TB shape: words leave the doc as 60-bit md5 longs (never
+    // strings), ONE (doc, wh) count shuffle (map-side partials fold a
+    // doc's repeats within a partition), the per-doc rollup re-groups
+    // already-counted rows, and the band frame is sources × ~a dozen
+    // bands. Zipf-head safe: keys are (doc_id, wh), so no reducer ever
+    // sees one word's global posting list.
+    QueryDef.sql("t32_word_entropy",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val wc = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.GraftFunctions
+              .gramHashes60(words(col("text")), 1)).as("wh"))
+          .groupBy(col("doc_id"), col("source"), col("wh"))
+          .agg(count(lit(1)).as("c"))
+        val perDoc = wc.groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("c")).as("n"),
+            sum(col("c") * length(bin(col("c")))).as("cmass"))
+          .withColumn("proxy_mb",
+            expr("(n * length(bin(n)) - cmass) * 1000 DIV n"))
+        perDoc.groupBy(col("source"),
+            expr("proxy_mb DIV 1000").cast("int").as("band_bits"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("SUM(proxy_mb) DIV COUNT(*)").as("mean_millibits"))
+          .orderBy(col("source"), col("band_bits"))
+      },
+      s"""WITH wx AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(${oWords("text")},
+         |      w -> ${oMd5Val("w", 15)})) AS wh
+         |  FROM documents),
+         |wc AS (
+         |  SELECT doc_id, source, wh, COUNT(*) AS c
+         |  FROM wx GROUP BY 1, 2, 3),
+         |pd AS (
+         |  SELECT doc_id, source,
+         |    CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(c * length(bin(c))) AS BIGINT) AS cmass
+         |  FROM wc GROUP BY 1, 2),
+         |px AS (
+         |  SELECT source,
+         |    (n * length(bin(n)) - cmass) * 1000 // n AS proxy_mb
+         |  FROM pd)
+         |SELECT source, CAST(proxy_mb // 1000 AS INTEGER) AS band_bits,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(proxy_mb) // COUNT(*) AS BIGINT) AS mean_millibits
+         |FROM px
+         |GROUP BY 1, 2
+         |ORDER BY source, band_bits""".stripMargin)
   )
 }

@@ -1584,6 +1584,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!shuffled.exists(_.contains("text#")), p)
   }
 
+  test("p26: split assignment is map-side arithmetic; stratum window runs on the bounded cell frame") {
+    val p = plan("p26_stratified_split")
+    // no join anywhere: assignment is md5 arithmetic in the scan
+    // projection, the share window runs over the aggregated cells
+    assert(!p.contains("Join"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    // one rollup exchange (+ the window's re-partition on the bounded
+    // frame); documents text never crosses a wire
+    assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
+    assert(p.contains("Window ["), p)
+  }
+
+  test("t32: entropy proxy shuffles 60-bit word hashes, never text; band frame aggregates") {
+    val p = plan("t32_word_entropy")
+    assert(!p.contains("Join"), p)
+    val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffled.nonEmpty && !shuffled.exists(_.contains("text#")), p)
+    // the (doc, wh) count is a two-phase partial aggregate
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("s33: margin scan is broadcast-centroid map-side; top-2 cut is WindowGroupLimit pre-exchange") {
+    val p = plan("s33_centroid_margin")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the centroid side is the broadcast of a bounded aggregate; the
+    // corpus never shuffles n × k rows (WindowGroupLimit trims to 2/vec
+    // before the exchange)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("p22 totals: the two-level layout packs every source to p02's exact token total") {
     val a = SparkEntry.queries("p22_subshard_packing")(spark, sf)
       .groupBy(col("source"))
