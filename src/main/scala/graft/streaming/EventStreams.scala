@@ -479,6 +479,27 @@ object EventStreams {
         (unix_micros(col("session_window.end")) - gapUs).as("last_us"),
         col("n_events"))
 
+  /** Streaming sliding-window velocity flags — q55's fraud/rate-limit
+    * staple as it must run in production: ON the live stream, because a
+    * burst is only actionable while it is happening. Each event is
+    * assigned its 2 covering epoch-aligned 10-minute slides map-side
+    * (fan-out = window/slide, a constant — identical arithmetic to the
+    * batch twin), then one windowed (window, user) count with map-side
+    * partials; the watermark finalizes slides and evicts their state,
+    * so open state is bounded by (active users × 2 open slides), never
+    * by stream history. The spec replays the events table and asserts
+    * the complete-mode table row-equals q55's oracle-checked batch
+    * frame — the batch/stream contract every twin in this file pins. */
+  def slidingVelocityStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= 2)
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("user_id"), col("n_events"))
+
   /** Streaming quality-band monitor — t25's cutoff sheet kept live at
     * the point of ingest: per 0.05-wide t02-score band, running doc and
     * token counts. The per-doc score and banding compute map-side with
@@ -505,6 +526,32 @@ object EventStreams {
       .withColumn("band",
         least(floor(col("quality") * 20.0).cast("int"), lit(19)))
       .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+  }
+
+  /** Streaming stratified-split manifest — p26's split accounting kept
+    * live at the point of ingest. The split verdict is the same PURE
+    * FUNCTION of doc_id (md5(doc_id || '#split') mod 100 → 98/1/1)
+    * batch p26 uses, computed map-side per arriving document — so a
+    * document's split NEVER depends on arrival order, replays, or
+    * micro-batch boundaries, which is the whole point of hash splits.
+    * The running (source, lang, split) doc/token counters are the only
+    * state: bounded at sources × langs × 3 rows at any stream volume —
+    * like qualityBandStream, a streaming agg that needs no watermark to
+    * stay finite. The spec proves the complete-mode table equals p26's
+    * oracle-checked counts on the same corpus (ppm shares are the
+    * batch sheet's derived column; the live tile carries the counts). */
+  def stratifiedSplitStream(docs: DataFrame): DataFrame = {
+    import graft.operators.OpUtils.{md5Val, words}
+    val bucket = pmod(
+      md5Val(concat(col("doc_id").cast("string"), lit("#split")), 15),
+      lit(100L))
+    docs
+      .withColumn("split",
+        when(bucket < 98, "train").when(bucket === 98, "val")
+          .otherwise("test"))
+      .withColumn("n", size(words(col("text"))))
+      .groupBy(col("source"), col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
   }
 

@@ -394,6 +394,29 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sliding-window velocity flags match the batch q55 twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.slidingVelocityStream(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("veloc_out").start()
+    val events = EventStreams.eventsOf(spark, sf).collect().toSeq
+    val (a, b) = events.splitAt(events.size / 2)
+    input.addData(a); query.processAllAvailable()
+    input.addData(b); query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("veloc_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val want = EventsOps.all.find(_.name == "q55_sliding_velocity").get
+      .fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("streaming latest-record compaction converges to the batch q40 twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -546,6 +569,38 @@ class EventStreamsSpec extends AnyFunSuite {
     val want = graft.SparkEntry.queries("t25_quality_bands")(spark, sf)
       .select(col("band"), col("n_docs"), col("n_tokens"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("streaming stratified-split manifest equals the batch p26 counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .as[(Long, String, String, String)].collect().toSeq
+    val input = MemoryStream[(Long, String, String, String)]
+    val query = EventStreams.stratifiedSplitStream(
+        input.toDF().toDF("doc_id", "source", "lang", "text"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("split_out").start()
+    // two chunks: split assignment must not depend on arrival order
+    val (a, b) = docs.splitAt(docs.size / 2)
+    input.addData(a); query.processAllAvailable()
+    input.addData(b); query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("split_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // truth = the oracle-checked batch p26 manifest's count columns
+    // (split_share_ppm is derived from these)
+    val want = graft.SparkEntry.queries("p26_stratified_split")(spark, sf)
+      .select(col("source"), col("lang"), col("split"), col("n_docs"),
+        col("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
     assert(got.nonEmpty)
     assert(got === want)
   }
