@@ -324,6 +324,10 @@ object Bench {
     // SPARK_GRAFT_BENCH_FULL=0 (or shrink SPARK_GRAFT_BENCH_MP_BYTES)
     // and the bench still completes with a partial artifact.
     if (benchFull) {
+      // flush session garbage BEFORE the ~3 GiB-peak section: the r13
+      // late-run OOM hit here with 8g when earlier cells' garbage was
+      // still live (the r12 verdict #5 failure mode, one section later)
+      checkpoint("multipart_setup")
       val boundary = "bench0123456789benchBENCHbench0123456"
       val bodySize = // ~1 GiB binary middle part by default
         sys.env.getOrElse("SPARK_GRAFT_BENCH_MP_BYTES", (1L << 30).toString).toLong
@@ -342,10 +346,16 @@ object Bench {
       System.arraycopy(foot, 0, body, head.length + bodySize.toInt, foot.length)
       val delim = ("\r\n--" + boundary).getBytes("UTF-8")
 
+      // the naive path's "readAllBytes" buffer, allocated ONCE so the
+      // per-rep peak is deterministic (body + buf + largest part) and
+      // reps don't churn 1 GiB of garbage each; the timed work is
+      // unchanged — full-body copy, boundary scan, per-part copy
+      val naiveBuf = new Array[Byte](body.length)
       def naiveParse(): Long = {
         // emulate a buffer-everything client: full-body copy stands in
         // for readAllBytes, then boundary scan + per-part copy
-        val buf = java.util.Arrays.copyOf(body, body.length)
+        System.arraycopy(body, 0, naiveBuf, 0, body.length)
+        val buf = naiveBuf
         def find(from: Int): Int = {
           var i = from
           while (i <= buf.length - delim.length) {
