@@ -33,10 +33,23 @@ object Sweep {
         val first = rep(name, fn)
         // a cell near the gate budget gets ONE warm retry (min of 2):
         // a 100×-scale regression still reads as 100×, while cold-cache
-        // or box noise on an honest 13-second cell doesn't flake the gate
-        val sec = if (first > 12.0) math.min(first, rep(name, fn)) else first
+        // or box noise on an honest 13-second cell doesn't flake the
+        // gate. The retry runs AFTER the between-cell checkpoint below —
+        // the r13 d12 flake had BOTH same-session reps at 25 s (fresh
+        // session: 5.7 s): when the session itself is garbage-poisoned,
+        // retrying into the same heap just re-measures the poison.
+        val sec = if (first > 12.0) {
+          graft.operators.OpUtils.releaseTransients(spark)
+          System.gc()
+          math.min(first, rep(name, fn))
+        } else first
         times(name) = sec
         System.err.println(f"SWEEP $name $sec%.3f s")
+        // the Bench between-cell checkpoint (r12 verdict #5), applied to
+        // the sweep too: accumulated session garbage must not be able to
+        // fail a BUDGET gate on an innocent cell
+        graft.operators.OpUtils.releaseTransients(spark)
+        System.gc()
       }
     } finally spark.stop()
     val cells = times.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
