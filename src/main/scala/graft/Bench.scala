@@ -91,6 +91,59 @@ object Bench {
       rss(name) = mb
     }
 
+    // Transport/client/multipart section — a FRESH JVM subprocess (r13
+    // verdict #2). The full query battery leaves this session's heap at
+    // tens of GB, and the late-running transport cells then measured
+    // 1.4–10.9× slower in the committed driver artifact than the same
+    // paths isolated on the same box (fan-out 29.96 s artifact vs
+    // 2.75 s isolated; 100M loop 10.42 vs 6.57) — the between-cell GC
+    // checkpoints fixed the query cells but not this section. The
+    // subprocess gets the SAME JVM flags/heap/classpath/env, so its
+    // numbers are the isolated LoopBench/DissocBench numbers by
+    // construction; its per-cell reps and child-RSS rows merge into the
+    // same runs/rss artifacts (rss rows for transport cells are the
+    // CHILD's VmRSS — the flat line the r13 verdict asks to see).
+    // Runs BEFORE the query battery: the parent idles at its smallest
+    // while the child owns the box.
+    locally {
+      val javaBin = java.nio.file.Paths
+        .get(sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      // drop any inherited classpath tokens; ours is appended explicitly
+      val cleaned = {
+        val b = Seq.newBuilder[String]
+        var skip = false
+        jvmArgs.foreach { a =>
+          if (skip) skip = false
+          else if (a == "-cp" || a == "-classpath" || a == "--class-path") skip = true
+          else if (!a.startsWith("-agentlib")) b += a
+        }
+        b.result()
+      }
+      val cmd = (Seq(javaBin) ++ cleaned ++
+        Seq("-cp", sys.props("java.class.path"), "graft.TransportBench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT) // narration through
+      System.err.println("bench: transport section (fresh JVM)")
+      val proc = pb.start()
+      // consume stdout LIVE (a filled pipe would deadlock the child)
+      val lines = scala.io.Source
+        .fromInputStream(proc.getInputStream, "UTF-8").getLines().toList
+      val exit = proc.waitFor()
+      require(exit == 0 && lines.contains("TRANSPORTDONE"),
+        s"transport subprocess failed: exit $exit, ${lines.takeRight(3)}")
+      lines.foreach {
+        case l if l.startsWith("TCELL ") =>
+          val parts = l.split(" ")
+          runs(parts(1)) = parts.drop(2).toSeq.map(_.toDouble)
+        case l if l.startsWith("TRSS ") =>
+          val parts = l.split(" ")
+          rss(parts(1)) = parts(2).toLong
+        case _ => ()
+      }
+    }
+
     names.foreach { name =>
       // name the query BEFORE running it: if it dies, the driver's BENCH
       // tail identifies the victim without a reproduction session (the
@@ -112,299 +165,6 @@ object Bench {
         timed(mat(fns("d08_substring_dedup")(spark, sfDir)))
       }
       checkpoint("d08_substring_dedup_cold")
-    }
-
-    /** get_simple loop: rows × 4 int64 (reference payload schema and
-      * 4096-row batches) served over localhost HTTP, read back through
-      * the arrows source's /qsplit parallel path. Returns (seconds,
-      * batches actually present in the served artifacts). */
-    def arrowsLoop(rows: Long): (Double, Long) = {
-      var batches = 0L
-      val secs = timed {
-        val server = new graft.server.ArrowHttpServer(spark)
-        server.register("bench", graft.datagen.Generators.flightBench(spark, rows))
-        server.start()
-        try {
-          val df = spark.read.format("arrows")
-            .option("url", s"${server.baseUrl}/q/bench").load()
-          val n = df.count()
-          require(n == rows, s"arrows loop read $n rows, expected $rows")
-          // actual batch count of the stream that was read: sum each
-          // served part's /offsets index (not a derivation from row count)
-          val parts = graft.sources.ArrowsTableProvider
-            .probeSplits(s"${server.baseUrl}/q/bench")
-          batches = parts.map { u =>
-            val oj = new String(java.net.URI.create(u.replace("/files/", "/offsets/"))
-              .toURL.openStream().readAllBytes(), "UTF-8")
-            "\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(oj).size.toLong
-          }.sum
-        } finally server.stop()
-      }
-      (secs, batches)
-    }
-
-    // Transport loops get the same noise defense as the queries: each
-    // loop runs LOOP_REPS times (default 3) and reports the min, all
-    // reps recorded in the stderr runs line. One-shot loop readings on
-    // a multi-tenant box have misread by 3-4× (r5 observed the 100M
-    // loop at 24.9 s against a same-hour 5.9 s, the ticker at 23.3 s
-    // against 6.7 s — different sections hit on different runs), and
-    // r5's min-of-2 still recorded a 7.5× inter-rep spread — a third
-    // rep makes the min robust to a single bad pair.
-    val loopReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOOP_REPS", "3").toInt
-
-    locally {
-      val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
-      val trials = (1 to loopReps).map(_ => arrowsLoop(rows))
-      runs("arrows_http_loop_10m") = trials.map(_._1)
-      checkpoint("arrows_http_loop_10m")
-      val best = trials.minBy(_._1) // batches + seconds from the SAME (min) trial
-      System.err.println(
-        f"arrows loop: ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
-    }
-
-    // The full-scale reference payload (http/get_simple: 100M rows,
-    // ~24.4k batches) — the one BASELINE.md throughput figure: a 3.2 GB
-    // serve+read loop, internally parallel on both sides.
-    val benchFull = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "1") == "1"
-    if (benchFull) {
-      val trials = (1 to loopReps).map(_ => arrowsLoop(100000000L))
-      runs("arrows_http_loop_100m") = trials.map(_._1)
-      checkpoint("arrows_http_loop_100m")
-      val best = trials.minBy(_._1)
-      System.err.println(
-        f"arrows loop 100M: ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
-    }
-
-    // get_compressed-scale throughput: the reference's second workload —
-    // the ~1 GB ticker payload (42M rows of ticker/price/volume,
-    // BASELINE.md), served with dictionary-encoded ticker column AND
-    // zstd HTTP content-coding actually negotiated by the client
-    // (Accept-Encoding: zstd → Content-Encoding: zstd asserted), read
-    // back through a raw Arrow client that decompresses and decodes.
-    if (benchFull) {
-      val tickerRows = 42000000L
-      def tickerLoop(): (Double, Long) = {
-        var batches = 0L
-        val secs = timed {
-          val server = new graft.server.ArrowHttpServer(spark)
-          server.registerDict("ticker",
-            graft.datagen.Generators.ticker(spark, tickerRows), Seq("ticker"))
-          server.start()
-          try {
-            val conn = java.net.URI.create(s"${server.baseUrl}/q/ticker").toURL
-              .openConnection().asInstanceOf[java.net.HttpURLConnection]
-            conn.setRequestProperty("Accept-Encoding", "zstd")
-            val coding = conn.getHeaderField("Content-Encoding")
-            require(coding == "zstd", s"expected zstd negotiation, got $coding")
-            val in = new com.github.luben.zstd.ZstdInputStream(
-              new java.io.BufferedInputStream(conn.getInputStream, 1 << 16))
-            val alloc = graft.arrow.ArrowBridge.newAllocator("bench-ticker")
-            val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
-            var rows = 0L
-            while (reader.loadNextBatch()) {
-              rows += reader.getVectorSchemaRoot.getRowCount; batches += 1
-            }
-            reader.close(); alloc.close()
-            require(rows == tickerRows, s"ticker loop read $rows rows, expected $tickerRows")
-          } finally server.stop()
-        }
-        (secs, batches)
-      }
-      val trials = (1 to loopReps).map(_ => tickerLoop())
-      runs("ticker_compressed_loop_42m") = trials.map(_._1)
-      checkpoint("ticker_compressed_loop_42m")
-      val best = trials.minBy(_._1)
-      System.err.println(
-        f"ticker compressed loop 42M (zstd + dict): ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
-    }
-
-    // Dissociated dual-channel DSv2 read loop (r11): /dissoc/info/
-    // discovery → CONCURRENT meta/body fetch (bodies out of order) →
-    // bounded in-order reassembly → spark.read — the reference
-    // dissociated client's loop (cudf-flight-client.cc:51-325) at
-    // get_simple scale, through the public read path.
-    if (benchFull) {
-      val dRows = 10000000L
-      // server startup + registration hoisted OUT of timed{} (r11
-      // advice): the cell measures the read path — discovery →
-      // one task per published channel pair → concurrent meta/body
-      // fetch → bounded reassembly → count. Rep 1 additionally pays
-      // the server-side one-time spill; min-of-reps reports warm reads.
-      val server = new graft.server.ArrowHttpServer(spark)
-      server.register("dloop", graft.datagen.Generators.flightBench(spark, dRows))
-      server.start()
-      try {
-        def dissocLoop(fanout: Boolean): Double = timed {
-          val n = spark.read.format("arrows")
-            .option("dissoc", s"${server.baseUrl}/dissoc/info/dloop")
-            .option("dissocfanout", fanout.toString).load().count()
-          require(n == dRows, s"dissoc loop read $n rows, expected $dRows")
-        }
-        // the reference client's loop: ONE dual-location channel pair
-        // (cudf-flight-client.cc has exactly one meta + one data stream
-        // per dataset). Key RENAMED r13 (r12 ADVICE): the r11 series
-        // under arrows_dissoc_loop_10m was recorded with fan-out
-        // planning, so its numbers are not like-for-like with this
-        // forced single-pair read — the fresh key marks the semantics.
-        val single = (1 to loopReps).map(_ => dissocLoop(fanout = false))
-        runs("arrows_dissoc_single_10m") = single
-      checkpoint("arrows_dissoc_single_10m")
-        System.err.println(
-          f"dissoc dual-channel single-pair loop 10M: ${single.min}%.2f seconds elapsed (min of $loopReps)")
-      } finally server.stop()
-    }
-
-    // Dissociated FAN-OUT loop at 30M (r12): one task per published
-    // channel pair, measured at part sizes (~30 MB × 32) where the
-    // per-part fixed costs (2 channel requests + reassembly setup per
-    // task) amortize — the shape the parallel scan exists for. At 10M
-    // (~10 MB parts) those fixed costs dominate and the single-pair
-    // loop above is the right client; the discovery doc serves both.
-    // (Sized to ~1 GB: a 100M variant turns disk/GC-bound on the bench
-    // box and contaminates neighboring cells.)
-    if (benchFull) {
-      val fRows = 30000000L
-      val server = new graft.server.ArrowHttpServer(spark)
-      server.register("dfan", graft.datagen.Generators.flightBench(spark, fRows))
-      server.start()
-      try {
-        def fanLoop(): Double = timed {
-          val n = spark.read.format("arrows")
-            .option("dissoc", s"${server.baseUrl}/dissoc/info/dfan").load().count()
-          require(n == fRows, s"dissoc fanout loop read $n rows, expected $fRows")
-        }
-        // rep 1 additionally pays the server-side one-time ~1 GB spill
-        val fan = (1 to loopReps).map(_ => fanLoop())
-        runs("arrows_dissoc_fanout_30m") = fan
-      checkpoint("arrows_dissoc_fanout_30m")
-        System.err.println(
-          f"dissoc fan-out loop 30M: ${fan.min}%.2f seconds elapsed (min of $loopReps)")
-      } finally server.stop()
-    }
-
-    // client timing breakdown (time-to-schema / time-to-first-batch /
-    // total), the get_compressed client's mandated metrics — measured
-    // with a raw arrow-java client against a 1M-row serve.
-    locally {
-      val server = new graft.server.ArrowHttpServer(spark)
-      server.register("t", graft.datagen.Generators.flightBench(spark, 1000000))
-      server.start()
-      try {
-        val t0 = System.nanoTime()
-        val in = java.net.URI.create(s"${server.baseUrl}/q/t").toURL.openStream()
-        val alloc = graft.arrow.ArrowBridge.newAllocator("bench-tts")
-        val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
-        reader.getVectorSchemaRoot.getSchema
-        val tSchema = (System.nanoTime() - t0) / 1e9
-        reader.loadNextBatch()
-        val tFirst = (System.nanoTime() - t0) / 1e9
-        var nb = 1L
-        while (reader.loadNextBatch()) nb += 1
-        val tTotal = (System.nanoTime() - t0) / 1e9
-        reader.close(); alloc.close()
-        runs("arrows_time_to_schema") = Seq(tSchema)
-        runs("arrows_time_to_first_batch") = Seq(tFirst)
-        runs("arrows_client_total_1m") = Seq(tTotal)
-        System.err.println(
-          f"client metrics (1M rows): schema $tSchema%.3f s, first batch $tFirst%.3f s, total $tTotal%.2f s, $nb batches")
-      } finally server.stop()
-    }
-
-    // Multipart parse overhead — the reference's one measured perf
-    // lesson (naive parse = 85% of total fetch time on a ~1 GB body,
-    // http/get_multipart/python/client/README.md:41-49). Same in-memory
-    // body through both parsers, isolating parse cost from transport:
-    //   naive     = buffer the whole body, scan, copy each part out
-    //               (readAllBytes + per-part slices — already kinder
-    //               than the reference's email-parser client)
-    //   streaming = MultipartStream, O(chunk) memory, zero part copies
-    // Gated with the other heavy sections: the naive parse materializes
-    // ~3× the body transiently, so on a constrained heap set
-    // SPARK_GRAFT_BENCH_FULL=0 (or shrink SPARK_GRAFT_BENCH_MP_BYTES)
-    // and the bench still completes with a partial artifact.
-    if (benchFull) {
-      // flush session garbage BEFORE the ~3 GiB-peak section: the r13
-      // late-run OOM hit here with 8g when earlier cells' garbage was
-      // still live (the r12 verdict #5 failure mode, one section later)
-      checkpoint("multipart_setup")
-      val boundary = "bench0123456789benchBENCHbench0123456"
-      val bodySize = // ~1 GiB binary middle part by default
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_MP_BYTES", (1L << 30).toString).toLong
-      val head = ("\r\n--" + boundary + "\r\nContent-Type: application/json\r\n\r\n" +
-        """{"name":"bench"}""" +
-        "\r\n--" + boundary + "\r\nContent-Type: application/vnd.apache.arrow.stream\r\n\r\n")
-        .getBytes("UTF-8")
-      val foot = ("\r\n--" + boundary + "\r\nContent-Type: text/plain\r\n\r\nok\r\n--" +
-        boundary + "--\r\n").getBytes("UTF-8")
-      val body = new Array[Byte](head.length + bodySize.toInt + foot.length)
-      System.arraycopy(head, 0, body, 0, head.length)
-      java.util.Arrays.fill(body, head.length, head.length + bodySize.toInt, 0x41.toByte)
-      // sprinkle \r so the delimiter first-byte check actually fires
-      var p = head.length
-      while (p < head.length + bodySize.toInt) { body(p) = '\r'; p += 4093 }
-      System.arraycopy(foot, 0, body, head.length + bodySize.toInt, foot.length)
-      val delim = ("\r\n--" + boundary).getBytes("UTF-8")
-
-      // the naive path's "readAllBytes" buffer, allocated ONCE so the
-      // per-rep peak is deterministic (body + buf + largest part) and
-      // reps don't churn 1 GiB of garbage each; the timed work is
-      // unchanged — full-body copy, boundary scan, per-part copy
-      val naiveBuf = new Array[Byte](body.length)
-      def naiveParse(): Long = {
-        // emulate a buffer-everything client: full-body copy stands in
-        // for readAllBytes, then boundary scan + per-part copy
-        System.arraycopy(body, 0, naiveBuf, 0, body.length)
-        val buf = naiveBuf
-        def find(from: Int): Int = {
-          var i = from
-          while (i <= buf.length - delim.length) {
-            if (buf(i) == delim(0)) {
-              var j = 1
-              while (j < delim.length && buf(i + j) == delim(j)) j += 1
-              if (j == delim.length) return i
-            }
-            i += 1
-          }
-          -1
-        }
-        var total = 0L
-        var at = find(0)
-        while (at >= 0) {
-          val next = find(at + delim.length)
-          if (next >= 0) {
-            var bodyStart = at + delim.length
-            // skip part headers: find \r\n\r\n
-            while (bodyStart < next && !(buf(bodyStart) == '\r' && buf(bodyStart + 1) == '\n'
-              && buf(bodyStart + 2) == '\r' && buf(bodyStart + 3) == '\n')) bodyStart += 1
-            bodyStart += 4
-            val part = java.util.Arrays.copyOfRange(buf, bodyStart, next)
-            total += part.length
-          }
-          at = next
-        }
-        total
-      }
-
-      def streamParse(): Long = {
-        var total = 0L
-        val chunk = new Array[Byte](64 * 1024)
-        graft.server.MultipartStream.parse(
-          new java.io.ByteArrayInputStream(body), boundary) { part =>
-          var n = part.body.read(chunk)
-          while (n != -1) { total += n; n = part.body.read(chunk) }
-        }
-        total
-      }
-
-      // warm both paths on a small prefix-shaped body, then time
-      val tNaive = (1 to 2).map(_ => timed { naiveParse() }).min
-      val tStream = (1 to 2).map(_ => timed { streamParse() }).min
-      runs("multipart_naive_parse_1g") = Seq(tNaive)
-      runs("multipart_stream_parse_1g") = Seq(tStream)
-      checkpoint("multipart_stream_parse_1g")
-      System.err.println(
-        f"multipart 1 GiB parse: naive $tNaive%.2f s, streaming $tStream%.2f s")
     }
 
     // stdout carries ONE compact JSON line — millisecond precision so

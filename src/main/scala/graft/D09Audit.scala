@@ -10,8 +10,18 @@ import org.apache.spark.sql.functions._
   * structure, not with the join") becomes a recorded number instead of
   * a comment: if true pairs grow at least as fast as runtime, the cell
   * is output-proportional; if collisions dominate, the band layout is
-  * the problem. Prints ONE `D09AUDIT {json}` line; optional 2nd arg
-  * writes the json to a file (gate artifact).
+  * the problem.
+  *
+  * r14 adds the CONTENT-RECALL columns the r13 verdict's acceptance
+  * asks for: `gt_pairs` is the ground-truth near-dup population (pairs
+  * with 3-gram jaccard ≥ 0.5 over hashed shingle sets — d04's truth,
+  * computed via an inverted-index join, never all-pairs) and
+  * `gt_caught` is how many of them d09's blocking + hamming ≤ 3 verify
+  * finds. These make the sketch-input change (unigram → 3-gram
+  * shingles) verifiable from the artifact: collision p per pair must
+  * FALL while gt recall holds at the dup population the hamming tier
+  * covers. Prints ONE `D09AUDIT {json}` line; optional 2nd arg writes
+  * the json to a file (gate artifact).
   *
   * usage: runMain graft.D09Audit <sfDir> [outFile]
   */
@@ -24,13 +34,13 @@ object D09Audit {
       graft.functions.GraftFunctions.register(spark)
       val t0 = System.nanoTime()
       // the exact d09 sketch pipeline (DedupOps d09_simhash_band_pairs;
-      // r13: 120-bit sketch, 4×30-bit bands — r12 verdict #1)
+      // r14: 120-bit sketch over 3-GRAM shingles, 4×30-bit bands)
       val bandKey = "(CASE WHEN band < 2 THEN shiftright(sh_hi, band * 30) " +
         "ELSE shiftright(sh_lo, (band - 2) * 30) END) & 1073741823"
       val sh = Tables.documents(spark, sfDir)
         .withColumn("sk", graft.functions.GraftFunctions.simHash120(
           graft.functions.GraftFunctions
-            .gramHashes120(operators.OpUtils.words(col("text")), 1)))
+            .gramHashes120(operators.OpUtils.words(col("text")), 3)))
         .select(col("doc_id"),
           element_at(col("sk"), 1).as("sh_hi"),
           element_at(col("sk"), 2).as("sh_lo"))
@@ -56,8 +66,9 @@ object D09Audit {
         .agg(max(col("n")).as("mx"), count(lit(1)).as("nb")).head()
       val (maxBucket, nBuckets) = (bstats.getLong(0), bstats.getLong(1))
       val candidatePairs = joined.select("a_id", "b_id").distinct().count()
-      val truePairs =
-        joined.filter(col("hamming") <= 3).select("a_id", "b_id").distinct().count()
+      val truePairs = joined.filter(col("hamming") <= 3)
+        .select("a_id", "b_id").distinct().persist()
+      val nTrue = truePairs.count()
       // the same candidate join over the DISTINCT sketch frame (the m18
       // exact-dedup-first move): how much of the collision volume is
       // identical sketches colliding with themselves copy × copy?
@@ -72,6 +83,27 @@ object D09Audit {
               (col("a.sh_hi") === col("b.sh_hi") &&
                 col("a.sh_lo") < col("b.sh_lo")))).count()
       reps.unpersist()
+      // CONTENT ground truth (r14): pairs with 3-gram jaccard >= 0.5
+      // over hashed shingle sets — d04's notion of near-dup, computed
+      // with an inverted-index join on shared shingles (pairs that
+      // share none never materialize), then exact |∩|/|∪| arithmetic.
+      val g = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), array_distinct(graft.functions.GraftFunctions
+          .gramHashes60(operators.OpUtils.words(col("text")), 3)).as("gs"))
+        .filter(size(col("gs")) > 0)
+        .select(col("doc_id"), size(col("gs")).as("ng"), explode(col("gs")).as("h"))
+      val gt = g.as("a").join(g.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.ng").as("na"), col("b.ng").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= 0.5)
+        .select(col("a_id"), col("b_id"))
+        .persist()
+      val gtPairs = gt.count()
+      val gtCaught = gt.join(truePairs, Seq("a_id", "b_id")).count()
+      gt.unpersist(); truePairs.unpersist()
       val secs = (System.nanoTime() - t0) / 1e9
       joined.unpersist(); sh.unpersist()
       val json =
@@ -79,9 +111,10 @@ object D09Audit {
           f""""max_bucket":$maxBucket,"n_buckets":$nBuckets,""" +
           f""""collision_rows":$collisionRows,""" +
           f""""distinct_sketch_collisions":$distinctCollisions,""" +
-          f""""candidate_pairs":$candidatePairs,"true_pairs":$truePairs,""" +
+          f""""candidate_pairs":$candidatePairs,"true_pairs":$nTrue,""" +
+          f""""gt_pairs":$gtPairs,"gt_caught":$gtCaught,""" +
           f""""collisions_per_true_pair":${
-            if (truePairs == 0) -1.0 else candidatePairs.toDouble / truePairs}%.2f,""" +
+            if (nTrue == 0) -1.0 else candidatePairs.toDouble / nTrue}%.2f,""" +
           f""""audit_secs":$secs%.2f}"""
       println(s"D09AUDIT $json")
       args.lift(1).foreach(p =>

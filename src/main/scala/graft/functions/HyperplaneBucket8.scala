@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
@@ -28,10 +30,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * The sign matrix is the md5("{p}_{j}") recipe shared with the oracle
   * SQL (j 1-based), compiled once into a flat boolean[] reference
-  * object. Null handling matches the HOF form exactly: a null element
-  * nulls every plane's projection, and `when(null > 0).otherwise(0)`
-  * makes the bucket 0 — so a null-bearing vector lands in bucket 0.
-  * Fewer than 64 elements throws, as ANSI element_at would.
+  * object. Null handling (r13 ADVICE #1, pinned bit-for-bit to the
+  * replaced fold): a NULL ARRAY yields bucket 0 — the HOF form's
+  * `when(null > 0).otherwise(0)` collapses a null input to 0, so this
+  * expression is non-nullable and returns 0 there too. A null ELEMENT
+  * likewise lands the vector in bucket 0 (null poisons every plane's
+  * projection). The ONE documented divergence: fewer than 64 elements
+  * always throws here, where the unrolled `element_at` only throws
+  * under ANSI mode (the session default) and would yield bucket 0
+  * non-ANSI — the embeddings corpus contract guarantees 64-dim
+  * vectors, s14_embedding_health audits it, and
+  * HyperplaneBucket8Spec pins all three edges.
   */
 case class HyperplaneBucket8(child: Expression) extends UnaryExpression {
   import HyperplaneBucket8._
@@ -42,7 +51,13 @@ case class HyperplaneBucket8(child: Expression) extends UnaryExpression {
       s"hyperplane_bucket8 expects ARRAY<DOUBLE>, got $other")
   }
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable
+  // never null: a null array is bucket 0, like the fold it replaces
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0 else nullSafeEval(v)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
@@ -71,41 +86,53 @@ case class HyperplaneBucket8(child: Expression) extends UnaryExpression {
     bucket
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val sg = ctx.addReferenceObj("hyperSigns", signs, "boolean[]")
-      val p = ctx.freshName("p")
-      val j = ctx.freshName("j")
-      val k = ctx.freshName("k")
-      val base = ctx.freshName("base")
-      val proj = ctx.freshName("proj")
-      val bucket = ctx.freshName("bucket")
-      val v = ctx.freshName("v")
-      val nulls = ctx.freshName("nulls")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // hand-rolled (not nullSafeCodeGen): a null child must produce
+    // bucket 0, not a null result — the fold this replaces is
+    // when(... > 0).otherwise(0), which never emits null
+    val childGen = child.genCode(ctx)
+    val sg = ctx.addReferenceObj("hyperSigns", signs, "boolean[]")
+    val a = childGen.value
+    val p = ctx.freshName("p")
+    val j = ctx.freshName("j")
+    val k = ctx.freshName("k")
+    val base = ctx.freshName("base")
+    val proj = ctx.freshName("proj")
+    val bucket = ctx.freshName("bucket")
+    val v = ctx.freshName("v")
+    val nulls = ctx.freshName("nulls")
+    val body =
       s"""
-         |if ($a.numElements() < $Dim) {
-         |  throw new IllegalArgumentException(
-         |    "hyperplane_bucket8: need >= $Dim dims, got " + $a.numElements());
-         |}
-         |boolean $nulls = false;
-         |for (int $k = 0; $k < $Dim; $k++) {
-         |  if ($a.isNullAt($k)) { $nulls = true; break; }
-         |}
          |int $bucket = 0;
-         |if (!$nulls) {
-         |  for (int $p = 0; $p < $Planes; $p++) {
-         |    double $proj = 0.0;
-         |    int $base = $p * $Dim;
-         |    for (int $j = 0; $j < $Dim; $j++) {
-         |      double $v = $a.getDouble($j);
-         |      $proj += $sg[$base + $j] ? $v : -$v;
+         |if (!${childGen.isNull}) {
+         |  if ($a.numElements() < $Dim) {
+         |    throw new IllegalArgumentException(
+         |      "hyperplane_bucket8: need >= $Dim dims, got " + $a.numElements());
+         |  }
+         |  boolean $nulls = false;
+         |  for (int $k = 0; $k < $Dim; $k++) {
+         |    if ($a.isNullAt($k)) { $nulls = true; break; }
+         |  }
+         |  if (!$nulls) {
+         |    for (int $p = 0; $p < $Planes; $p++) {
+         |      double $proj = 0.0;
+         |      int $base = $p * $Dim;
+         |      for (int $j = 0; $j < $Dim; $j++) {
+         |        double $v = $a.getDouble($j);
+         |        $proj += $sg[$base + $j] ? $v : -$v;
+         |      }
+         |      if ($proj > 0.0) $bucket |= (1 << $p);
          |    }
-         |    if ($proj > 0.0) $bucket |= (1 << $p);
          |  }
          |}
-         |${ev.value} = $bucket;
        """.stripMargin
-    })
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |$body
+        |int ${ev.value} = $bucket;""".stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

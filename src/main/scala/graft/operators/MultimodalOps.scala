@@ -1990,8 +1990,9 @@ object MultimodalOps {
 
     // -- cross-modal near-dup composition: re-caption / asset-swap --------
     // (r11 verdict #4) Caption pairs that are TEXT near-dups (d09's
-    // 120-bit simhash, 4×30-bit bands, hamming ≤ 3 — r12 verdict #1's
-    // wide-sketch fix, same as DedupOps.simhashPairs) whose referenced
+    // 120-bit 3-GRAM simhash, 4×30-bit bands, hamming ≤ 3 — r12's
+    // wide-sketch fix + r14's shingle fix, same as
+    // DedupOps.simhashPairs/sketch120) whose referenced
     // images are NOT near-dups (m18's 56-bit dHash, 4×14-bit bands,
     // hamming ≤ 6, over REALLY-decoded asset bytes) — near-identical
     // captions describing genuinely different pictures: the asset-swap /
@@ -2011,16 +2012,11 @@ object MultimodalOps {
     QueryDef.sql("m22_caption_image_swap",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        // text sketch frame + referenced asset content group, one scan
-        val sh = OpUtils.transientPersist(s, s"m22:$d",
-          Tables.documents(s, d)
-            .withColumn("sk", graft.functions.GraftFunctions.simHash120(
-              graft.functions.GraftFunctions
-                .gramHashes120(OpUtils.words(col("text")), 1)))
-            .select(col("doc_id"),
-              element_at(col("sk"), 1).as("sh_hi"),
-              element_at(col("sk"), 2).as("sh_lo"),
-              ((col("doc_id") % 640) % 40).as("gid")))
+        // text sketch frame: d09's SHARED production sketch store (r14:
+        // 120-bit simhash over 3-gram shingles — the content-level
+        // collision fix, see DedupOps.simhashPairs); gid is pure
+        // arithmetic on doc_id, so it needs no extra scan or join
+        val sh = graft.operators.DedupOps.sketch120(s, d)
         // d09's shared banded bucket-generate (120-bit sketch, 4×30-bit
         // bands, over-cap skew guard, hamming verify in-loop). gid is
         // pure arithmetic on doc_id, so it reattaches to the surviving
@@ -2068,11 +2064,15 @@ object MultimodalOps {
              |             CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
              |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
              |      (a, b) -> a + b)""".stripMargin
-        s"""WITH h AS (
-           |  SELECT doc_id, (doc_id % 640) % 40 AS gid,
-           |    list_transform(${OpUtils.oWords("text")}, w -> ${OpUtils.oMd5Val("w", 15)}) AS hhi,
-           |    list_transform(${OpUtils.oWords("text")}, w -> ${OpUtils.oMd5ValAt("w", 16, 15)}) AS hlo
-           |  FROM documents),
+        s"""WITH g3 AS (
+           |  SELECT doc_id, gid, ${OpUtils.oGrams3("ws")} AS gs
+           |  FROM (SELECT doc_id, (doc_id % 640) % 40 AS gid,
+           |          ${OpUtils.oWords("text")} AS ws FROM documents)),
+           |h AS (
+           |  SELECT doc_id, gid,
+           |    list_transform(gs, w -> ${OpUtils.oMd5Val("w", 15)}) AS hhi,
+           |    list_transform(gs, w -> ${OpUtils.oMd5ValAt("w", 16, 15)}) AS hlo
+           |  FROM g3),
            |sh AS (
            |  SELECT doc_id, gid,
            |    ${fold("hhi")} AS sh_hi,

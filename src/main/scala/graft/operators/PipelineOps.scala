@@ -1418,14 +1418,24 @@ object PipelineOps {
             .select(shardOf(col("a_id")).as("shard_a"),
               shardOf(col("b_id")).as("shard_b")))
         val tot = pairs.agg(count(lit(1)).as("total_pairs"))
-        pairs.filter(col("shard_a") === col("shard_b"))
+        // ALL 16 shard rows, zero-filled (r14): an audit sheet must
+        // show "no leakage observed" per shard explicitly — with the
+        // r14 collision fix the near-dup pair set is small enough at
+        // the gate SFs that same-shard hits are legitimately rare, and
+        // an empty frame reads as "didn't run", not "clean"
+        val shards = s.range(16).select(col("id").cast("int").as("shard"))
+        val sameCounts = pairs.filter(col("shard_a") === col("shard_b"))
           .groupBy(col("shard_a").as("shard"))
-          .agg(count(lit(1)).as("n_same_pairs"))
+          .agg(count(lit(1)).as("n_same"))
+        shards.join(broadcast(sameCounts), Seq("shard"), "left")
+          .withColumn("n_same_pairs", coalesce(col("n_same"), lit(0L)))
           .crossJoin(broadcast(tot)) // aggregate-bounded: 1 row
           .withColumn("same_share_ppm",
             expr("CAST(CAST(n_same_pairs AS DECIMAL(38,0)) * 1000000 " +
-              "DIV total_pairs AS BIGINT)"))
+              "DIV greatest(total_pairs, 1) AS BIGINT)"))
           .withColumn("chance_ppm", lit(62500L))
+          .select(col("shard"), col("n_same_pairs"), col("total_pairs"),
+            col("same_share_ppm"), col("chance_ppm"))
           .orderBy(col("shard"))
       },
       s"""WITH ${graft.operators.DedupOps.oSimhashPairCtes(
@@ -1437,14 +1447,18 @@ object PipelineOps {
          |    CAST(${OpUtils.oMd5Val("CAST(b_id AS VARCHAR) || '#shuffle'", 15)}
          |      % 16 AS INTEGER) AS shard_b
          |  FROM spairs),
-         |tt AS (SELECT COUNT(*) AS total_pairs FROM sp)
-         |SELECT shard_a AS shard, COUNT(*) AS n_same_pairs, tt.total_pairs,
-         |  CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // tt.total_pairs AS BIGINT)
-         |    AS same_share_ppm,
+         |tt AS (SELECT COUNT(*) AS total_pairs FROM sp),
+         |sc AS (
+         |  SELECT shard_a AS shard, COUNT(*) AS n_same FROM sp
+         |  WHERE shard_a = shard_b GROUP BY 1)
+         |SELECT CAST(sh.shard AS INTEGER) AS shard,
+         |  CAST(COALESCE(sc.n_same, 0) AS BIGINT) AS n_same_pairs,
+         |  tt.total_pairs,
+         |  CAST(CAST(COALESCE(sc.n_same, 0) AS HUGEINT) * 1000000
+         |    // GREATEST(tt.total_pairs, 1) AS BIGINT) AS same_share_ppm,
          |  CAST(62500 AS BIGINT) AS chance_ppm
-         |FROM sp, tt
-         |WHERE shard_a = shard_b
-         |GROUP BY 1, tt.total_pairs
+         |FROM (SELECT unnest(range(16)) AS shard) sh
+         |LEFT JOIN sc ON sc.shard = sh.shard, tt
          |ORDER BY shard""".stripMargin),
 
     // -- stratified train/val/test split manifest ------------------------

@@ -165,12 +165,18 @@ object Relational {
         // (~1/5 of rows at uniform nation spread) and customer keeps
         // only ASIA-nation rows — so the two big exchanges (orderkey,
         // custkey) move a fifth of the bytes they would otherwise.
-        // At 100 TB this is the difference between shuffling the whole
-        // fact table and shuffling one region's slice of it.
+        // The supplier side is broadcast as a PROJECTED 3-column frame
+        // (r13 ADVICE #3): supplier scales with SF (SF × 10k rows), so
+        // the hint only stays honest if the broadcast payload is keys +
+        // n_name, not the full supplier×nation×region width — ~24
+        // bytes/row keeps even an SF-1000 slice in driver memory, and
+        // if supplier ever outgrows that, drop THIS hint and let AQE
+        // decide while keeping the region-slice pre-filtering.
         val nAsia = n.join(broadcast(r),
           col("n_regionkey") === col("r_regionkey"))
         val suAsia = Tables.supplier(s, d)
           .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
         val cAsia = c.join(
           broadcast(nAsia.select(col("n_nationkey").as("asia_nationkey"))),
           col("c_nationkey") === col("asia_nationkey"), "left_semi")

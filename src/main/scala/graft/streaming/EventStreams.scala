@@ -134,8 +134,10 @@ object EventStreams {
   /** Streaming banded NEAR-dup probe against a STATIC corpus sketch
     * store — the unbounded twin of d09's blocking applied at ingest
     * (ingestDedupStream's move, one similarity tier up): every arriving
-    * document computes its 120-bit simhash map-side (native
-    * gram_hashes120 → simhash120), explodes d09's 4×30-bit band keys,
+    * document computes its 120-bit 3-GRAM simhash map-side (native
+    * gram_hashes120 width 3 → simhash120 — d09's r14 content-level
+    * collision fix rides along, so the stream probes the same sketch
+    * space the batch store holds), explodes d09's 4×30-bit band keys,
     * and probes the persisted corpus band frame; summed bit_count ≤ 3
     * verifies in the join projection. ZERO stream-side state: the
     * stream-static inner join re-plans per micro-batch, and the
@@ -162,7 +164,7 @@ object EventStreams {
       .withColumn("key", expr(bandKey("c_hi", "c_lo", "band")))
     docs
       .withColumn("sk", graft.functions.GraftFunctions.simHash120(
-        graft.functions.GraftFunctions.gramHashes120(words(col("text")), 1)))
+        graft.functions.GraftFunctions.gramHashes120(words(col("text")), 3)))
       .select(col("doc_id"), col("us"),
         element_at(col("sk"), 1).as("s_hi"), element_at(col("sk"), 2).as("s_lo"))
       .withColumn("band", explode(sequence(lit(0), lit(3))))
@@ -487,9 +489,13 @@ object EventStreams {
     * batch twin), then one windowed (window, user) count with map-side
     * partials; the watermark finalizes slides and evicts their state,
     * so open state is bounded by (active users × 2 open slides), never
-    * by stream history. The spec replays the events table and asserts
-    * the complete-mode table row-equals q55's oracle-checked batch
-    * frame — the batch/stream contract every twin in this file pins. */
+    * by stream history. TWO specs pin this (r13 ADVICE #4): the
+    * complete-mode replay row-equals q55's oracle-checked batch frame
+    * (the batch/stream contract every twin in this file pins), and an
+    * APPEND-mode replay — the production shape, where complete-mode
+    * semantics would ignore the watermark — proves finalized slides
+    * emit exactly the batch frame and the state store drains to the
+    * open slides only. */
   def slidingVelocityStream(events: DataFrame): DataFrame =
     events
       .withColumn("ts", timestamp_micros(col("us")))

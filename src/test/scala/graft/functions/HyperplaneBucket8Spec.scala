@@ -49,12 +49,15 @@ class HyperplaneBucket8Spec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
-  test("edge cases: null vector is null; null element lands in bucket 0; short vector throws") {
+  test("edge cases: null vector is bucket 0; null element lands in bucket 0; short vector throws") {
     import spark.implicits._
+    // r13 ADVICE #1: a NULL array must match the replaced fold
+    // bit-for-bit — when(null > 0).otherwise(0) yields 0, never null
     val nullVec = Seq((1L, null: Array[java.lang.Double]))
       .toDF("id", "v").select(call_function("hyperplane_bucket8",
-        col("v").cast("array<double>")))
-    assert(nullVec.collect().head.isNullAt(0))
+        col("v").cast("array<double>")).as("b"))
+    val row = nullVec.collect().head
+    assert(!row.isNullAt(0) && row.getInt(0) === 0)
 
     val withNullElem = spark.range(1).select(
       concat(array((1 to 63).map(i => lit(i.toDouble)): _*),

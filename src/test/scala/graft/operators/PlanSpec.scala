@@ -1571,14 +1571,16 @@ class PlanSpec extends AnyFunSuite {
   test("p25: shard ids are pure arithmetic on the generated pair ids — no join back to the corpus") {
     val p = plan("p25_shard_dedup_leakage")
     assert(p.contains("Generate hamming_pairs"), p)
-    // the only joins are the 1-row total broadcast and the r13
-    // hot-bucket guard's broadcast left_anti; the shard tags never
-    // touch the documents table again
+    // the only joins are the 1-row total broadcast, the r13 hot-bucket
+    // guard's broadcast left_anti, and the r14 16-row shard-universe
+    // zero-fill (broadcast LEFT OUTER on an aggregate-bounded frame);
+    // the shard tags never touch the documents table again
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     // (the persisted pair frame's plan prints under BOTH of its
     // InMemoryTableScan consumers, so the guard line can repeat)
     val bhj = p.split("\n").filter(_.contains("BroadcastHashJoin"))
-    assert(bhj.nonEmpty && bhj.forall(_.contains("LeftAnti")), p)
+    assert(bhj.nonEmpty &&
+      bhj.forall(l => l.contains("LeftAnti") || l.contains("LeftOuter")), p)
     assert(p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) === 1, p)
     val shuffled = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
     assert(!shuffled.exists(_.contains("text#")), p)

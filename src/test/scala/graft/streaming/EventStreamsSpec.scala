@@ -170,10 +170,11 @@ class EventStreamsSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.OpUtils.words
 
-    // corpus sketch store: the d09 sketch over ALL sf0.001 docs
+    // corpus sketch store: the d09 sketch over ALL sf0.001 docs (r14:
+    // 3-gram shingles, the production sketch the batch store holds)
     val sketch = graft.Tables.documents(spark, sf)
       .withColumn("sk", graft.functions.GraftFunctions.simHash120(
-        graft.functions.GraftFunctions.gramHashes120(words(col("text")), 1)))
+        graft.functions.GraftFunctions.gramHashes120(words(col("text")), 3)))
       .select(col("doc_id"),
         element_at(col("sk"), 1).as("sh_hi"), element_at(col("sk"), 2).as("sh_lo"))
       .persist()
@@ -415,6 +416,44 @@ class EventStreamsSpec extends AnyFunSuite {
       .fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === want && got.nonEmpty)
+  }
+
+  test("sliding velocity APPEND mode: watermark finalizes slides (r13 ADVICE #4)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the production shape the operator's doc describes: append mode,
+    // where a slide only emits once the watermark passes its end — this
+    // is the assertion the complete-mode twin above cannot make (Spark
+    // ignores watermark eviction entirely in complete mode)
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.slidingVelocityStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("veloc_append").start()
+    val events = EventStreams.eventsOf(spark, sf).collect().toSeq
+    input.addData(events); query.processAllAvailable()
+    // push the watermark an hour past the last event: every real slide
+    // ends <= maxUs + 10 min < (maxUs + 1 h) - 10 min delay, so ALL of
+    // them finalize and emit; the sentinel's own 2 slides hold a single
+    // event and die on the n_events >= 2 filter
+    val maxUs = events.map(_.us).max
+    input.addData(Seq(EventStreams.Event(-1L, maxUs + 3600L * 1000000, -1L, "view", 0.0)))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("veloc_append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventsOps.all.find(_.name == "q55_sliding_velocity").get
+      .fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+
+    // eviction half of the contract: after finalization the state store
+    // holds only the sentinel's open slides, not stream history
+    val stateRows = query.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).map(_.stateOperators.map(_.numRowsTotal).sum)
+    stateRows.foreach(n => assert(n <= 4L,
+      s"state should hold only the sentinel's open slides, found $n rows"))
   }
 
   test("streaming latest-record compaction converges to the batch q40 twin") {
