@@ -12,13 +12,69 @@ package graft
   * after the oracle gates, so an error here is a timing-harness problem,
   * not a correctness signal.
   *
+  * Codegen canary (r13 verdict #6): the sweep session runs with
+  * `spark.sql.codegen.fallback=false`, so a stage whose generated code
+  * fails to compile (the janino 64 KB class that ran s02/d10
+  * INTERPRETED for multiple rounds with only a log line to show for it)
+  * throws and FAILS the gate instead of silently interpreting. The
+  * sweep covers all 223 queries at sf1 — the largest generated code in
+  * the round — so "codegen'd" is verified per stage every gate, not
+  * assumed.
+  *
+  * Over-budget cells re-measure in a FRESH JVM (r13 verdict #4): the
+  * r13 same-heap retry re-measured the poison — d12's two same-session
+  * reps both read 25 s while a fresh session read 5.7 s (store build
+  * included). A cell whose first rep exceeds the retry threshold now
+  * reruns via a TimeQuery subprocess with identical flags, and the
+  * recorded figure is min(in-session, fresh) — a genuine 100×
+  * regression still reads as 100×, while accumulated session garbage
+  * can no longer fail the budget gate on an innocent cell.
+  *
   * usage: runMain graft.Sweep <sfDir> [outFile]
   */
 object Sweep {
+  /** Run `graft.TimeQuery <sfDir> <name>` in a fresh JVM with this
+    * JVM's flags/classpath and return its min seconds (3 reps; rep 1
+    * pays any shared-store build, so min reports the warm figure). */
+  private def freshMeasure(sfDir: String, name: String): Double = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cleaned = {
+      val b = Seq.newBuilder[String]
+      var skip = false
+      jvmArgs.foreach { a =>
+        if (skip) skip = false
+        else if (a == "-cp" || a == "-classpath" || a == "--class-path") skip = true
+        else if (!a.startsWith("-agentlib")) b += a
+      }
+      b.result()
+    }
+    val cmd = (Seq(javaBin) ++ cleaned ++ Seq("-cp",
+      sys.props("java.class.path"), "graft.TimeQuery", sfDir, name)).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = scala.io.Source
+      .fromInputStream(proc.getInputStream, "UTF-8").getLines().toList
+    val exit = proc.waitFor()
+    require(exit == 0, s"fresh TimeQuery($name) failed: exit $exit")
+    val m = out.collectFirst {
+      case l if l.startsWith(s"TIME $name min=") =>
+        l.stripPrefix(s"TIME $name min=").takeWhile(c => c != ' ').toDouble
+    }
+    require(m.nonEmpty, s"fresh TimeQuery($name): no TIME line in $out")
+    m.get
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Sweep <sfDir> [outFile]")
     val sfDir = args(0)
     val spark = GraftSession.builder("graft-sweep", "32").getOrCreate()
+    // codegen canary: a compile failure must throw, not interpret
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     try {
       def rep(name: String, fn: (org.apache.spark.sql.SparkSession, String)
@@ -31,17 +87,11 @@ object Sweep {
       }
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val first = rep(name, fn)
-        // a cell near the gate budget gets ONE warm retry (min of 2):
-        // a 100×-scale regression still reads as 100×, while cold-cache
-        // or box noise on an honest 13-second cell doesn't flake the
-        // gate. The retry runs AFTER the between-cell checkpoint below —
-        // the r13 d12 flake had BOTH same-session reps at 25 s (fresh
-        // session: 5.7 s): when the session itself is garbage-poisoned,
-        // retrying into the same heap just re-measures the poison.
+        // a cell near the gate budget re-measures in a FRESH JVM and
+        // records the min (r13 verdict #4; see the scaladoc)
         val sec = if (first > 12.0) {
-          graft.operators.OpUtils.releaseTransients(spark)
-          System.gc()
-          math.min(first, rep(name, fn))
+          System.err.println(f"SWEEP $name first rep $first%.3f s — fresh-JVM re-measure")
+          math.min(first, freshMeasure(sfDir, name))
         } else first
         times(name) = sec
         System.err.println(f"SWEEP $name $sec%.3f s")

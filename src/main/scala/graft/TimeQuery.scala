@@ -11,6 +11,10 @@ object TimeQuery {
     require(args.length >= 2, "usage: TimeQuery <sfDir> <queryName>...")
     val sfDir = args(0)
     val spark = GraftSession.builder("graft-timequery", "32").getOrCreate()
+    // codegen canary (r13 verdict #6, same as Sweep): a generated stage
+    // that fails to compile must throw here, not silently interpret —
+    // a timing of an interpreted stage is a lie about the plan
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       args.drop(1).foreach { name =>
         val fn = SparkEntry.queries.getOrElse(name,
