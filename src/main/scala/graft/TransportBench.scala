@@ -79,6 +79,7 @@ object TransportBench {
       (secs, batches)
     }
 
+    def runLoops(): Unit = {
     locally {
       val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "10000000").toLong
       val trials = (1 to loopReps).map(_ => arrowsLoop(rows))
@@ -88,16 +89,7 @@ object TransportBench {
         f"arrows loop: ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
     }
 
-    // The full-scale reference payload (http/get_simple: 100M rows,
-    // ~24.4k batches) — the one BASELINE.md throughput figure: a 3.2 GB
-    // serve+read loop, internally parallel on both sides.
-    if (benchFull) {
-      val trials = (1 to loopReps).map(_ => arrowsLoop(100000000L))
-      emit("arrows_http_loop_100m", trials.map(_._1))
-      val best = trials.minBy(_._1)
-      System.err.println(
-        f"arrows loop 100M: ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
-    }
+    System.gc()
 
     // get_compressed-scale throughput: the ~1 GB ticker payload (42M
     // rows), dictionary-encoded ticker column AND zstd HTTP
@@ -212,13 +204,37 @@ object TransportBench {
       } finally server.stop()
     }
 
+    System.gc()
+
+    // The full-scale reference payload (http/get_simple: 100M rows,
+    // ~24.4k batches) — the one BASELINE.md throughput figure: a 3.2 GB
+    // serve+read loop, internally parallel on both sides. Runs LAST:
+    // its working set (spill + page cache + reader vectors) is the
+    // section's largest by 3×, and on a host with thin memory backing
+    // (r14 diagnosis: guest page cache re-reads degrade to host-swap
+    // speed once the footprint crosses the backing) it must not be able
+    // to poison the smaller cells' timings.
+    if (benchFull) {
+      val trials = (1 to loopReps).map(_ => arrowsLoop(100000000L))
+      emit("arrows_http_loop_100m", trials.map(_._1))
+      val best = trials.minBy(_._1)
+      System.err.println(
+        f"arrows loop 100M: ${best._2} record batches received, ${best._1}%.2f seconds elapsed (min of $loopReps)")
+    }
+    } // runLoops
+
     // Multipart parse overhead — the reference's one measured perf
     // lesson (naive parse = 85% of total fetch time on a ~1 GB body,
     // http/get_multipart/python/client/README.md:41-49). Same in-memory
     // body through both parsers, isolating parse cost from transport:
     //   naive     = buffer the whole body, scan, copy each part out
     //   streaming = MultipartStream, O(chunk) memory, zero part copies
-    if (benchFull) {
+    // Defined here, CALLED FIRST (before the loops): the naive parser
+    // holds ~3.2 GB of 1-GiB humongous arrays live at once, which needs
+    // a clean unfragmented G1 heap — run after the serve loops it OOMed
+    // the 8 GB child (r14), while the loops themselves are indifferent
+    // to ordering.
+    def multipartSection(): Unit = if (benchFull) {
       val boundary = "bench0123456789benchBENCHbench0123456"
       val bodySize = // ~1 GiB binary middle part by default
         sys.env.getOrElse("SPARK_GRAFT_BENCH_MP_BYTES", (1L << 30).toString).toLong
@@ -296,6 +312,14 @@ object TransportBench {
       System.err.println(
         f"multipart 1 GiB parse: naive $tNaive%.2f s, streaming $tStream%.2f s")
     }
+
+    multipartSection()
+    // between-section checkpoint (Bench's r12 move): the multipart
+    // arrays are dead here — collect them so no loop cell is taxed for
+    // them, and so the humongous regions return to the free set
+    System.gc()
+
+    runLoops()
 
     println("TRANSPORTDONE")
     spark.stop()

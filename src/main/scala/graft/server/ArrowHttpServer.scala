@@ -297,17 +297,54 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     files.get(name) match {
       case None => sendText(exchange, 404, s"no file $name")
       case Some(p) =>
-        // parse once per file, not once per request
+        // parse once per file, not once per request — and only the
+        // encapsulation HEADERS of it: bodies are lseek-skipped, the
+        // same move the r13 dissociated metadata channel made. The old
+        // readAllBytes+splitStream form re-read the WHOLE dataset and
+        // allocated it on-heap per part (a 3.2 GB serve = 3.2 GB of
+        // humongous allocations just to learn ~24k message boundaries);
+        // the index is O(#batches), so building it must be too. This
+        // runs on the main DSv2 read path (probeRanges fetches /offsets
+        // per part before the ranged fetch), not just on probes.
         val body = offsetsCache.getOrElseUpdate(name, {
-          val bytes = java.nio.file.Files.readAllBytes(p)
-          val (schema, splits) = graft.dissociated.Dissociated.splitStream(bytes)
-          var off = schema.length.toLong
-          val spans = splits.map { s =>
-            val start = off
-            off += s.metadata.length + s.body.length
-            s"[$start,$off]"
-          }
-          s"""{"schema_end": ${schema.length}, "total": ${bytes.length}, "batches": [${spans.mkString(",")}]}"""
+          val total = java.nio.file.Files.size(p)
+          val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            java.nio.file.Files.newInputStream(p), 1 << 16))
+          try {
+            var off = 0L
+            var schemaEnd = 0L
+            val spans = new StringBuilder
+            var n = 0
+            var done = false
+            while (!done) {
+              val marker =
+                try in.readInt()
+                catch { case _: java.io.EOFException => done = true; 0 }
+              if (!done) {
+                require(marker == -1, s"expected continuation marker in $name at $off")
+                val metaLen = Integer.reverseBytes(in.readInt())
+                if (metaLen == 0) done = true // EOS
+                else {
+                  val header = new Array[Byte](metaLen)
+                  in.readFully(header)
+                  val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(
+                    java.nio.ByteBuffer.wrap(header).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+                  val bodyLen = msg.bodyLength()
+                  in.skipNBytes(bodyLen)
+                  val end = off + 8 + metaLen + bodyLen
+                  if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema)
+                    schemaEnd = end
+                  else {
+                    if (n > 0) spans.append(',')
+                    spans.append('[').append(off).append(',').append(end).append(']')
+                    n += 1
+                  }
+                  off = end
+                }
+              }
+            }
+            s"""{"schema_end": $schemaEnd, "total": $total, "batches": [$spans]}"""
+          } finally in.close()
         })
         exchange.getResponseHeaders.set("Content-Type", "application/json")
         sendText(exchange, 200, body)
