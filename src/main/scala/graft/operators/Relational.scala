@@ -63,18 +63,48 @@ object Relational {
     // ---------------------------------------------------------------
     QueryDef.sql("q01_pricing_summary",
       (s, d) => {
+        // r14 optimization (guide §1.2 "per-task work"): the r13 form
+        // summed five DECIMAL columns — Spark's decimal sum widens the
+        // buffer to precision+10 and routes every row through Decimal
+        // object allocation + overflow checks, which made q01 ~10× the
+        // cost of the same scan in q06 (sf1: 11.2 s vs 1.2 s, same
+        // session). The money columns carry exactly 2 decimal digits
+        // (the SAME documented data contract the mon()/rate() decimal
+        // casts already rely on), so the identical exact values flow
+        // through 64-bit integer arithmetic instead: per-row fixed-point
+        // units of 1e-4 (and 1e-6 for the tax product), long sums, then
+        // ONE half-up round to cents and a double cast at the end —
+        // bit-for-bit the round(sum(decimal), 2).cast(double) contract
+        // (cents stay < 2^53, where every engine's cast is exact; sums
+        // stay < 2^63 through sf ≈ 30, far past the sf1 gate — the
+        // decimal form remains in the oracle as the semantic spec).
+        // Rounding note: '+ half, integer-div' is HALF_UP for the
+        // non-negative quantity/price/revenue sums here; '+ 0.5, cast'
+        // per row is exact because the scaled inputs land within 1e-7
+        // of their integer values.
         val li = Tables.lineitem(s, d)
+        def u4(c: Column): Column = (c * 10000 + lit(0.5)).cast("long")
+        def u2(c: Column): Column = (c * 100 + lit(0.5)).cast("long")
+        val rev4 = u2(col("l_extendedprice")) * (lit(100L) - u2(col("l_discount")))
+        val chg6 = rev4 * (lit(100L) + u2(col("l_tax")))
         li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            xsum(col("l_quantity")).as("sum_qty"),
-            xsum(col("l_extendedprice")).as("sum_base_price"),
-            dsum(revenue).as("sum_disc_price"),
-            dsum(revenue * (lit(1) + rate(col("l_tax")))).as("sum_charge"),
-            (xsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-            (xsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
-            (xsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+            sum(u4(col("l_quantity"))).as("q4"),
+            sum(u4(col("l_extendedprice"))).as("p4"),
+            sum(rev4).as("r4"),
+            sum(chg6).as("c6"),
+            sum(u4(col("l_discount"))).as("d4"),
             count(lit(1)).as("count_order"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            expr("((q4 + 50) div 100) / 100.0d").as("sum_qty"),
+            expr("((p4 + 50) div 100) / 100.0d").as("sum_base_price"),
+            expr("((r4 + 50) div 100) / 100.0d").as("sum_disc_price"),
+            expr("((c6 + 5000) div 10000) / 100.0d").as("sum_charge"),
+            expr("(((q4 + 50) div 100) / 100.0d) / count_order").as("avg_qty"),
+            expr("(((p4 + 50) div 100) / 100.0d) / count_order").as("avg_price"),
+            expr("(((d4 + 50) div 100) / 100.0d) / count_order").as("avg_disc"),
+            col("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       s"""SELECT l_returnflag, l_linestatus,
@@ -673,25 +703,33 @@ object Relational {
     // ---------------------------------------------------------------
     // The TPC-H Q21 shape (sole-blame analysis) on available columns:
     // suppliers whose RETURNED line is the ONLY return in a
-    // multi-supplier order — one EXISTS (another supplier participated)
-    // and one NOT EXISTS (no other supplier's line was returned), both
-    // expressed as LeftSemi/LeftAnti self-joins on the deduplicated
-    // (order, supplier) projection, never correlated per-row loops.
-    // Scale: the dedup + both joins shuffle on l_orderkey only.
+    // multi-supplier order. The oracle keeps the declarative
+    // EXISTS/NOT-EXISTS form; the Spark plan computes the same set as
+    // ONE aggregation cascade (r14 optimization, guide §2.4 "remove
+    // shuffles outright"): per (order, supplier) fold the return flag,
+    // then per order count suppliers and failed suppliers — EXISTS
+    // (another supplier participated) ⇔ n_supp ≥ 2, NOT EXISTS (no
+    // OTHER supplier's line returned) ⇔ n_failed = 1, and the
+    // qualifying pair's supplier is max over the failed singleton.
+    // The r13 form ran the same lineitem projection through two
+    // DISTINCTs and a LeftSemi+LeftAnti self-join pair: 3 scans and 12
+    // exchanges (sf1 sweep 10.8 s); this shape is 1 scan and 3
+    // exchanges, only the first of which carries full (order, supplier)
+    // cardinality — at 100 TB the two join shuffles of the whole
+    // deduplicated fact simply do not exist.
     QueryDef.sql("q36_sole_blame",
       (s, d) => {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-        val failed = li.filter(col("l_returnflag") === "R")
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val all = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val multi = failed.as("a").join(all.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
-        val sole = multi.as("a").join(failed.as("c"),
-          col("a.l_orderkey") === col("c.l_orderkey") &&
-            col("a.l_suppkey") =!= col("c.l_suppkey"), "left_anti")
-        sole.groupBy(col("l_suppkey"))
+        val per = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("failed"))
+        val ord = per.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_supp"),
+            sum(col("failed")).as("n_failed"),
+            max(when(col("failed") === 1, col("l_suppkey"))).as("failed_supp"))
+        ord.filter(col("n_supp") >= 2 && col("n_failed") === 1)
+          .select(col("failed_supp").as("l_suppkey"))
+          .groupBy(col("l_suppkey"))
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("l_suppkey"))
           .limit(10)

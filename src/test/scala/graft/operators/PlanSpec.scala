@@ -47,10 +47,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q10_anti_join").contains("LeftAnti"))
   }
 
-  test("q36: the Q21 shape plans as semi + anti self-joins on the order key") {
+  test("q36: the Q21 shape is one aggregation cascade — no joins at all") {
+    // r14: the semi/anti self-join pair (3 lineitem scans, 12 exchanges)
+    // was replaced by per-(order,supplier) → per-order aggregation;
+    // EXISTS ⇔ n_supp ≥ 2, NOT EXISTS ⇔ n_failed = 1. Only the first
+    // exchange carries full (order, supplier) cardinality.
     val p = plan("q36_sole_blame")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p)
+    val scans = p.split("\n").count(_.contains("Scan parquet"))
+    assert(scans === 1, s"lineitem must be scanned once:\n$p")
+    assert(p.contains("HashAggregate"), p)
   }
 
   test("whole-stage codegen covers the relational hot paths") {
