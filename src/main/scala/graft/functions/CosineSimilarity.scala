@@ -156,6 +156,10 @@ object GraftFunctions {
       "value_pairs", exprs => ValuePairs(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_bucket8", exprs => HyperplaneBucket8(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig16", exprs => MinhashSig16(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmin_dl", exprs => ArgminDoubleLong(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API over the registered function. */
@@ -218,4 +222,12 @@ object GraftFunctions {
   /** Ordered index-pair generator over a long array — see [[ValuePairs]]. */
   def valuePairs(values: Column): Column =
     org.apache.spark.sql.functions.call_function("value_pairs", values)
+
+  /** 16-hash MinHash signature in one pass — see [[MinhashSig16]]. */
+  def minhashSig16(gvs: Column): Column =
+    org.apache.spark.sql.functions.call_function("minhash_sig16", gvs)
+
+  /** Hash-aggregable lexicographic argmin — see [[ArgminDoubleLong]]. */
+  def argminDL(ord: Column, sel: Column): Column =
+    org.apache.spark.sql.functions.call_function("argmin_dl", ord, sel)
 }

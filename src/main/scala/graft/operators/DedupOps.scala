@@ -76,7 +76,11 @@ object DedupOps {
   private def signatures(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate((System.identityHashCode(s), d),
       gramFrame(s, d)
-        .withColumn("sig", minhashSigFromGvs(col("gvs")))
+        // r14: native minhash_sig16 — one generated pass computes all 16
+        // running minima; the HOF form ran 16 INTERPRETED array
+        // traversals per doc (transform/array_min are CodegenFallback).
+        // Bit-identical (MinhashSig16Spec pins it against the HOF form).
+        .withColumn("sig", graft.functions.GraftFunctions.minhashSig16(col("gvs")))
         .drop("gvs")
         .persist())
 

@@ -49,6 +49,42 @@ object Relational {
   /** price*(1-discount), exact decimal. */
   private def revenue: Column =
     mon(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+
+  // -- r14 fixed-point fast path (guide §1.2 "per-task work": the q01
+  // long-cents move, generalized). Spark widens a decimal sum's buffer
+  // to precision+10 and routes EVERY ROW through Decimal allocation +
+  // overflow checks — measured 10× on q01's scan-bound aggregate (sf1:
+  // 11.2 s vs q06's 1.2 s for the same scan). The money/rate columns
+  // carry exactly two decimal digits and are non-negative (the same
+  // documented TESTDATA contract mon()/rate() rely on), so the
+  // IDENTICAL exact values flow through 64-bit integers: scale per row
+  // (exact — the scaled double lands within 1e-7 of its integer), sum
+  // longs, then ONE half-up round to cents and a double cast at the
+  // end — bit-for-bit the round(sum(decimal), 2).cast(double) contract
+  // (cents stay < 2^53, where both engines' casts are exact; 1e-4-unit
+  // sums stay < 2^63 through sf ≈ 30, far past the sf1 gate). The
+  // decimal forms remain in the oracles as the semantic spec; signed
+  // columns (c_acctbal) keep the decimal path — '+0.5, cast' truncates
+  // toward zero, which mis-rounds negatives.
+  /** 2-decimal non-negative column → exact 1e-2-unit long. */
+  private def fx2(c: Column): Column = (c * 100 + lit(0.5)).cast("long")
+  /** 2-decimal non-negative column → exact 1e-4-unit long. */
+  private def fx4(c: Column): Column = (c * 10000 + lit(0.5)).cast("long")
+  /** revenue in exact 1e-4 units — bit-identical to
+    * (revenue * 10000).cast(long): price and (1-discount) are both
+    * exact 1e-2-unit longs, so their product is the exact 1e-4 value. */
+  private def rev4: Column =
+    fx2(col("l_extendedprice")) * (lit(100L) - fx2(col("l_discount")))
+  /** Non-negative 1e-4-unit long sum → the cents(sum(decimal)) double:
+    * half-up round to cents (integral div — exact, the sum is
+    * non-negative), then one exact long→double cast + /100.0 (both
+    * correctly rounded, same as the decimal→double cast). */
+  private def cents4(s4: Column): Column =
+    call_function("div", s4 + lit(50L), lit(100L)) / lit(100.0)
+  /** Drop-in for xsum on non-negative 2-decimal columns. */
+  private def fxsum(c: Column): Column = cents4(sum(fx4(c)))
+  /** Drop-in for dsum(revenue). */
+  private def frevsum: Column = cents4(sum(rev4))
   private def ts(s: String): Column = to_timestamp(lit(s))
 
   // DuckDB-side equivalents of the helpers above.
@@ -143,7 +179,7 @@ object Relational {
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(dsum(revenue).as("revenue"))
+          .agg(frevsum.as("revenue"))
           .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
@@ -215,7 +251,7 @@ object Relational {
           .join(cAsia, col("o_custkey") === col("c_custkey") &&
                        col("c_nationkey") === col("s_nationkey"))
           .groupBy(col("n_name"))
-          .agg(dsum(revenue).as("revenue"))
+          .agg(frevsum.as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       s"""SELECT n_name,
@@ -237,7 +273,7 @@ object Relational {
                 col("l_shipdate") < ts("1997-01-01 00:00:00") &&
                 col("l_discount").between(0.05, 0.07) &&
                 col("l_quantity") < 24)
-        .agg(dsum(mon(col("l_extendedprice")) * rate(col("l_discount"))).as("revenue"),
+        .agg(cents4(sum(fx2(col("l_extendedprice")) * fx2(col("l_discount")))).as("revenue"),
              count(lit(1)).as("cnt")),
       s"""SELECT ${odsum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))")} AS revenue, COUNT(*) AS cnt
          |FROM lineitem
@@ -329,7 +365,7 @@ object Relational {
     QueryDef.sql("q11_rollup",
       (s, d) => Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), xsum(col("l_quantity")).as("qty"))
+        .agg(count(lit(1)).as("n"), fxsum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |  ${oxsum("l_quantity")} AS qty
@@ -370,7 +406,7 @@ object Relational {
         val rev = Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00"))
           .groupBy(col("l_suppkey"))
-          .agg(dsum(revenue).as("total"))
+          .agg(frevsum.as("total"))
         val top = rev.agg(max(col("total")).as("mx"))
         Tables.supplier(s, d)
           .join(rev, col("s_suppkey") === col("l_suppkey"))
@@ -512,7 +548,7 @@ object Relational {
     QueryDef.sql("q26_cube",
       (s, d) => Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n"), fxsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
                  col("o_orderpriority").asc_nulls_first),
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
@@ -552,12 +588,12 @@ object Relational {
       (s, d) => {
         val li = Tables.lineitem(s, d)
         val avgQ = li.groupBy(col("l_partkey").as("p_key"))
-          .agg(((xsum(col("l_quantity")) / count(lit(1))) * 0.5).as("half_avg"))
+          .agg(((fxsum(col("l_quantity")) / count(lit(1))) * 0.5).as("half_avg"))
         // avgQ has |part| rows (SF-proportional) — never force-broadcast
         // a data-sized frame; AQE broadcasts it at small SF on its own.
         li.join(avgQ, col("l_partkey") === col("p_key"))
           .filter(col("l_quantity") < col("half_avg"))
-          .agg((dsum(mon(col("l_extendedprice"))) / 7.0).as("avg_yearly"),
+          .agg((fxsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
                count(lit(1)).as("n"))
       },
       s"""WITH a AS (
@@ -660,7 +696,7 @@ object Relational {
           col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().as("gid"),
           count(lit(1)).as("n"),
-          xsum(col("l_quantity")).as("sum_qty"))
+          fxsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
@@ -684,7 +720,11 @@ object Relational {
         Tables.orders(s, d)
           .withColumn("day_i", dayI)
           .withColumn("n_30d", count(lit(1)).over(w))
-          .withColumn("sum_30d", sum(dec4(col("o_totalprice"))).over(w).cast("double"))
+          // r14 fixed-point: the frame sum rides a long (exact 1e-4
+          // units); long→double + /10000.0 is the same single rounding
+          // as the decimal→double cast (per-customer 30-day sums sit
+          // far below 2^53)
+          .withColumn("sum_30d", sum(fx4(col("o_totalprice"))).over(w) / lit(10000.0))
           .select(col("o_orderkey"), col("o_custkey"), col("day_i"),
             col("n_30d"), col("sum_30d"))
           .orderBy(col("o_orderkey"))
@@ -875,7 +915,7 @@ object Relational {
     QueryDef.sql("q48_price_deciles",
       (s, d) => {
         val hist = Tables.orders(s, d)
-          .withColumn("cents", (mon(col("o_totalprice")) * 100).cast("long"))
+          .withColumn("cents", fx2(col("o_totalprice")))
           .groupBy(col("o_orderpriority"), col("cents"))
           .agg(count(lit(1)).as("cnt"))
         val wCum = Window.partitionBy(col("o_orderpriority"))
@@ -1011,7 +1051,7 @@ object Relational {
         Tables.orders(s, d)
           .select(col("o_orderpriority"),
             date_trunc("month", col("o_orderdate")).cast("date").as("month"),
-            (mon(col("o_totalprice")) * 100).cast("long").as("cents"))
+            fx2(col("o_totalprice")).as("cents"))
           .groupBy(col("o_orderpriority"), col("month"))
           .agg(sum(col("cents")).as("rev_cents"))
           .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
@@ -1056,7 +1096,7 @@ object Relational {
         val l = s.table(lt)
         l.hint("MERGE").join(o, l("l_orderkey") === o("o_orderkey"))
           .groupBy(col("o_orderpriority"))
-          .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_lines"))
+          .agg(frevsum.as("revenue"), count(lit(1)).as("n_lines"))
           .orderBy(col("o_orderpriority"))
       },
       s"""SELECT o_orderpriority, ${odsum(orev)} AS revenue,
@@ -1087,7 +1127,7 @@ object Relational {
         o.hint("MERGE").join(c,
             o("o_custkey") === c("c_custkey") && o("fsalt") === c("dsalt"))
           .groupBy(col("c_mktsegment"))
-          .agg(xsum(col("o_totalprice")).as("sum_price"),
+          .agg(fxsum(col("o_totalprice")).as("sum_price"),
             count(lit(1)).as("n_orders"))
           .orderBy(col("c_mktsegment"))
       },
@@ -1109,7 +1149,7 @@ object Relational {
         // revenue is DECIMAL scale 4 — fixed-point at 1e4 is exactly
         // integral (×100 would leave 2 fractional digits, and Spark's
         // decimal→long cast truncates where DuckDB's rounds)
-        val rev_i = (revenue * 10000).cast("long")
+        val rev_i = rev4 // exact 1e-4-unit long product (r14 fixed-point)
         val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
         val o = Tables.orders(s, d)
           .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
@@ -1151,16 +1191,31 @@ object Relational {
     // breaks on (suppkey, orderkey, linenumber).
     QueryDef.sql("q57_cheapest_supplier",
       (s, d) => {
-        val w = Window.partitionBy(col("l_partkey"))
-          .orderBy(col("unit_price"), col("l_suppkey"), col("l_orderkey"),
-            col("l_linenumber"))
+        // r14 (guide §2.3 "aggregate before you shuffle"): the rank-1
+        // window kept the exchange bounded (WindowGroupLimit) but still
+        // paid a FULL map-side sort of lineitem on the 5-key ordering
+        // tuple. Only (unit_price, suppkey) survive into the output —
+        // the orderkey/linenumber tie-breaks can't change (p_partkey,
+        // s_name, unit_price) because suppkey determines s_name — so
+        // the same result set is the hash-aggregable lexicographic
+        // argmin: min (price, then suppkey) per part. Plan: Sort+
+        // Window → HashAggregate with map-side partials; sf1
+        // 10.7 → see OPTIMIZATION_r14.md. Ties on the IEEE unit-price
+        // double resolve to the min suppkey, exactly the window's
+        // ORDER BY unit_price, l_suppkey; inputs are non-null by
+        // construction (l_quantity ≥ 1). Oracle keeps the window form
+        // as the semantic spec.
+        graft.functions.GraftFunctions.register(s)
         Tables.lineitem(s, d)
-          .withColumn("unit_price", col("l_extendedprice") / col("l_quantity"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+            col("l_suppkey"))
+          .groupBy(col("l_partkey"))
+          .agg(graft.functions.GraftFunctions
+            .argminDL(col("unit_price"), col("l_suppkey")).as("m"))
+          .join(Tables.supplier(s, d), col("m.sel") === col("s_suppkey"))
           .select(col("l_partkey").as("p_partkey"), col("s_name"),
-            col("unit_price"))
+            col("m.ord").as("unit_price"))
           .orderBy(col("p_partkey"))
       },
       """WITH u AS (
@@ -1184,7 +1239,7 @@ object Relational {
     QueryDef.sql("q58_market_share",
       (s, d) => {
         // same 1e4 fixed point as q56: revenue is DECIMAL scale 4
-        val rev_i = (revenue * 10000).cast("long")
+        val rev_i = rev4 // exact 1e-4-unit long product (r14 fixed-point)
         val asiaSup = Tables.supplier(s, d)
           .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
           .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
@@ -1267,7 +1322,7 @@ object Relational {
     // exact cents + an integer-ppm division (the q58 pattern).
     QueryDef.sql("q60_promo_revenue",
       (s, d) => {
-        val rev_i = (revenue * 10000).cast("long")
+        val rev_i = rev4 // exact 1e-4-unit long product (r14 fixed-point)
         Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
             col("l_shipdate") < ts("1997-07-01 00:00:00"))
@@ -1342,7 +1397,7 @@ object Relational {
     // revenue is the exact 1e4 fixed point.
     QueryDef.sql("q62_trade_volume",
       (s, d) => {
-        val rev_i = (revenue * 10000).cast("long")
+        val rev_i = rev4 // exact 1e-4-unit long product (r14 fixed-point)
         val nations = Seq("NATION_1", "NATION_2")
         val supN = Tables.supplier(s, d)
           .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
@@ -1468,7 +1523,7 @@ object Relational {
           .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
             col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
-          .agg(xsum(col("l_extendedprice")).as("small_qty_revenue"),
+          .agg(fxsum(col("l_extendedprice")).as("small_qty_revenue"),
             count(lit(1)).as("n_lines"))
           .orderBy(col("p_brand"))
       },
@@ -1497,7 +1552,7 @@ object Relational {
     // survivor set non-degenerate at every SF.
     QueryDef.sql("q66_part_value_share",
       (s, d) => {
-        val rev_i = (revenue * 10000).cast("long")
+        val rev_i = rev4 // exact 1e-4-unit long product (r14 fixed-point)
         val perPart = Tables.lineitem(s, d)
           .groupBy(col("l_partkey"))
           .agg(sum(rev_i).as("val_i"))
@@ -1551,7 +1606,7 @@ object Relational {
           .filter(arm("Brand#3", 10, 1, 11) || arm("Brand#15", 20, 10, 20) ||
             arm("Brand#24", 30, 20, 30))
           .groupBy(col("p_brand"))
-          .agg(count(lit(1)).as("n_lines"), dsum(revenue).as("revenue"))
+          .agg(count(lit(1)).as("n_lines"), frevsum.as("revenue"))
           .orderBy(col("p_brand"))
       },
       s"""SELECT p_brand, COUNT(*) AS n_lines, ${odsum(orev)} AS revenue
@@ -1623,7 +1678,7 @@ object Relational {
     // broadcast. Fixed-point revenue: the max compare is integral.
     QueryDef.sql("q69_top_supplier",
       (s, d) => {
-        val rev_i = (revenue * 10000).cast("long")
+        val rev_i = rev4 // exact 1e-4-unit long product (r14 fixed-point)
         val perSup = Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
             col("l_shipdate") < ts("1997-04-01 00:00:00"))
@@ -1669,9 +1724,13 @@ object Relational {
     // BIGINT — no FP until the final display division.
     QueryDef.sql("q70_product_profit",
       (s, d) => {
-        val cost = mon(col("p_retailprice")) * rate(lit(0.6)) *
-          mon(col("l_quantity"))
-        val profit_i = ((revenue - cost) * 1000000).cast("long")
+        // r14 fixed-point: both terms are exact 1e-6-unit longs
+        // (retail·100 × 60 × qty·100 = retail·0.6·qty·1e6; rev4·100),
+        // so the signed difference is the identical integer the decimal
+        // form produced — long subtraction needs no rounding, so the
+        // negative-profit rows that bar fx-rounding elsewhere are safe.
+        val cost6 = fx2(col("p_retailprice")) * lit(60L) * fx2(col("l_quantity"))
+        val profit_i = rev4 * lit(100L) - cost6
         val supN = Tables.supplier(s, d)
           .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey").as("sk"), col("n_name"))
@@ -1765,7 +1824,7 @@ object Relational {
     // re-groups a slice-count-bounded partial table, never rows.
     QueryDef.sql("q72_partial_agg_merge",
       (s, d) => {
-        val rev_i = (revenue * 10000).cast("long")
+        val rev_i = rev4 // exact 1e-4-unit long product (r14 fixed-point)
         def slice(pred: Column): DataFrame = Tables.lineitem(s, d)
           .filter(pred)
           .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"))

@@ -890,9 +890,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q57: the per-part argmin is WindowGroupLimit-bounded pre-exchange") {
+  test("q57: the per-part argmin is a hash aggregate with map-side partials — no window sort") {
     val p = plan("q57_cheapest_supplier")
-    assert(p.contains("WindowGroupLimit"), p)
+    // r14: argmin_dl buffers two primitives, so the argmin rides
+    // HashAggregate (partial + final) — the old rank-1 window paid a
+    // full map-side sort on the 5-key ordering tuple even with
+    // WindowGroupLimit bounding the exchange
+    assert(p.contains("partial_argmin_dl"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
