@@ -32,8 +32,10 @@ object LoopBench {
         val parts = graft.sources.ArrowsTableProvider
           .probeSplits(s"${server.baseUrl}/q/bench")
         batches = parts.map { u =>
-          val oj = new String(java.net.URI.create(u.replace("/files/", "/offsets/"))
-            .toURL.openStream().readAllBytes(), "UTF-8")
+          val oc = java.net.URI.create(u.replace("/files/", "/offsets/"))
+            .toURL.openConnection()
+          oc.setConnectTimeout(30000); oc.setReadTimeout(180000)
+          val oj = new String(oc.getInputStream.readAllBytes(), "UTF-8")
           "\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(oj).size.toLong
         }.sum
       } finally server.stop()

@@ -70,8 +70,10 @@ object TransportBench {
           val parts = graft.sources.ArrowsTableProvider
             .probeSplits(s"${server.baseUrl}/q/bench")
           batches = parts.map { u =>
-            val oj = new String(java.net.URI.create(u.replace("/files/", "/offsets/"))
-              .toURL.openStream().readAllBytes(), "UTF-8")
+            val oc = java.net.URI.create(u.replace("/files/", "/offsets/"))
+              .toURL.openConnection()
+            oc.setConnectTimeout(30000); oc.setReadTimeout(180000)
+            val oj = new String(oc.getInputStream.readAllBytes(), "UTF-8")
             "\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(oj).size.toLong
           }.sum
         } finally server.stop()
@@ -107,6 +109,7 @@ object TransportBench {
           try {
             val conn = java.net.URI.create(s"${server.baseUrl}/q/ticker").toURL
               .openConnection().asInstanceOf[java.net.HttpURLConnection]
+            conn.setConnectTimeout(30000); conn.setReadTimeout(180000)
             conn.setRequestProperty("Accept-Encoding", "zstd")
             val coding = conn.getHeaderField("Content-Encoding")
             require(coding == "zstd", s"expected zstd negotiation, got $coding")
@@ -185,7 +188,9 @@ object TransportBench {
       server.start()
       try {
         val t0 = System.nanoTime()
-        val in = java.net.URI.create(s"${server.baseUrl}/q/t").toURL.openStream()
+        val tc = java.net.URI.create(s"${server.baseUrl}/q/t").toURL.openConnection()
+        tc.setConnectTimeout(30000); tc.setReadTimeout(180000)
+        val in = tc.getInputStream
         val alloc = graft.arrow.ArrowBridge.newAllocator("bench-tts")
         val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
         reader.getVectorSchemaRoot.getSchema

@@ -321,18 +321,25 @@ object DedupOps {
     // candidate-pair verification pipeline at every reference, which
     // benched d24 at 84 s vs 8 s on 10× data (the r7c super-linear
     // outlier). Both frames are bounded by the verified pair count.
+    // r14: both barriers ride transientPersist (tagged per data dir) —
+    // the raw .persist() calls left two cached pair-frames behind on
+    // EVERY invocation (d07/d14/d24/d28 × reps), the session-heap
+    // accumulation class the r13 verdict flagged; same-tag re-entry now
+    // releases the previous build first, so at most one closure's
+    // frames are ever cached.
     val p = candidatePairs(s, d).select(col("a_id"), col("b_id"))
-    val e = p.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .unionAll(p.select(col("a_id").as("src"), col("a_id").as("dst")))
-      .unionAll(p.select(col("b_id").as("src"), col("b_id").as("dst")))
-      .distinct()
-      .persist()
+    val e = OpUtils.transientPersist(s, s"d07edges:$d",
+      p.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .unionAll(p.select(col("a_id").as("src"), col("a_id").as("dst")))
+        .unionAll(p.select(col("b_id").as("src"), col("b_id").as("dst")))
+        .distinct())
     def dbl(r: DataFrame): DataFrame =
       r.as("x").join(r.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
         .distinct()
-    dbl(dbl(e).persist()).groupBy(col("src")).agg(min(col("dst")).as("cluster"))
+    dbl(OpUtils.transientPersist(s, s"d07dbl:$d", dbl(e)))
+      .groupBy(col("src")).agg(min(col("dst")).as("cluster"))
   }
 
   /** Shared word-8-gram store over `documents` — ONE gram pipeline for

@@ -1866,15 +1866,23 @@ object Relational {
             col("l_shipdate") < ts("1998-01-01 00:00:00"))
           .select(col("l_partkey"), col("l_suppkey"),
             col("l_quantity").cast("long").as("q"))
-        // persist barrier: perPS feeds both the dominance probe and the
-        // per-part rollup — without it Catalyst inlines the corpus agg
-        // into BOTH consumers (two lineitem scans; the p17/s21 lesson)
-        val perPS = OpUtils.transientPersist(s, s"q73:$d",
-          li97.groupBy(col("l_partkey"), col("l_suppkey"))
-            .agg(sum(col("q")).as("sq")))
-        val perP = perPS.groupBy(col("l_partkey"))
-          .agg(sum(col("sq")).as("tq"), count(lit(1)).as("n_suppliers"))
-        perPS.join(perP, "l_partkey")
+        // r14 (guide §2.4 "two operations keyed the same way share one
+        // exchange"): repartition by part key up front —
+        // HashPartitioning(l_partkey) satisfies BOTH the
+        // (partkey, suppkey) aggregation's clustering and the per-part
+        // dominance window, so the probe that was a persist barrier +
+        // second aggregate + self-join (3 more exchanges and a
+        // materialized store) is now a window over the very same
+        // exchange. Map-side partials lose nothing here: the 1997 slice
+        // has ~1 row per (partkey, suppkey), and the shuffled rows are
+        // three longs. Same rows out: tq/n_suppliers computed over the
+        // identical per-part groups.
+        val wp = Window.partitionBy(col("l_partkey"))
+        li97.repartition(col("l_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("q")).as("sq"))
+          .withColumn("tq", sum(col("sq")).over(wp))
+          .withColumn("n_suppliers", count(lit(1)).over(wp))
           .filter(col("sq") * 2 > col("tq") && col("n_suppliers") >= 2)
           .groupBy(col("l_suppkey"))
           .agg(count(lit(1)).as("n_dominated"), sum(col("sq")).as("dominated_qty"))

@@ -35,13 +35,24 @@ object SimilarityOps {
   private val oVecs = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
   /** Per-label centroid table (the IVF coarse quantizer), built once per
-    * (session, dir) and persisted. Means are exact fixed-point DECIMAL
-    * sums — order-independent, O(1) agg state (see s03). */
+    * (session, dir) and persisted. Means are exact fixed-point sums —
+    * order-independent, O(1) agg state (see s03).
+    *
+    * r14 (guide §1.2 per-task work): the fixed-point sums ride LONG
+    * buffers, not DECIMAL(28,0) — `round(x*1e7)` is already an exact
+    * integer double, so long and decimal sum the identical integers and
+    * their final double casts agree bit-for-bit, but the decimal form
+    * paid a Decimal allocation + overflow check per row PER DIMENSION
+    * (64× per input row here). The oracle keeps DECIMAL as the semantic
+    * spec. Bound: |v[i]| ≤ O(1), so a long overflows only past ~1e11
+    * rows per label — far beyond any gate SF; at true 100 TB label
+    * cardinalities revisit with a two-level (long partial, decimal
+    * final) cascade. */
   private def centroids(s: SparkSession, d: String, e: DataFrame): DataFrame =
     centCache.getOrElseUpdate((System.identityHashCode(s), d),
       e.groupBy(col("label"))
         .agg(array((1 to 64).map(dim =>
-          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("long"))
             .cast("double") / lit(1e7) / count(lit(1))): _*).as("cv"))
         .persist())
 
@@ -282,7 +293,9 @@ object SimilarityOps {
     QueryDef.sql("s03_label_centroids",
       (s, d) => {
         def fxSum(dim: Int) =
-          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+          // r14: long buffer, bit-identical to the DECIMAL(28,0) sum —
+          // see the centroids() note
+          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("long"))
             .cast("double") / lit(1e7)
         vecs(s, d)
           .groupBy(col("label"))
@@ -960,7 +973,8 @@ object SimilarityOps {
         val stats = e.withColumn("nrm2", dot(col("v"), col("v")))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n_vecs"),
-            (sum(round(col("nrm2") * lit(1e7)).cast("decimal(28,0)"))
+            // r14: long buffer, bit-identical (see centroids() note)
+            (sum(round(col("nrm2") * lit(1e7)).cast("long"))
               .cast("double") / lit(1e7) / count(lit(1))).as("mean_norm2"))
         val sq = (a: Column, b: Column) =>
           sumFold(zip_with(a, b, (x, y) => (x - y) * (x - y)))
@@ -1302,7 +1316,9 @@ object SimilarityOps {
           .select(col("vec_id"), col("label"), col("v"),
             col("best").getField("c").as("cell"))
         def fxSum(dim: Int) =
-          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+          // r14: long buffer, bit-identical to the DECIMAL(28,0) sum —
+          // see the centroids() note
+          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("long"))
             .cast("double") / lit(1e7)
         assigned.groupBy(col("cell"))
           .agg(count(lit(1)).as("n_assigned"),
@@ -1659,7 +1675,9 @@ object SimilarityOps {
             .withColumn("cell1", argmax(col("cents")))
             .select(col("vec_id"), col("v"), col("cell1")))
         def fxMean(dim: Int) =
-          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+          // r14: long buffer, bit-identical to the DECIMAL(28,0) sum —
+          // see the centroids() note
+          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("long"))
             .cast("double") / lit(1e7) / count(lit(1))
         val refined = a1.groupBy(col("cell1").as("cell"))
           .agg(array((1 to 64).map(fxMean): _*).as("cv"))
@@ -1786,7 +1804,9 @@ object SimilarityOps {
         val e = vecs(s, d)
           .withColumn("half", pmod(col("vec_id"), lit(2)).cast("int"))
         def fxMean(dim: Int) =
-          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("decimal(28,0)"))
+          // r14: long buffer, bit-identical to the DECIMAL(28,0) sum —
+          // see the centroids() note
+          sum(round(element_at(col("v"), dim) * lit(1e7)).cast("long"))
             .cast("double") / lit(1e7) / count(lit(1))
         val halves = OpUtils.transientPersist(s, s"s27:$d",
           e.groupBy(col("label"), col("half"))

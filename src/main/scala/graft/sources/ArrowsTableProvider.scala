@@ -92,9 +92,33 @@ object ArrowsTableProvider {
 
   def open(path: String): InputStream = open(path, schemaOnly = false)
 
+  /** Socket guards for every client-side HTTP open (r14): a bench run
+    * hung INDEFINITELY mid-100M-loop — one reader task blocked in
+    * socket read while every server handler thread idled and a second
+    * pooled connection held 2.9 MB of undelivered response — the same
+    * stale keep-alive checkout race the dissociated channel reads
+    * documented and opted out of in r13. Timeouts turn any recurrence
+    * into a task failure (which Spark retries on a fresh connection)
+    * instead of a wedged bench; bulk body reads additionally send
+    * `Connection: close` — a pooled connection buys nothing for a
+    * stream that is drained once, and opting out removes the race
+    * class entirely. */
+  private def httpTimeouts(conn: HttpURLConnection): HttpURLConnection = {
+    conn.setConnectTimeout(
+      sys.env.getOrElse("SPARK_GRAFT_HTTP_CONNECT_MS", "30000").toInt)
+    conn.setReadTimeout(
+      sys.env.getOrElse("SPARK_GRAFT_HTTP_READ_MS", "180000").toInt)
+    conn
+  }
+
   def open(path: String, schemaOnly: Boolean, accept: String = ""): InputStream =
     if (isUrl(path)) {
-      val conn = URI.create(path).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      val conn = httpTimeouts(
+        URI.create(path).toURL.openConnection().asInstanceOf[HttpURLConnection])
+      // full-body streams are one-shot: skip the keep-alive pool (see
+      // httpTimeouts note); schema-only probes stay poolable — their
+      // tiny responses are drained to EOF
+      if (!schemaOnly) conn.setRequestProperty("Connection", "close")
       conn.setRequestProperty("Accept", "application/vnd.apache.arrow.stream")
       // opt-in content-coding (option acceptEncoding): the server
       // negotiates zstd/br/gzip and the decode match below unwraps it
@@ -121,8 +145,9 @@ object ArrowsTableProvider {
   def rangedPartitions(fileUrl: String, n: Int): Seq[ArrowsInputPartition] =
     try {
       val offsetsUrl = fileUrl.replace("/files/", "/offsets/")
-      val json = new String(
-        URI.create(offsetsUrl).toURL.openStream().readAllBytes(), "UTF-8")
+      val json = new String(httpTimeouts(URI.create(offsetsUrl).toURL
+          .openConnection().asInstanceOf[HttpURLConnection])
+        .getInputStream.readAllBytes(), "UTF-8")
       val schemaEnd = "\"schema_end\": (\\d+)".r.findFirstMatchIn(json).get.group(1).toLong
       val spans = "\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(json)
         .map(m => (m.group(1).toLong, m.group(2).toLong)).toVector
@@ -148,8 +173,8 @@ object ArrowsTableProvider {
     * falls back to the single-stream read. */
   def probeSplits(qUrl: String): Seq[String] =
     try {
-      val conn = URI.create(qUrl.replace("/q/", "/qsplit/")).toURL
-        .openConnection().asInstanceOf[HttpURLConnection]
+      val conn = httpTimeouts(URI.create(qUrl.replace("/q/", "/qsplit/")).toURL
+        .openConnection().asInstanceOf[HttpURLConnection])
       if (conn.getResponseCode != 200) Nil
       else {
         val json = new String(conn.getInputStream.readAllBytes(), "UTF-8")
@@ -159,7 +184,10 @@ object ArrowsTableProvider {
 
   /** GET a byte range of a URL. */
   def openRange(url: String, start: Long, endExclusive: Long): InputStream = {
-    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    val conn = httpTimeouts(
+      URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection])
+    // bulk body: one-shot, no keep-alive pool (see httpTimeouts note)
+    conn.setRequestProperty("Connection", "close")
     conn.setRequestProperty("Range", s"bytes=$start-${endExclusive - 1}")
     val code = conn.getResponseCode
     require(code == 206 || code == 200, s"range GET $url -> HTTP $code")
@@ -185,7 +213,9 @@ object ArrowsTableProvider {
 
   def dissocInfo(infoUrl: String): (Map[String, String], Seq[DissocPart]) = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(URI.create(infoUrl).toURL.openStream().readAllBytes())
+      .readTree(httpTimeouts(URI.create(infoUrl).toURL
+          .openConnection().asInstanceOf[HttpURLConnection])
+        .getInputStream.readAllBytes())
     val chans = root.path("locations").elements().asScala
       .map(l => l.path("channel").asText() -> l.path("uri").asText()).toMap
     val parts = root.path("parts").elements().asScala
@@ -207,7 +237,8 @@ object ArrowsTableProvider {
   }
 
   private def openRaw(url: String): InputStream = {
-    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    val conn = httpTimeouts(
+      URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection])
     // one-shot bulk channel streams: opt OUT of the JDK keep-alive pool.
     // A pooled channel connection buys nothing (each is drained to EOF
     // once) and exposes the stale-connection race — a checkout the

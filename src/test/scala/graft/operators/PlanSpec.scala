@@ -1338,11 +1338,21 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("bit_count"), p)
   }
 
-  test("q73: one lineitem pass behind the persist barrier; dominance joins inside partkey; supplier broadcasts") {
+  test("q73: one lineitem pass, one partkey exchange feeding agg AND dominance window; supplier broadcasts") {
     val p = plan("q73_dominant_suppliers")
-    // the (part, supplier) agg computes ONCE: no parquet scan above the
-    // first cache boundary, so the per-part rollup re-groups partials
-    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
+    // r14: the up-front repartition(l_partkey) satisfies both the
+    // (partkey, suppkey) aggregation and the per-part window, so the
+    // old persist barrier + second aggregate + self-join is one
+    // exchange + one window — lineitem scans once, and no other
+    // exchange carries l_partkey
+    assert(p.split("lineitem").length - 1 >= 1, p)
+    val liScans = p.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 1, p)
+    val pkExchanges = p.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_partkey"))
+    assert(pkExchanges.length == 1, p)
+    assert(p.contains("Window"), p)
     assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
