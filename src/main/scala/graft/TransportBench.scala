@@ -310,10 +310,26 @@ object TransportBench {
         total
       }
 
-      val tNaive = (1 to 2).map(_ => timed { naiveParse() }).min
-      val tStream = (1 to 2).map(_ => timed { streamParse() }).min
-      emit("multipart_naive_parse_1g", Seq(tNaive))
-      emit("multipart_stream_parse_1g", Seq(tStream))
+      // r14: the warm rep the comment above promises is now real — the
+      // first naive rep pays JIT compilation of the byte-scan loops AND
+      // first-touch of ~3 GiB of humongous G1 regions, which measured
+      // 4.8–34 s against a 3.6 s steady state depending on box load.
+      // One untimed warm rep per parser plus a GC checkpoint between
+      // reps (the Bench between-cell pattern, outside the timed
+      // region); every timed rep still pays the full buffer allocation
+      // + scan + part copies (the r13 ADVICE #2 contract).
+      // (No System.gc() between reps: a G1 full collection right before
+      // a rep measured the STREAMING parse 2-3× slower — post-full-GC
+      // heap resizing lands inside the timed region. min-of-3 plus the
+      // warm rep is the house noise defense.)
+      naiveParse(); streamParse()
+      val naiveReps = (1 to 3).map(_ => timed { naiveParse() })
+      val streamReps = (1 to 3).map(_ => timed { streamParse() })
+      val (tNaive, tStream) = (naiveReps.min, streamReps.min)
+      // full rep vectors into the runs artifact (house rule: noisy
+      // rounds stay diagnosable), min only for the narration line
+      emit("multipart_naive_parse_1g", naiveReps)
+      emit("multipart_stream_parse_1g", streamReps)
       System.err.println(
         f"multipart 1 GiB parse: naive $tNaive%.2f s, streaming $tStream%.2f s")
     }

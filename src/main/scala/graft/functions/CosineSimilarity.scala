@@ -160,6 +160,10 @@ object GraftFunctions {
       "minhash_sig16", exprs => MinhashSig16(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "argmin_dl", exprs => ArgminDoubleLong(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_md5", exprs => GramMd5(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_fold", exprs => DotFold(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API over the registered function. */
@@ -230,4 +234,13 @@ object GraftFunctions {
   /** Hash-aggregable lexicographic argmin — see [[ArgminDoubleLong]]. */
   def argminDL(ord: Column, sel: Column): Column =
     org.apache.spark.sql.functions.call_function("argmin_dl", ord, sel)
+
+  /** 16-byte md5 of every width-word window in one pass — see [[GramMd5]]. */
+  def gramMd5(ws: Column, width: Int): Column =
+    org.apache.spark.sql.functions.call_function("gram_md5", ws,
+      org.apache.spark.sql.functions.lit(width))
+
+  /** Left-fold dot product of two double arrays — see [[DotFold]]. */
+  def dotFold(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dot_fold", a, b)
 }

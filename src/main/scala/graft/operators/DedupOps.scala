@@ -367,15 +367,20 @@ object DedupOps {
   private val gram8AggCache = scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
   private[operators] def gram8Exploded(s: SparkSession, d: String): DataFrame =
-    gram8Cache.getOrElseUpdate((System.identityHashCode(s), d),
+    gram8Cache.getOrElseUpdate((System.identityHashCode(s), d), {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
         .withColumn("ws", words(col("text")))
         .select(col("doc_id"),
           greatest(size(col("ws")) - 7, lit(0)).cast("long").as("n_grams"),
-          explode(when(size(col("ws")) < 8, array().cast("array<binary>"))
-            .otherwise(transform(sequence(lit(1), size(col("ws")) - 7),
-              i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(8)))))))).as("h"))
-        .persist())
+          // r14: native gram_md5 (one generated pass, incremental digest,
+          // no hex round-trip) is bit-identical to the interpreted
+          // transform/slice/concat_ws/md5/unhex HOF it replaces
+          // (GramMd5Spec pins it) — the store build was the dominant
+          // cost of every d08-family cell (guide §1.2 per-task work).
+          explode(graft.functions.GraftFunctions.gramMd5(col("ws"), 8)).as("h"))
+        .persist()
+    })
 
   /** Drop the per-(session,dir) 8-gram store so a bench can time the
     * COLD path — store build + query — in the same JVM. The store-warm
@@ -549,12 +554,21 @@ object DedupOps {
     QueryDef.sql("d04_ngram_jaccard",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        // r14 (guide §1.2): the B variant is the SAME text minus its
+        // last word, so its 3-gram windows are exactly the A variant's
+        // windows minus the last one — gb's hash array is a prefix
+        // slice of ga's. One gram_hashes60 pass replaces two (the
+        // second of which also paid a regexp per doc); values are
+        // bit-identical, so the distinct/intersect/union contract with
+        // the oracle (which still computes both variants' grams from
+        // the strings) is unchanged.
         Tables.documents(s, d)
           .select(col("doc_id"), trim(col("text")).as("t"))
-          .withColumn("ga", array_distinct(graft.functions.GraftFunctions
-            .gramHashes60(words(col("t")), 3)))
-          .withColumn("gb", array_distinct(graft.functions.GraftFunctions
-            .gramHashes60(words(regexp_replace(col("t"), " +[^ ]+$", "")), 3)))
+          .withColumn("gh", graft.functions.GraftFunctions
+            .gramHashes60(words(col("t")), 3))
+          .withColumn("ga", array_distinct(col("gh")))
+          .withColumn("gb", array_distinct(
+            slice(col("gh"), lit(1), greatest(size(col("gh")) - 1, lit(0)))))
           .select(col("doc_id"),
             (size(array_intersect(col("ga"), col("gb"))).cast("double") /
               size(array_union(col("ga"), col("gb")))).as("jaccard"))

@@ -429,16 +429,24 @@ object EventsOps {
     // ties cannot exist and both engines pick the identical row.
     QueryDef.sql("q40_latest_compaction",
       (s, d) => {
+        // r14 (guide §1.2 per-task work): the old form built a 40-char
+        // zero-padded string key per row and ran FIVE max_by aggregates
+        // each comparing those strings — lexicographic order on the
+        // padded non-negative (us, event_id) IS numeric (us, event_id)
+        // order, so ONE max over a struct ordered by the same two
+        // columns picks the identical row ((us, event_id) is unique —
+        // the trailing fields never participate in a comparison). No
+        // string allocation, one aggregation buffer instead of five.
+        // The oracle keeps the padded-string arg_max form as the spec.
         val e = Tables.events(s, d)
           .withColumn("us", unix_micros(col("ts")))
-          .withColumn("k", concat(lpad(col("us").cast("string"), 20, "0"),
-            lpad(col("event_id").cast("string"), 20, "0")))
         e.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_versions"),
-            max_by(col("event_id"), col("k")).as("event_id"),
-            max_by(col("us"), col("k")).as("us"),
-            max_by(col("event_type"), col("k")).as("event_type"),
-            max_by(col("value"), col("k")).as("value"))
+            max(struct(col("us"), col("event_id"), col("event_type"),
+              col("value"))).as("m"))
+          .select(col("user_id"), col("n_versions"),
+            col("m.event_id").as("event_id"), col("m.us").as("us"),
+            col("m.event_type").as("event_type"), col("m.value").as("value"))
           .orderBy(col("user_id"))
       },
       """WITH e AS (

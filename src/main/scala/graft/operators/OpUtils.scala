@@ -88,7 +88,13 @@ object OpUtils {
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
   /** Dot product of two double arrays with deterministic fold order. */
-  def dot(a: Column, b: Column): Column = sumFold(zip_with(a, b, (x, y) => x * y))
+  /** r14: native codegen'd left-fold dot (graft.functions.DotFold) —
+    * bit-identical to sumFold(zip_with(a, b, _*_)), which evaluated
+    * INTERPRETED (HOFs are CodegenFallback) on the similarity tier's
+    * per-row norm and brute-force truth paths. DotFoldSpec pins the
+    * equality; sessions register via GraftSession/operator builders. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotFold(a, b)
 
   /** Cosine similarity via the native codegen'd Expression
     * ([[graft.functions.CosineSimilarity]]); per-accumulator FP op

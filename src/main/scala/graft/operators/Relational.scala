@@ -363,9 +363,19 @@ object Relational {
 
     // ---------------------------------------------------------------
     QueryDef.sql("q11_rollup",
+      // r14 (guide §2.3 "aggregate before you shuffle"): ROLLUP plans
+      // as Expand — every fact row duplicated once PER GROUPING SET
+      // (3× here) before the partial aggregate. Pre-aggregating to the
+      // (returnflag, linestatus) leaf first (map-side partials, ~6
+      // groups) and rolling THAT up runs the Expand over ~6 rows
+      // instead of every lineitem row. count(*) ≡ sum of leaf counts,
+      // fx4-unit long sums re-aggregate exactly (q72's partial-merge
+      // identity), cents4 applied once at the end — bit-identical.
       (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"), sum(fx4(col("l_quantity"))).as("pq"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), fxsum(col("l_quantity")).as("qty"))
+        .agg(sum(col("pn")).as("n"), cents4(sum(col("pq"))).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |  ${oxsum("l_quantity")} AS qty
@@ -546,9 +556,14 @@ object Relational {
 
     // ---------------------------------------------------------------
     QueryDef.sql("q26_cube",
+      // r14: same pre-aggregate-before-Expand move as q11 — CUBE
+      // quadruples every row through Expand; the (status, priority)
+      // leaf is ~15 groups, so cube THAT.
       (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"), sum(fx4(col("o_totalprice"))).as("pt"))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), fxsum(col("o_totalprice")).as("total"))
+        .agg(sum(col("pn")).as("n"), cents4(sum(col("pt"))).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
                  col("o_orderpriority").asc_nulls_first),
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
@@ -690,13 +705,19 @@ object Relational {
     // aggregation still applies. grouping_id() disambiguates the null
     // produced by the expansion from a null group value.
     QueryDef.sql("q32_grouping_sets",
+      // r14: pre-aggregate before the Expand (see q11) — the two
+      // grouping sets each re-aggregate the ~6-row (flag, status)
+      // leaf; grouping_id() is a function of the grouping-set shape,
+      // unchanged by the pre-aggregation.
       (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"), sum(fx4(col("l_quantity"))).as("pq"))
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
           col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().as("gid"),
-          count(lit(1)).as("n"),
-          fxsum(col("l_quantity")).as("sum_qty"))
+          sum(col("pn")).as("n"),
+          cents4(sum(col("pq"))).as("sum_qty"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
@@ -1783,12 +1804,20 @@ object Relational {
       (s, d) => {
         val complaints = Tables.supplier(s, d)
           .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-        val pairs = Tables.lineitem(s, d)
+        // r14 (guide §2.3/§2.4): the old plan DISTINCT'd fact-scale
+        // (partkey, suppkey) pairs for 100% of parts BEFORE the part
+        // join — a full-cardinality exchange whose output the final
+        // COUNT(DISTINCT) would have deduplicated anyway (count
+        // distinct is idempotent under duplicate rows). Joining the
+        // selective part dim FIRST (~15% of parts pass; AQE picks the
+        // broadcast) means the only wide exchange carries map-side-
+        // deduped (brand, type, size, suppkey) partials of matching
+        // parts only. Same rows out; oracle SQL unchanged.
+        Tables.lineitem(s, d)
           .select(col("l_partkey"), col("l_suppkey"))
           .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"),
             "left_anti")
-          .distinct()
-        pairs.join(Tables.part(s, d)
+          .join(Tables.part(s, d)
             .filter(col("p_brand") =!= "Brand#15" &&
               !col("p_type").startsWith("PROMO") &&
               col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))

@@ -24,15 +24,21 @@ object TextOps {
     scala.collection.concurrent.TrieMap[(Int, String), org.apache.spark.sql.DataFrame]()
 
   private def bigramFrame(s: org.apache.spark.sql.SparkSession, d: String) =
-    bgCache.getOrElseUpdate((System.identityHashCode(s), d),
+    bgCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
         .withColumn("ws", words(col("text")))
         .select(col("doc_id"),
-          when(size(col("ws")) < 2, array().cast("array<long>"))
-            .otherwise(transform(sequence(lit(1), size(col("ws")) - 1),
-              i => pmod(md5Val(concat_ws(" ", slice(col("ws"), i, lit(2))), 15),
-                lit(4096L)))).as("bks"))
-        .persist())
+          // r14: native gram_hashes60(ws,2)[i] == md5Val(bigram_i, 15)
+          // (GramHashes60Spec pins it) — the interpreted per-window
+          // slice/concat_ws/md5 HOF was the store build's dominant
+          // cost; the residual pmod transform is integer-only. Empty
+          // (<2-word) docs: gram_hashes60 returns an empty array, the
+          // same rows the when() arm produced.
+          transform(graft.functions.GraftFunctions.gramHashes60(col("ws"), 2),
+            h => pmod(h, lit(4096L))).as("bks"))
+        .persist()
+    })
 
   /** t16's UNBUCKETED bigram-instance frame: one row per bigram
     * occurrence, carrying the 60-bit hash of the bigram (`bh`) and of
@@ -47,17 +53,23 @@ object TextOps {
     scala.collection.concurrent.TrieMap[(Int, String), org.apache.spark.sql.DataFrame]()
 
   private def bigramInstances(s: org.apache.spark.sql.SparkSession, d: String) =
-    biCache.getOrElseUpdate((System.identityHashCode(s), d),
+    biCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
         .withColumn("ws", words(col("text")))
         .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("ws")) - 1),
-            i => struct(
-              md5Val(concat_ws(" ", slice(col("ws"), i, lit(2))), 15).as("bh"),
-              md5Val(element_at(col("ws"), i), 15).as("ph")))).as("g"))
+        // r14: both hash columns ride native one-pass gram_hashes60
+        // (bh: width-2 windows; ph: width-1 windows, i.e. each word,
+        // truncated to the n-1 prefix positions) instead of an
+        // interpreted transform doing two md5-hex-conv chains per
+        // window — bit-identical per GramHashes60Spec's md5Val pin.
+        .select(col("doc_id"), explode(arrays_zip(
+          graft.functions.GraftFunctions.gramHashes60(col("ws"), 2).as("bh"),
+          slice(graft.functions.GraftFunctions.gramHashes60(col("ws"), 1),
+            lit(1), size(col("ws")) - 1).as("ph"))).as("g"))
         .select(col("doc_id"), col("g.bh").as("bh"), col("g.ph").as("ph"))
-        .persist())
+        .persist()
+    })
 
   /** Stopword profiles for the language-ID heuristic (public stopword
     * lists, truncated). Scores are hit counts of profile words. */

@@ -145,11 +145,23 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffled.head.contains("source#"), s"packing shuffle not keyed on shard:\n$p")
   }
 
-  test("q32: grouping sets expand map-side with partial aggregation") {
+  test("q32: grouping sets expand over the pre-aggregated leaf, not the scan") {
+    // r14 (guide §2.3): Expand duplicates its input once per grouping
+    // set — it must sit ABOVE the (flag, status) leaf aggregation
+    // (~6 rows) rather than above the lineitem scan (every row ×2).
+    // Shape: scan → partial agg → exchange → leaf agg → Expand →
+    // grouping-sets agg pair. Two tiny exchanges beat one Expand'd
+    // full-cardinality one.
     val p = plan("q32_grouping_sets")
-    assert(p.contains("Expand"), p)
-    val shuffles = p.split("\n").count(_.contains("Exchange hashpartitioning"))
-    assert(shuffles === 1, p)
+    val lines = p.split("\n")
+    val expandAt = lines.indexWhere(_.trim.matches("""\+?- Expand .*|.*\+- Expand \(\d+\)"""))
+    assert(expandAt >= 0, p)
+    // everything BELOW the Expand in the tree (printed after it in the
+    // operator list) must already include a HashAggregate — i.e. the
+    // Expand consumes aggregated rows, not scan rows
+    assert(lines.drop(expandAt + 1).exists(_.contains("HashAggregate")), p)
+    val shuffles = lines.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles === 2, p)
   }
 
   test("explicit broadcast hints only on bounded frames (dims or aggregates)") {
