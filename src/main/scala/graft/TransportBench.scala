@@ -73,6 +73,7 @@ object TransportBench {
             val oc = java.net.URI.create(u.replace("/files/", "/offsets/"))
               .toURL.openConnection()
             oc.setConnectTimeout(30000); oc.setReadTimeout(180000)
+            oc.setRequestProperty("Connection", "close")
             val oj = new String(oc.getInputStream.readAllBytes(), "UTF-8")
             "\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(oj).size.toLong
           }.sum
@@ -110,6 +111,7 @@ object TransportBench {
             val conn = java.net.URI.create(s"${server.baseUrl}/q/ticker").toURL
               .openConnection().asInstanceOf[java.net.HttpURLConnection]
             conn.setConnectTimeout(30000); conn.setReadTimeout(180000)
+            conn.setRequestProperty("Connection", "close")
             conn.setRequestProperty("Accept-Encoding", "zstd")
             val coding = conn.getHeaderField("Content-Encoding")
             require(coding == "zstd", s"expected zstd negotiation, got $coding")
@@ -181,31 +183,40 @@ object TransportBench {
 
     // client timing breakdown (time-to-schema / time-to-first-batch /
     // total), the get_compressed client's mandated metrics — measured
-    // with a raw arrow-java client against a 1M-row serve.
+    // with a raw arrow-java client against a 1M-row serve. r15 (r14
+    // verdict #4): min-of-3 like every other cell — these three were
+    // single-rep, so one host-load spike or stale-connection TCP stall
+    // landed straight in the artifact (the r14 0.007–0.019×
+    // "regressions" at 32 cores were exactly that).
     locally {
       val server = new graft.server.ArrowHttpServer(spark)
       server.register("t", graft.datagen.Generators.flightBench(spark, 1000000))
       server.start()
       try {
-        val t0 = System.nanoTime()
-        val tc = java.net.URI.create(s"${server.baseUrl}/q/t").toURL.openConnection()
-        tc.setConnectTimeout(30000); tc.setReadTimeout(180000)
-        val in = tc.getInputStream
-        val alloc = graft.arrow.ArrowBridge.newAllocator("bench-tts")
-        val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
-        reader.getVectorSchemaRoot.getSchema
-        val tSchema = (System.nanoTime() - t0) / 1e9
-        reader.loadNextBatch()
-        val tFirst = (System.nanoTime() - t0) / 1e9
-        var nb = 1L
-        while (reader.loadNextBatch()) nb += 1
-        val tTotal = (System.nanoTime() - t0) / 1e9
-        reader.close(); alloc.close()
-        emit("arrows_time_to_schema", Seq(tSchema))
-        emit("arrows_time_to_first_batch", Seq(tFirst))
-        emit("arrows_client_total_1m", Seq(tTotal))
+        val trials = (1 to loopReps).map { _ =>
+          val t0 = System.nanoTime()
+          val tc = java.net.URI.create(s"${server.baseUrl}/q/t").toURL.openConnection()
+          tc.setConnectTimeout(30000); tc.setReadTimeout(180000)
+          tc.setRequestProperty("Connection", "close") // no stale-pool checkout
+          val in = tc.getInputStream
+          val alloc = graft.arrow.ArrowBridge.newAllocator("bench-tts")
+          val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+          reader.getVectorSchemaRoot.getSchema
+          val tSchema = (System.nanoTime() - t0) / 1e9
+          reader.loadNextBatch()
+          val tFirst = (System.nanoTime() - t0) / 1e9
+          var nb = 1L
+          while (reader.loadNextBatch()) nb += 1
+          val tTotal = (System.nanoTime() - t0) / 1e9
+          reader.close(); alloc.close()
+          (tSchema, tFirst, tTotal, nb)
+        }
+        emit("arrows_time_to_schema", trials.map(_._1))
+        emit("arrows_time_to_first_batch", trials.map(_._2))
+        emit("arrows_client_total_1m", trials.map(_._3))
+        val best = trials.minBy(_._3)
         System.err.println(
-          f"client metrics (1M rows): schema $tSchema%.3f s, first batch $tFirst%.3f s, total $tTotal%.2f s, $nb batches")
+          f"client metrics (1M rows): schema ${best._1}%.3f s, first batch ${best._2}%.3f s, total ${best._3}%.2f s, ${best._4} batches (min of $loopReps)")
       } finally server.stop()
     }
 
@@ -314,14 +325,12 @@ object TransportBench {
       // first naive rep pays JIT compilation of the byte-scan loops AND
       // first-touch of ~3 GiB of humongous G1 regions, which measured
       // 4.8–34 s against a 3.6 s steady state depending on box load.
-      // One untimed warm rep per parser plus a GC checkpoint between
-      // reps (the Bench between-cell pattern, outside the timed
-      // region); every timed rep still pays the full buffer allocation
-      // + scan + part copies (the r13 ADVICE #2 contract).
-      // (No System.gc() between reps: a G1 full collection right before
-      // a rep measured the STREAMING parse 2-3× slower — post-full-GC
-      // heap resizing lands inside the timed region. min-of-3 plus the
-      // warm rep is the house noise defense.)
+      // One untimed warm rep per parser; every timed rep still pays the
+      // full buffer allocation + scan + part copies (the r13 ADVICE #2
+      // contract). Deliberately NO System.gc() between reps: a G1 full
+      // collection right before a rep measured the STREAMING parse
+      // 2-3× slower — post-full-GC heap resizing lands inside the timed
+      // region. min-of-3 plus the warm rep is the house noise defense.
       naiveParse(); streamParse()
       val naiveReps = (1 to 3).map(_ => timed { naiveParse() })
       val streamReps = (1 to 3).map(_ => timed { streamParse() })

@@ -61,11 +61,13 @@ object Relational {
   // (exact — the scaled double lands within 1e-7 of its integer), sum
   // longs, then ONE half-up round to cents and a double cast at the
   // end — bit-for-bit the round(sum(decimal), 2).cast(double) contract
-  // (cents stay < 2^53, where both engines' casts are exact; 1e-4-unit
-  // sums stay < 2^63 through sf ≈ 30, far past the sf1 gate). The
-  // decimal forms remain in the oracles as the semantic spec; signed
-  // columns (c_acctbal) keep the decimal path — '+0.5, cast' truncates
-  // toward zero, which mis-rounds negatives.
+  // (cents stay < 2^53, where both engines' casts are exact). r15: the
+  // SUMS no longer ride a single long — see sumFx below for the
+  // overflow-safe hi/lo cascade (plain long sums wrapped at sf 30–6e3
+  // for the few-group money aggregates). The decimal forms remain in
+  // the oracles as the semantic spec; signed columns (c_acctbal) keep
+  // the decimal path — '+0.5, cast' truncates toward zero, which
+  // mis-rounds negatives.
   /** 2-decimal non-negative column → exact 1e-2-unit long. */
   private def fx2(c: Column): Column = (c * 100 + lit(0.5)).cast("long")
   /** 2-decimal non-negative column → exact 1e-4-unit long. */
@@ -78,13 +80,39 @@ object Relational {
   /** Non-negative 1e-4-unit long sum → the cents(sum(decimal)) double:
     * half-up round to cents (integral div — exact, the sum is
     * non-negative), then one exact long→double cast + /100.0 (both
-    * correctly rounded, same as the decimal→double cast). */
+    * correctly rounded, same as the decimal→double cast). Accepts the
+    * DECIMAL(38,0) output of [[sumFx]] unchanged — `div` is
+    * IntegralDivide, which takes decimal input and returns BIGINT. */
   private def cents4(s4: Column): Column =
     call_function("div", s4 + lit(50L), lit(100L)) / lit(100.0)
-  /** Drop-in for xsum on non-negative 2-decimal columns. */
-  private def fxsum(c: Column): Column = cents4(sum(fx4(c)))
-  /** Drop-in for dsum(revenue). */
-  private def frevsum: Column = cents4(sum(rev4))
+
+  // -- r15 overflow-safe cascade (r14 verdict #1). A plain sum(long)
+  // over fixed-point units wraps SILENTLY past 2^63: q01's 1e-6-unit
+  // charge sum wraps near sf 30, money 1e-4 sums over few-group
+  // aggregates near sf 6e3 — orders of magnitude under the 100 TB
+  // brief (sf 1e5), and invisible to the sf ≤ 1 oracle gates. The
+  // cascade keeps the cheap per-row long path and recombines EXACTLY:
+  // per row x is split x = (x >> 20)·2^20 + (x & 0xFFFFF) (the
+  // two's-complement identity — arithmetic shift floors, the mask is
+  // the non-negative remainder, so it holds for SIGNED x too, which
+  // q70's profit needs), both halves ride ordinary long sums with
+  // map-side partials, and ONE per-GROUP recombination runs in
+  // DECIMAL(38,0). Bounds: the largest unit in use is q01's 1e-6
+  // charge, |x| ≤ ~1.1e11 ⇒ |hi| ≤ 1.05e5 and lo < 2^20, so both
+  // half-sums stay under 2^63 through ~8.8e12 rows per group — for
+  // lineitem (6e6 rows/sf, one group can hold every row) that is
+  // sf ≈ 1.4e6 ≈ 1.4 PB, 14× past the brief. SumFxSpec feeds a
+  // synthetic >2^63-sum group through it and checks the exact value.
+  /** Exact overflow-safe sum of a long fixed-point column; returns the
+    * true integer sum as DECIMAL(38,0). */
+  private[operators] def sumFx(x: Column): Column =
+    sum(shiftright(x, 20)).cast(DecimalType(38, 0)) * lit(1L << 20) +
+      sum(x.bitwiseAND(lit((1L << 20) - 1)))
+  /** Drop-in for xsum on non-negative 2-decimal columns (overflow-safe
+    * for any group cardinality — see sumFx). */
+  private def fxsum(c: Column): Column = cents4(sumFx(fx4(c)))
+  /** Drop-in for dsum(revenue) (overflow-safe — see sumFx). */
+  private def frevsum: Column = cents4(sumFx(rev4))
   private def ts(s: String): Column = to_timestamp(lit(s))
 
   // DuckDB-side equivalents of the helpers above.
@@ -111,8 +139,7 @@ object Relational {
         // units of 1e-4 (and 1e-6 for the tax product), long sums, then
         // ONE half-up round to cents and a double cast at the end —
         // bit-for-bit the round(sum(decimal), 2).cast(double) contract
-        // (cents stay < 2^53, where every engine's cast is exact; sums
-        // stay < 2^63 through sf ≈ 30, far past the sf1 gate — the
+        // (cents stay < 2^53, where every engine's cast is exact; the
         // decimal form remains in the oracle as the semantic spec).
         // Rounding note: '+ half, integer-div' is HALF_UP for the
         // non-negative quantity/price/revenue sums here; '+ 0.5, cast'
@@ -123,13 +150,18 @@ object Relational {
         def u2(c: Column): Column = (c * 100 + lit(0.5)).cast("long")
         val rev4 = u2(col("l_extendedprice")) * (lit(100L) - u2(col("l_discount")))
         val chg6 = rev4 * (lit(100L) + u2(col("l_tax")))
+        // r15: price/revenue/charge sums ride the sumFx cascade (plain
+        // long sums wrapped at sf ≈ 6e3 / 6e3 / 30 over these ~4
+        // groups — r14 verdict #1); quantity (u4 ≤ 5e5/row → exact
+        // through sf ≈ 3e6) and discount (u4 ≤ 1e3/row) keep the plain
+        // single-buffer sum.
         li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sum(u4(col("l_quantity"))).as("q4"),
-            sum(u4(col("l_extendedprice"))).as("p4"),
-            sum(rev4).as("r4"),
-            sum(chg6).as("c6"),
+            sumFx(u4(col("l_extendedprice"))).as("p4"),
+            sumFx(rev4).as("r4"),
+            sumFx(chg6).as("c6"),
             sum(u4(col("l_discount"))).as("d4"),
             count(lit(1)).as("count_order"))
           .select(col("l_returnflag"), col("l_linestatus"),
@@ -273,7 +305,9 @@ object Relational {
                 col("l_shipdate") < ts("1997-01-01 00:00:00") &&
                 col("l_discount").between(0.05, 0.07) &&
                 col("l_quantity") < 24)
-        .agg(cents4(sum(fx2(col("l_extendedprice")) * fx2(col("l_discount")))).as("revenue"),
+        // r15: single-group sum over the whole slice — sumFx cascade
+        // (a plain long sum of the ≤7e7-unit product wraps near sf 1e5)
+        .agg(cents4(sumFx(fx2(col("l_extendedprice")) * fx2(col("l_discount")))).as("revenue"),
              count(lit(1)).as("cnt")),
       s"""SELECT ${odsum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))")} AS revenue, COUNT(*) AS cnt
          |FROM lineitem
@@ -559,9 +593,13 @@ object Relational {
       // r14: same pre-aggregate-before-Expand move as q11 — CUBE
       // quadruples every row through Expand; the (status, priority)
       // leaf is ~15 groups, so cube THAT.
+      // r15: the leaf price sum rides the sumFx cascade (o_totalprice
+      // fx4 ≤ 6e9/row over an unbounded leaf group wraps near sf 1e4);
+      // the cube's re-aggregation sums the ≤15 DECIMAL leaf partials —
+      // per-group, not per-row.
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("pn"), sum(fx4(col("o_totalprice"))).as("pt"))
+        .agg(count(lit(1)).as("pn"), sumFx(fx4(col("o_totalprice"))).as("pt"))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(sum(col("pn")).as("n"), cents4(sum(col("pt"))).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
@@ -1074,6 +1112,9 @@ object Relational {
             date_trunc("month", col("o_orderdate")).cast("date").as("month"),
             fx2(col("o_totalprice")).as("cents"))
           .groupBy(col("o_orderpriority"), col("month"))
+          // (priority, month) groups grow with sf, but cents ≤ 6e7/row
+          // keeps the plain long sum exact through ~sf 5e5 (r15
+          // overflow audit) — past the 100 TB brief without the cascade
           .agg(sum(col("cents")).as("rev_cents"))
           .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
           .select(col("o_orderpriority"), col("month"),
@@ -1180,6 +1221,9 @@ object Relational {
           .join(broadcast(Tables.nation(s, d)),
             col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          // per-CUSTOMER group: lines/customer is SF-constant (~dozens),
+          // so the plain long sum stays ≤ ~1e13 at any sf — safe (r15
+          // overflow audit; unbounded-group money sums ride sumFx)
           .agg(sum(rev_i).as("rev_i"), count(lit(1)).as("n_returns"))
           .orderBy(col("rev_i").desc, col("c_custkey"))
           .limit(20)
@@ -1270,8 +1314,10 @@ object Relational {
           .join(broadcast(asiaSup), col("l_suppkey") === col("sk"))
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
-          .agg(sum(rev_i).as("total_i"),
-            sum(when(col("n_name") === "NATION_2", rev_i)
+          // r15: sumFx cascade — ~7 year groups over the whole ASIA
+          // slice; a plain long rev_i sum wraps near sf 1e4
+          .agg(sumFx(rev_i).as("total_i"),
+            sumFx(when(col("n_name") === "NATION_2", rev_i)
               .otherwise(0L)).as("nation_i"))
           .select(col("o_year"),
             (col("total_i").cast("double") / 10000).as("asia_revenue"),
@@ -1350,8 +1396,9 @@ object Relational {
           .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
           .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
             .as("ship_month"))
-          .agg(sum(when(col("p_type") === "PROMO", rev_i).otherwise(0L))
-            .as("promo_i"), sum(rev_i).as("total_i"))
+          // r15: sumFx cascade — ~6 month groups, unbounded rows each
+          .agg(sumFx(when(col("p_type") === "PROMO", rev_i).otherwise(0L))
+            .as("promo_i"), sumFx(rev_i).as("total_i"))
           .select(col("ship_month"),
             (col("promo_i").cast("double") / 10000).as("promo_revenue"),
             (col("total_i").cast("double") / 10000).as("total_revenue"),
@@ -1436,7 +1483,8 @@ object Relational {
           .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("ship_year"))
-          .agg(sum(rev_i).as("rev_i"))
+          // r15: sumFx cascade — ~28 (nation², year) groups, unbounded
+          .agg(sumFx(rev_i).as("rev_i"))
           .select(col("supp_nation"), col("cust_nation"), col("ship_year"),
             (col("rev_i").cast("double") / 10000).as("revenue"))
           .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
@@ -1576,8 +1624,12 @@ object Relational {
         val rev_i = rev4 // exact 1e-4-unit long product (r14 fixed-point)
         val perPart = Tables.lineitem(s, d)
           .groupBy(col("l_partkey"))
+          // per-part group is ~30 lines at EVERY sf (lines/part is
+          // SF-constant): plain long sum exact to ≤ 3e10 — safe
           .agg(sum(rev_i).as("val_i"))
-        val total = perPart.agg(sum(col("val_i")).as("tot_i"),
+        // r15: the GLOBAL total is one group over all parts — sumFx
+        // cascade (a plain long sum wraps near sf 1.5e3)
+        val total = perPart.agg(sumFx(col("val_i")).as("tot_i"),
           count(lit(1)).as("np"))
         perPart.crossJoin(broadcast(total))
           // cross-multiplied compare and the ppm both ride DECIMAL(38,0):
@@ -1704,6 +1756,9 @@ object Relational {
           .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
             col("l_shipdate") < ts("1997-04-01 00:00:00"))
           .groupBy(col("l_suppkey"))
+          // per-SUPPLIER group: lines/supplier is SF-constant (~600 ×
+          // quarter slice), plain long sum ≤ ~1e12 at any sf — safe
+          // (r15 overflow audit); the max below is order-free
           .agg(sum(rev_i).as("rev_i"))
         val mx = perSup.agg(max(col("rev_i")).as("max_i"))
         perSup.crossJoin(broadcast(mx)) // aggregate-bounded: 1 row
@@ -1767,7 +1822,11 @@ object Relational {
           .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-          .agg(count(lit(1)).as("n_lines"), sum(profit_i).as("profit_i"))
+          // r15: sumFx cascade — ~175 (nation, year) groups, unbounded
+          // rows each, and |profit_i| ≤ ~1e11/row (1e-6 units) wrapped a
+          // plain long sum near sf 50. profit_i is SIGNED: the shift/
+          // mask split identity holds for signed longs (see sumFx).
+          .agg(count(lit(1)).as("n_lines"), sumFx(profit_i).as("profit_i"))
           .select(col("nation"), col("o_year"), col("n_lines"),
             (col("profit_i").cast("double") / 1000000).as("profit"))
           .orderBy(col("nation"), col("o_year"))
@@ -1857,7 +1916,11 @@ object Relational {
         def slice(pred: Column): DataFrame = Tables.lineitem(s, d)
           .filter(pred)
           .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"))
-          .agg(count(lit(1)).as("n_lines"), sum(rev_i).as("rev_i"),
+          // r15: per-slice partials ride the sumFx cascade (~28
+          // unbounded (flag, year) groups); the merge below re-sums the
+          // DECIMAL partials — exactly the two-level shape this query
+          // exists to prove
+          .agg(count(lit(1)).as("n_lines"), sumFx(rev_i).as("rev_i"),
             min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
         val cut = ts("1998-01-01 00:00:00")
         slice(col("l_shipdate") < cut)

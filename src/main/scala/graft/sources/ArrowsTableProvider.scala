@@ -99,26 +99,37 @@ object ArrowsTableProvider {
     * stale keep-alive checkout race the dissociated channel reads
     * documented and opted out of in r13. Timeouts turn any recurrence
     * into a task failure (which Spark retries on a fresh connection)
-    * instead of a wedged bench; bulk body reads additionally send
-    * `Connection: close` — a pooled connection buys nothing for a
-    * stream that is drained once, and opting out removes the race
-    * class entirely. */
+    * instead of a wedged bench.
+    *
+    * r15 (r14 verdict #3): `Connection: close` now rides EVERY open,
+    * not just bulk body reads — r14 left schema probes, /offsets
+    * fetches, /qsplit probes and /dissoc/info discovery in the JDK
+    * keep-alive pool, and a pooled connection the server half-closed
+    * still stalled the FIRST read ~25 s until TCP gave up (the exact
+    * 28–29 s plateau signature on three r14 32-core cells). The pool
+    * buys nothing here: probe responses are a few hundred bytes against
+    * a localhost (or LAN) server where a fresh connect is ~50 µs, and
+    * at scale the probe fan-out per query is O(#parts), not a hot loop.
+    * Opting every request out removes the stale-checkout race class
+    * entirely. Env-tunable for deployments that want the pool back:
+    * SPARK_GRAFT_HTTP_KEEPALIVE=1. */
+  private val keepAlive =
+    sys.env.getOrElse("SPARK_GRAFT_HTTP_KEEPALIVE", "0") == "1"
   private def httpTimeouts(conn: HttpURLConnection): HttpURLConnection = {
     conn.setConnectTimeout(
       sys.env.getOrElse("SPARK_GRAFT_HTTP_CONNECT_MS", "30000").toInt)
     conn.setReadTimeout(
       sys.env.getOrElse("SPARK_GRAFT_HTTP_READ_MS", "180000").toInt)
+    if (!keepAlive) conn.setRequestProperty("Connection", "close")
     conn
   }
 
   def open(path: String, schemaOnly: Boolean, accept: String = ""): InputStream =
     if (isUrl(path)) {
+      // keep-alive opt-out happens inside httpTimeouts (r15: EVERY
+      // request, schema probes included — see the note there)
       val conn = httpTimeouts(
         URI.create(path).toURL.openConnection().asInstanceOf[HttpURLConnection])
-      // full-body streams are one-shot: skip the keep-alive pool (see
-      // httpTimeouts note); schema-only probes stay poolable — their
-      // tiny responses are drained to EOF
-      if (!schemaOnly) conn.setRequestProperty("Connection", "close")
       conn.setRequestProperty("Accept", "application/vnd.apache.arrow.stream")
       // opt-in content-coding (option acceptEncoding): the server
       // negotiates zstd/br/gzip and the decode match below unwraps it
@@ -186,8 +197,6 @@ object ArrowsTableProvider {
   def openRange(url: String, start: Long, endExclusive: Long): InputStream = {
     val conn = httpTimeouts(
       URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection])
-    // bulk body: one-shot, no keep-alive pool (see httpTimeouts note)
-    conn.setRequestProperty("Connection", "close")
     conn.setRequestProperty("Range", s"bytes=$start-${endExclusive - 1}")
     val code = conn.getResponseCode
     require(code == 206 || code == 200, s"range GET $url -> HTTP $code")
@@ -237,14 +246,13 @@ object ArrowsTableProvider {
   }
 
   private def openRaw(url: String): InputStream = {
+    // keep-alive opt-out inside httpTimeouts: a pooled channel
+    // connection buys nothing (each is drained to EOF once) and exposes
+    // the stale-checkout race — a connection the server half-closed
+    // stalls the first read ~25 s until TCP gives up (observed as rare
+    // outlier reps in DissocBench)
     val conn = httpTimeouts(
       URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection])
-    // one-shot bulk channel streams: opt OUT of the JDK keep-alive pool.
-    // A pooled channel connection buys nothing (each is drained to EOF
-    // once) and exposes the stale-connection race — a checkout the
-    // server concurrently half-closed stalls the first read until TCP
-    // gives up (observed as rare ~25 s outlier reps in DissocBench).
-    conn.setRequestProperty("Connection", "close")
     val code = conn.getResponseCode
     require(code == 200, s"GET $url -> HTTP $code")
     new BufferedInputStream(conn.getInputStream, 1 << 16)

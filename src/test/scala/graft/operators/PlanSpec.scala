@@ -1511,16 +1511,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.split("ReadSchema")(1).split("\n")(0).contains("text:"), p)
   }
 
-  test("s31: every ranking is a bounded top-10 window over the one persisted scored frame") {
+  test("s31: one q_id exchange feeds all four arm rankings — no per-arm join, no persist") {
     val p = plan("s31_quantization_sheet")
-    // WindowGroupLimit keeps 10 rows per query per map partition
-    // before each ranking exchange
-    assert(p.contains("WindowGroupLimit"), p)
-    // all five rankings (truth + 4 arms) read the persisted pair frame,
-    // not a recomputed pair join: no parquet scan above the first cache
-    // boundary
-    assert(!p.split("InMemoryRelation")(0).contains("FileScan parquet"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    // r15 shape (r14 verdict #5): the r14 plan persisted the pair frame
+    // and ran truth + 4 arms as 8 windows / 4 SortMergeJoins / 6
+    // SinglePartition exchanges. Now ONE hashpartitioning(q_id)
+    // exchange feeds four rank windows (one sort each, shared
+    // partitioning), and each arm's recall is a conditional sum over
+    // the truth rows — no join between rankings at all.
+    val qx = p.split("\n").filter(_.contains("Exchange hashpartitioning(q_id"))
+    assert(qx.length === 1, p)
+    assert(p.split("\n").count(_.trim.startsWith("+- Window")) === 4, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the only SinglePartition exchanges are the final sheet aggregate
+    // and the ~|labels|-row codebook collect — nothing row-scale
+    assert(p.split("\n").count(_.contains("Exchange SinglePartition")) <= 3, p)
   }
 
   test("p22: the doc running sum partitions on (source, sub); bases broadcast back") {
