@@ -313,6 +313,13 @@ object DedupOps {
     * documents). Shared by d07 (cluster report) and d14 (corpus
     * materialization). Only docs that appear in some pair get a row;
     * singleton docs are implicitly their own cluster. */
+  /** Probe hooks (r15 diagnosis, D24Probe): expose the two phases of
+    * the clusterLabels pipeline for isolated timing. */
+  private[graft] def probeCandidatePairs(s: SparkSession, d: String): DataFrame =
+    candidatePairs(s, d)
+  private[graft] def probeClusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
+
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     // persist() barriers are load-bearing twice over: the edge frame is
     // referenced 4 ways by the union and TWICE per doubling self-join,
@@ -327,12 +334,20 @@ object DedupOps {
     // accumulation class the r13 verdict flagged; same-tag re-entry now
     // releases the previous build first, so at most one closure's
     // frames are ever cached.
+    // r15: the r14 union referenced the candidate-pair frame FOUR times
+    // INSIDE the persisted edge frame — the persist stops downstream
+    // recompute, but its own one-time materialization ran the whole
+    // LSH-verify pipeline once per union branch (D24Probe: labels
+    // 3.2–5.0 s vs 1.0 s for one pairs pass). One explode emits the
+    // same four edges per pair from ONE pass; distinct unchanged.
     val p = candidatePairs(s, d).select(col("a_id"), col("b_id"))
     val e = OpUtils.transientPersist(s, s"d07edges:$d",
-      p.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .unionAll(p.select(col("a_id").as("src"), col("a_id").as("dst")))
-        .unionAll(p.select(col("b_id").as("src"), col("b_id").as("dst")))
+      p.select(explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("dst")),
+          struct(col("b_id").as("src"), col("a_id").as("dst")),
+          struct(col("a_id").as("src"), col("a_id").as("dst")),
+          struct(col("b_id").as("src"), col("b_id").as("dst")))).as("ed"))
+        .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
         .distinct())
     def dbl(r: DataFrame): DataFrame =
       r.as("x").join(r.as("y"), col("x.dst") === col("y.src"))
@@ -528,9 +543,13 @@ object DedupOps {
     // low-diameter dup graphs without per-vertex iteration state.
     QueryDef.sql("d07_neardup_clusters",
       (s, d) => {
+        // r15 (the q73 move, as in d24): cluster size via a window over
+        // ONE labels pass instead of a groupBy + self-join that
+        // recomputed the closure's outer doubling join per reference.
         val labels = clusterLabels(s, d)
-        val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
-        labels.join(sizes, "cluster")
+        labels
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("cluster"))))
           .select(col("src").as("doc_id"), col("cluster"),
             (col("src") === col("cluster")).as("canonical"), col("cluster_size"))
           .orderBy(col("doc_id"))
@@ -1342,9 +1361,14 @@ object DedupOps {
     // weights sum back to ~1e6 where d14 keeps exactly one member.
     QueryDef.sql("d24_soft_dedup_weights",
       (s, d) => {
+        // r15 (the q73 move): cluster size via a window over ONE labels
+        // pass — the groupBy+self-join form referenced the closure
+        // twice, recomputing its outer doubling join per reference
+        // (only the inner frames are persisted). Same rows: every label
+        // row annotated with its cluster's count.
         val labels = clusterLabels(s, d)
-        val csize = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cn"))
-        val lw = labels.join(csize, Seq("cluster"))
+        val lw = labels
+          .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("cluster"))))
           .select(col("src").as("doc_id"), col("cluster"), col("cn"))
         corpus(s, d).select(col("doc_id"))
           .join(lw, Seq("doc_id"), "left")

@@ -438,6 +438,9 @@ object EventsOps {
         // the trailing fields never participate in a comparison). No
         // string allocation, one aggregation buffer instead of five.
         // The oracle keeps the padded-string arg_max form as the spec.
+        // Equivalence contract (r14 ADVICE): numeric-vs-lexicographic
+        // agreement needs us >= 0 and ts NOT NULL — asserted by
+        // TestdataDriftSpec ("q40 key contract"), not just assumed.
         val e = Tables.events(s, d)
           .withColumn("us", unix_micros(col("ts")))
         e.groupBy(col("user_id"))

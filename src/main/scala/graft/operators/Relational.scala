@@ -1082,6 +1082,14 @@ object Relational {
           .agg(ps.as("ps"))
           .select(graft.functions.GraftFunctions.valuePairs(col("ps"))
             .as(Seq("pk1", "pk2")))
+          // r15 (guide §2.4): pair keys are ~unique (most pairs occur
+          // once), so a map-side partial count builds a pair-cardinality
+          // hash table that reduces almost nothing and ships the same
+          // bytes plus a count. Satisfying the distribution explicitly
+          // plans ONE complete aggregate after the exchange instead —
+          // Q50Probe measured the pair stage ~1.2× faster; same rows,
+          // same hash partitioning, same result.
+          .repartition(col("pk1"), col("pk2"))
           .groupBy(col("pk1"), col("pk2"))
           .agg(count(lit(1)).as("n_orders"))
           .filter(col("n_orders") >= 2)

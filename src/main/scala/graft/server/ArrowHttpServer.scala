@@ -52,6 +52,7 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   }
   def registerFile(name: String, path: java.nio.file.Path): Unit = {
     offsetsCache.remove(name)
+    chanStatCache.remove(name)
     files.put(name, path)
   }
 
@@ -153,7 +154,16 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
               val sink = new CoalescingOutputStream(raw, 64 * 1024, flushFirst = true)
               val out: OutputStream = strategy.httpCoding match {
                 case Some("gzip") => new java.util.zip.GZIPOutputStream(sink, true)
-                case Some("zstd") => new com.github.luben.zstd.ZstdOutputStream(sink)
+                case Some("zstd") =>
+                  // r15: libzstd worker threads overlap compression with
+                  // the serve (the ticker probe measured compression as
+                  // ~60% of the serial loop: 858 MB at ~190 MB/s
+                  // single-threaded). Same level/ratio, same decodable
+                  // frames — the workers only pipeline the blocks.
+                  // Env-tunable for servers running many concurrent
+                  // serves (workers multiply per-request CPU).
+                  new com.github.luben.zstd.ZstdOutputStream(sink).setWorkers(
+                    sys.env.getOrElse("SPARK_GRAFT_ZSTD_WORKERS", "4").toInt)
                 case Some("br")   => new Brotli.BrotliStoredOutputStream(sink)
                 case _            => sink
               }
@@ -550,25 +560,105 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
   private def spilledPaths(name: String, dfFn: () => DataFrame): Vector[java.nio.file.Path] =
     ensureSpilled(name, dfFn).map(k => files(k))
 
+  /** Per-part channel-length summary (r15): exact byte lengths of the
+    * dissociated meta/body channel framings of one spilled part, from
+    * the same O(#batches) header-seek scan /offsets uses (bodies are
+    * lseek-skipped). Why: the JDK HttpServer sends unknown-length
+    * responses CHUNKED with a hard-coded 4 KiB chunk size — ~240k chunk
+    * writes (server) and chunk-header parses (client) per GB, and the
+    * r15 fan-out thread dumps show the client pinned in
+    * ChunkedInputStream.processRaw across the 2×32 concurrent channel
+    * streams. Publishing an exact Content-Length turns both sides into
+    * plain fixed-length socket I/O — no chunk framing at all — exactly
+    * how the /files/ static handler already serves. Cached per part
+    * file; invalidated with the offsets cache on re-registration. */
+  private val chanStatCache =
+    scala.collection.concurrent.TrieMap[String, ChanStat]()
+  private case class ChanStat(schemaFramed: Long, metaTotal: Long, bodyTotal: Long)
+
+  private def chanStats(key: String): ChanStat =
+    chanStatCache.getOrElseUpdate(key, {
+      val p = files(key)
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(p), 1 << 16))
+      try {
+        var schemaFramed = 0L
+        var metaTotal = 0L
+        var bodyTotal = 0L
+        var done = false
+        while (!done) {
+          val marker =
+            try in.readInt()
+            catch { case _: java.io.EOFException => done = true; 0 }
+          if (!done) {
+            require(marker == -1, s"expected continuation marker in $key")
+            val metaLen = Integer.reverseBytes(in.readInt())
+            if (metaLen == 0) done = true // EOS
+            else {
+              val header = new Array[Byte](metaLen)
+              in.readFully(header)
+              val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(
+                java.nio.ByteBuffer.wrap(header).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+              val bodyLen = msg.bodyLength()
+              in.skipNBytes(bodyLen)
+              if (msg.headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema)
+                schemaFramed = 8L + metaLen
+              else {
+                // meta frame: [type:1][seq:4][len:4][8-byte prefix + header]
+                metaTotal += 9L + 8L + metaLen
+                // body frame: [seq:4][len:4][body][pad to 8]
+                bodyTotal += 8L + bodyLen + ((8 - (bodyLen % 8)) % 8)
+              }
+            }
+          }
+        }
+        ChanStat(schemaFramed, metaTotal, bodyTotal)
+      } finally in.close()
+    })
+
+  /** Exact meta-channel byte length of a set of spilled parts: one
+    * schema frame (first part's), every batch meta frame, one EOS. */
+  private def metaChannelLen(keys: Seq[String]): Long =
+    (9L + chanStats(keys.head).schemaFramed) +
+      keys.map(chanStats(_).metaTotal).sum + 9L
+
+  private def bodyChannelLen(keys: Seq[String]): Long =
+    keys.map(chanStats(_).bodyTotal).sum
+
+  // Both channel handlers publish an EXACT Content-Length computed from
+  // the cached per-part header scan (see chanStats): a known length
+  // makes the JDK server write the frames straight to the socket
+  // instead of re-framing them into hard-coded 4 KiB HTTP chunks, and
+  // the client reads a plain fixed-length stream with no chunk parsing
+  // — the r15 fan-out profile showed 2×32 concurrent client readers
+  // pinned in ChunkedInputStream chunk decode. A 64 KiB buffer
+  // coalesces the per-frame header writes (the meta channel is ~4 small
+  // writes per batch otherwise). The zero-spill fallback (dynamic
+  // serve) keeps the chunked path — its length is unknowable up front.
   server.createContext("/dissoc/meta/", exchange => safely(exchange) {
     val (name, idx) = dissocTarget(
       exchange.getRequestURI.getPath.stripPrefix("/dissoc/meta/"))
     datasets.get(name) match {
       case None => sendText(exchange, 404, s"no dataset $name")
       case Some(dfFn) =>
-        val parts = spilledPaths(name, dfFn)
-        if (idx.exists(_ >= parts.size))
-          sendText(exchange, 404, s"no part ${idx.get} of $name (${parts.size} parts)")
+        val keys = ensureSpilled(name, dfFn)
+        if (idx.exists(_ >= keys.size))
+          sendText(exchange, 404, s"no part ${idx.get} of $name (${keys.size} parts)")
         else {
           exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
-          exchange.sendResponseHeaders(200, 0)
-          val out = exchange.getResponseBody
-          val serve = idx.map(i => Vector(parts(i))).getOrElse(parts)
-          if (serve.nonEmpty)
-            graft.dissociated.Dissociated.streamMetadataFromFiles(serve, out)
-          else
+          val serveKeys = idx.map(i => Vector(keys(i))).getOrElse(keys)
+          if (serveKeys.nonEmpty) {
+            exchange.sendResponseHeaders(200, metaChannelLen(serveKeys))
+            val out = new java.io.BufferedOutputStream(exchange.getResponseBody, 1 << 16)
+            graft.dissociated.Dissociated.streamMetadataFromFiles(
+              serveKeys.map(files(_)), out)
+            out.close()
+          } else {
+            exchange.sendResponseHeaders(200, 0)
+            val out = exchange.getResponseBody
             graft.dissociated.Dissociated.streamMetadataChannel(dfFn(), out)
-          out.close()
+            out.close()
+          }
         }
     }
   })
@@ -579,21 +669,30 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
     datasets.get(name) match {
       case None => sendText(exchange, 404, s"no dataset $name")
       case Some(dfFn) =>
-        val parts = spilledPaths(name, dfFn)
-        if (idx.exists(_ >= parts.size))
-          sendText(exchange, 404, s"no part ${idx.get} of $name (${parts.size} parts)")
+        val keys = ensureSpilled(name, dfFn)
+        if (idx.exists(_ >= keys.size))
+          sendText(exchange, 404, s"no part ${idx.get} of $name (${keys.size} parts)")
         else {
           exchange.getResponseHeaders.set("Content-Type", "application/octet-stream")
-          exchange.sendResponseHeaders(200, 0)
-          val out = exchange.getResponseBody
           // out-of-order delivery within windows of 8 (stays under the
           // client's bounded reassembly window)
-          val serve = idx.map(i => Vector(parts(i))).getOrElse(parts)
-          if (serve.nonEmpty)
-            graft.dissociated.Dissociated.streamBodyFromFiles(serve, out)
-          else
+          val serveKeys = idx.map(i => Vector(keys(i))).getOrElse(keys)
+          val len = if (serveKeys.nonEmpty) bodyChannelLen(serveKeys) else 0L
+          if (serveKeys.nonEmpty && len > 0) {
+            exchange.sendResponseHeaders(200, len)
+            val out = new java.io.BufferedOutputStream(exchange.getResponseBody, 1 << 16)
+            graft.dissociated.Dissociated.streamBodyFromFiles(
+              serveKeys.map(files(_)), out)
+            out.close()
+          } else if (serveKeys.nonEmpty) {
+            exchange.sendResponseHeaders(200, -1) // zero batches: empty body
+            exchange.getResponseBody.close()
+          } else {
+            exchange.sendResponseHeaders(200, 0)
+            val out = exchange.getResponseBody
             graft.dissociated.Dissociated.streamBodyChannel(dfFn(), out)
-          out.close()
+            out.close()
+          }
         }
     }
   })

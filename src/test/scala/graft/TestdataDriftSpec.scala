@@ -38,4 +38,21 @@ class TestdataDriftSpec extends AnyFunSuite {
     assert(out.getLong(0) >= jan2024us && out.getLong(1) < jan2024us + 40L * 86400 * 1000000,
       s"events.ts epoch range [${out.getLong(0)}, ${out.getLong(1)}] outside 2024-01 window — unit or timezone drift")
   }
+
+  test("q40 key contract: events.ts is never NULL and epoch-micros is non-negative") {
+    // q40_latest_compaction orders by max(struct(us, event_id)) while
+    // its oracle keeps the lpad-20 string arg_max key; the two agree
+    // only while us >= 0 (a negative us breaks lexicographic-vs-numeric
+    // equivalence) and ts is NOT NULL (max_by skipped NULL keys, while
+    // max(struct) would rank a NULL us lowest but still eligible). This
+    // asserts the data contract the equivalence note in EventsOps
+    // relies on, so a testdata regeneration that violates it fails here
+    // by name instead of surfacing as a cross-engine hash mismatch.
+    // (us > 2^63-1 cannot occur: a long is at most 19 digits, inside
+    // the oracle's 20-char pad.)
+    val ev = Tables.events(spark, sfDir)
+    val bad = ev.filter(col("ts").isNull ||
+      unix_micros(col("ts")) < 0).count()
+    assert(bad === 0L, s"$bad events rows violate the q40 (us, event_id) key contract")
+  }
 }
