@@ -32,8 +32,18 @@ object TickerProbe {
     def drain(in: java.io.InputStream): Long = {
       val buf = new Array[Byte](1 << 16)
       var total = 0L
+      val t0 = System.nanoTime()
+      var lastReport = t0
       var n = in.read(buf)
-      while (n != -1) { total += n; n = in.read(buf) }
+      while (n != -1) {
+        total += n
+        val now = System.nanoTime()
+        if (now - lastReport > 2e9.toLong) {
+          System.err.println(f"    drain progress: $total B at ${(now - t0) / 1e9}%.1f s")
+          lastReport = now
+        }
+        n = in.read(buf)
+      }
       in.close(); total
     }
     try (1 to reps).foreach { i =>

@@ -123,6 +123,63 @@ object ArrowBridge {
     (rows, batches, bytes + EosBytes.length)
   }
 
+  /** [[writeParallel]] with the HTTP-level zstd coding done as
+    * INDEPENDENT zstd frames — [frame(schema)][frame(chunk)]…[frame(EOS)]
+    * — compressed on a private pool of plain JVM threads and emitted in
+    * partition order. Concatenated frames are standard zstd (the CLI
+    * produces them for multi-file input) and ZstdInputStream decodes
+    * them as one stream, so the decompressed bytes are identical to
+    * writeParallel's output.
+    *
+    * Why not ZstdOutputStream.setWorkers (libzstd's own MT): it
+    * intermittently stalled the serve for 20–80 s per request under the
+    * bench's serve+decode loop (ticker probe, ~25% of reps, escalating
+    * then recovering) while the single-threaded encoder never did; this
+    * path gets the same compression overlap from deterministic JVM
+    * threads and one-shot ZSTD_compress calls with no shared native
+    * context. Ratio cost of per-chunk frames (window reset every ~27 MB
+    * chunk + 13-byte frame headers) is < 0.5% on the ticker payload.
+    *
+    * Backpressure: at most `workers + 2` frames are in flight; the
+    * relay blocks on the oldest future, so driver memory stays
+    * O((window + workers) × chunk). Returns (rows, batches,
+    * uncompressed stream bytes) like writeParallel. */
+  def writeParallelZstd(df: org.apache.spark.sql.DataFrame, out: OutputStream,
+      opts: WriteOptions = WriteOptions(), workers: Int = 4, level: Int = 3,
+      window: Int = 8): (Long, Long, Long) = {
+    val nw = math.max(1, workers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nw,
+      (r: Runnable) => { val t = new Thread(r, "zstd-frame"); t.setDaemon(true); t })
+    val pending = new java.util.ArrayDeque[java.util.concurrent.Future[Array[Byte]]]()
+    def submit(bytes: Array[Byte]): Unit = {
+      pending.add(pool.submit(() => com.github.luben.zstd.Zstd.compress(bytes, level)))
+      while (pending.size > nw + 2) { out.write(pending.poll().get()); out.flush() }
+    }
+    try {
+      val header = schemaBytes(df.schema, opts)
+      submit(header)
+      var rows = 0L
+      var batches = 0L
+      var bytes = header.length.toLong
+      var dictEmitted = false
+      foreachPartitionChunk(df, opts, window) { case (chunk, r, b) =>
+        val body =
+          if (opts.dictColumns.isEmpty) chunk
+          else {
+            val (dict, rest) = splitLeadingDictionary(chunk)
+            if (dict.isEmpty) chunk
+            else if (!dictEmitted) { dictEmitted = true; chunk }
+            else rest
+          }
+        submit(body)
+        rows += r; batches += b; bytes += body.length
+      }
+      submit(EosBytes)
+      while (!pending.isEmpty) { out.write(pending.poll().get()); out.flush() }
+      (rows, batches, bytes + EosBytes.length)
+    } finally pool.shutdownNow()
+  }
+
   /** If `chunk` opens with a DictionaryBatch message, split it off:
     * (dictionaryMessage, remainder); otherwise (empty, chunk). */
   private def splitLeadingDictionary(chunk: Array[Byte]): (Array[Byte], Array[Byte]) = {

@@ -152,35 +152,42 @@ final class ArrowHttpServer(spark: SparkSession, port: Int = 0) {
               exchange.sendResponseHeaders(200, 0) // 0 = chunked
               val raw = exchange.getResponseBody
               val sink = new CoalescingOutputStream(raw, 64 * 1024, flushFirst = true)
-              val out: OutputStream = strategy.httpCoding match {
-                case Some("gzip") => new java.util.zip.GZIPOutputStream(sink, true)
-                case Some("zstd") =>
-                  // r15: libzstd worker threads overlap compression with
-                  // the serve (the ticker probe measured compression as
-                  // ~60% of the serial loop: 858 MB at ~190 MB/s
-                  // single-threaded). Same level/ratio, same decodable
-                  // frames — the workers only pipeline the blocks.
-                  // Env-tunable for servers running many concurrent
-                  // serves (workers multiply per-request CPU).
-                  new com.github.luben.zstd.ZstdOutputStream(sink).setWorkers(
-                    sys.env.getOrElse("SPARK_GRAFT_ZSTD_WORKERS", "4").toInt)
-                case Some("br")   => new Brotli.BrotliStoredOutputStream(sink)
-                case _            => sink
-              }
               val df = dfFn()
-              try {
-                deltaDictCols.get(name) match {
-                  case Some(cols) =>
-                    // single-pass growing-dictionary encode (no IPC body
-                    // codec on this path; HTTP coding still applies)
-                    ArrowBridge.writeDeltaDict(df.schema,
-                      ArrowBridge.internalRows(df), out, cols)
-                  case None =>
-                    ArrowBridge.writeParallel(df, out,
-                      ArrowBridge.WriteOptions(codec = strategy.ipcCodec,
-                        dictColumns = dictCols.getOrElse(name, Map.empty)))
+              // r15: the zstd coding on the parallel-relay path is
+              // compressed as independent per-chunk frames on plain JVM
+              // threads (ArrowBridge.writeParallelZstd) — libzstd's own
+              // MT encoder (ZstdOutputStream.setWorkers) intermittently
+              // stalled serves 20–80 s under concurrent decode load.
+              // The delta-dict row loop keeps the (stall-free)
+              // single-threaded ZstdOutputStream.
+              if (strategy.httpCoding.contains("zstd") &&
+                  !deltaDictCols.contains(name)) {
+                try ArrowBridge.writeParallelZstd(df, sink,
+                  ArrowBridge.WriteOptions(codec = strategy.ipcCodec,
+                    dictColumns = dictCols.getOrElse(name, Map.empty)),
+                  workers = sys.env.getOrElse("SPARK_GRAFT_ZSTD_WORKERS", "4").toInt)
+                finally sink.close()
+              } else {
+                val out: OutputStream = strategy.httpCoding match {
+                  case Some("gzip") => new java.util.zip.GZIPOutputStream(sink, true)
+                  case Some("zstd") => new com.github.luben.zstd.ZstdOutputStream(sink)
+                  case Some("br")   => new Brotli.BrotliStoredOutputStream(sink)
+                  case _            => sink
                 }
-              } finally { out.close() }
+                try {
+                  deltaDictCols.get(name) match {
+                    case Some(cols) =>
+                      // single-pass growing-dictionary encode (no IPC body
+                      // codec on this path; HTTP coding still applies)
+                      ArrowBridge.writeDeltaDict(df.schema,
+                        ArrowBridge.internalRows(df), out, cols)
+                    case None =>
+                      ArrowBridge.writeParallel(df, out,
+                        ArrowBridge.WriteOptions(codec = strategy.ipcCodec,
+                          dictColumns = dictCols.getOrElse(name, Map.empty)))
+                  }
+                } finally { out.close() }
+              }
             }
         }
     }

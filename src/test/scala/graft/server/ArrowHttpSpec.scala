@@ -95,6 +95,29 @@ class ArrowHttpSpec extends AnyFunSuite {
     res.close()
   }
 
+  test("zstd parallel frames: decompressed bytes identical to identity serve") {
+    // r15: the zstd serve compresses each relay chunk as an independent
+    // frame on JVM threads (writeParallelZstd). Concatenated-frame decode
+    // must yield EXACTLY the identity stream — same schema header, same
+    // single leading dictionary (duplicates stripped), same partition
+    // order, one EOS. A dict-encoded multi-partition dataset covers the
+    // trickiest path.
+    server.registerDict("ticker_dict", Generators.ticker(spark, 5000, 2), Seq("ticker"))
+    val (ci, _, identity) = get("/q/ticker_dict", Map("Accept-Encoding" -> "identity"))
+    val (cz, zh, z) = get("/q/ticker_dict", Map("Accept-Encoding" -> "zstd"))
+    assert(ci === 200 && cz === 200)
+    assert(zh.get("content-encoding").contains("zstd"))
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(z))
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n != -1) { bos.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    assert(java.util.Arrays.equals(bos.toByteArray, identity),
+      s"zstd-decoded ${bos.size} B != identity ${identity.length} B")
+  }
+
   test("negotiation: gzip HTTP coding round-trips (matrix completeness)") {
     val (code, headers, body) = get("/q/ticker", Map("Accept-Encoding" -> "gzip"))
     assert(code === 200)
